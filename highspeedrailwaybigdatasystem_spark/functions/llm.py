@@ -1,0 +1,584 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.11 + the north-star
+extensions in BASELINE.json): deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine), similarity search (exact top-k + LSH ANN),
+text analysis (stats, TF-IDF, quality filter, language-ID, fingerprinting),
+and multimodal-column plumbing.
+
+Scale notes (100 TB):
+* Exact dedup shuffles once on the content hash — the hash is computed
+  map-side so the shuffle carries (hash, id), not documents.
+* MinHash-LSH near-dedup is the linear-time path: banding turns O(n²)
+  pairwise comparison into per-bucket joins; buckets are the shuffle key.
+* Exact cosine top-k broadcasts the probe (O(n) scan, TakeOrdered merge);
+  the LSH ANN variant prunes to the probe's bucket first.
+* All text ops are explode→agg pipelines: one shuffle on the token.
+* Embeddings are L2-normalized (FIXTURES.md §2), so cosine ≡ dot product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..operators._util import ratio, t
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    WITH doubled AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM documents),
+    hashed AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash FROM doubled)
+    SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_cnt
+    FROM hashed GROUP BY text_hash
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content hash, deterministic keep-lowest-id
+    rule. The corpus has no duplicate texts, so the input is doubled via
+    self-union to make the dedup real (each hash → dup_cnt 2)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(d)
+    return (
+        doubled.select(
+            "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+@register("llm_near_dedup_minhash")  # rows-only: LSH banding is randomized (seeded)
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH over 3-token shingles.
+
+    Pipeline: tokenize → 3-shingles → HashingTF (binary) → MinHashLSH
+    (5 tables, fixed seed) → approxSimilarityJoin at Jaccard distance ≤ 0.8.
+    At 100 TB this is THE near-dedup path: banding makes candidate
+    generation linear; the final exact-Jaccard verify runs per candidate.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    shingled = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        ).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="minhash", numHashTables=5, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 3).alias("jaccard_dist"),
+        )
+    )
+
+
+# Shared SQL fragment: 16-bit SimHash bit logic, identical semantics both
+# engines; only hex-parse and list indexing differ (handled per side).
+@register(
+    "llm_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    bits AS (
+      SELECT doc_id, b.b,
+             CASE WHEN CAST(floor(CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER)
+                                  / power(2, b.b)) AS INT) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b),
+    votes AS (
+      SELECT doc_id, b, sum(contrib) AS v FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprint: per-token md5 → first 16 bits →
+    ±1 votes per bit position weighted by term frequency → sign → bits.
+    Near-dup docs differ in few bits (Hamming); exact oracle because md5 and
+    the vote arithmetic are engine-independent."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+    bits = tok.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("int") % 2) == 1, 1
+        ).otherwise(-1).alias("contrib"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).cast("bigint").alias("simhash")
+    )
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source = b.source
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(shared_cnt AS DOUBLE) / (sa.n + sb.n - shared_cnt), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity for document pairs within the same
+    source (the blocking key that bounds the self-join — at 100 TB blocking
+    is what keeps pairwise similarity tractable). Top-100 pairs."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_cnt"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared_cnt").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("shared_cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (cosine ≡ dot: vectors are L2-normalized)
+# ---------------------------------------------------------------------------
+
+_DOT_ORACLE = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _dot(a, b):
+    """Double-precision dot product of two float32 array columns (cast inside
+    the lambda so both engines accumulate in float64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "llm_sim_topk",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({_DOT_ORACLE.format(a='embedding', b='p')}, 6) AS sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of probe vec_id=0: broadcast the probe,
+    one pass over the corpus, TakeOrderedAndProject merge. The 100 TB path
+    swaps the scan for the LSH-bucketed variant (llm_ann_lsh)."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p")))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select("vec_id", F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "llm_sim_pairs_label",
+    oracle=f"""
+    SELECT (a.label = b.label) AS same_label,
+           count(*) AS pair_cnt,
+           round(avg({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}), 6) AS avg_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    GROUP BY 1
+    """,
+)
+def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering sanity check: average intra-label vs inter-label cosine
+    over all pairs (bounded corpus; at scale this runs on a sample)."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy((F.col("a.label") == F.col("b.label")).alias("same_label"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_cnt"),
+            ratio(F.avg(_dot(F.col("a.embedding"), F.col("b.embedding")))).alias("avg_sim"),
+        )
+    )
+
+
+@register(
+    "llm_embed_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_ORACLE.format(a='a.embedding', b='b.embedding')} >= 0.35
+    """,
+)
+def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35 — the corpus max is
+    ~0.51, so this yields a real but small pair set). Exact all-pairs here;
+    the LSH bucketing in llm_ann_lsh is the 100 TB candidate generator."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+@register("llm_ann_lsh")  # rows-only: LSH ANN is approximate by design
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors for probe vec_id=0 via random-hyperplane
+    LSH (BucketedRandomProjectionLSH, fixed seed): hash the corpus into
+    buckets, search the probe's bucket neighborhood only. Returns the approx
+    top-10 (vec_id, euclid_dist) — on normalized vectors the euclidean order
+    is the inverse cosine order."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("vec")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(e)
+    probe = e.where(F.col("vec_id") == 0).head()
+    neighbors = model.approxNearestNeighbors(
+        e.where(F.col("vec_id") != 0), probe["vec"], 10, distCol="euclid_dist"
+    )
+    return neighbors.select("vec_id", F.round("euclid_dist", 6).alias("euclid_dist"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    per_lang AS (
+      SELECT lang, count(*) AS total_tokens,
+             count(DISTINCT token) AS distinct_tokens
+      FROM tok GROUP BY lang),
+    docs AS (
+      SELECT lang, count(*) AS doc_cnt, round(avg(n_chars), 6) AS avg_chars
+      FROM documents GROUP BY lang)
+    SELECT d.lang, d.doc_cnt, d.avg_chars, p.total_tokens, p.distinct_tokens,
+           round(CAST(p.distinct_tokens AS DOUBLE) / p.total_tokens, 6) AS type_token_ratio
+    FROM docs d JOIN per_lang p ON d.lang = p.lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc count, avg chars, token counts,
+    type-token ratio."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    per_lang = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("distinct_tokens"),
+    )
+    docs = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"), ratio(F.avg("n_chars")).alias("avg_chars")
+    )
+    return docs.join(per_lang, "lang").select(
+        "lang",
+        "doc_cnt",
+        "avg_chars",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(
+            F.col("distinct_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "llm_tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token),
+    tf AS (SELECT lang, token, count(*) AS term_freq FROM tok GROUP BY lang, token),
+    scored AS (
+      SELECT tf.lang, tf.token,
+             round(tf.term_freq * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+    SELECT lang, token, tfidf FROM (
+      SELECT lang, token, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) AS rn
+      FROM scored) x
+    WHERE rn <= 5
+    """,
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language by TF-IDF (IDF over documents globally).
+    explode → two aggregations → broadcast IDF join → per-group top-k."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = d.count()  # scalar plan parameter (tiny dimension count)
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("term_freq"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "lang",
+        "token",
+        F.round(
+            F.col("term_freq") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.select("lang", "token", "tfidf", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "llm_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 520
+      AND len(string_split(text, ' ')) >= 20
+      AND lang IN ('en', 'fr', 'es')
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length bounds + minimum token count + language
+    allowlist — the composable filter stage of a training-data pipeline."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        d.where(
+            F.col("n_chars").between(100, 520)
+            & (n_tokens >= 20)
+            & F.col("lang").isin("en", "fr", "es")
+        )
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    )
+
+
+_LANG_MARKERS = {
+    "de": ("customer", "hash"),
+    "en": ("order", "table", "window"),
+    "es": ("slow", "agg", "merge"),
+    "fr": ("scan", "batch", "query"),
+    "zh": ("join", "small"),
+}
+
+
+@register(
+    "llm_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('customer','hash'))) AS INT) AS s_de,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('order','table','window'))) AS INT) AS s_en,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('slow','agg','merge'))) AS INT) AS s_es,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('scan','batch','query'))) AS INT) AS s_fr,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('join','small'))) AS INT) AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END = lang) AS is_correct
+    FROM scored
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: count per-language marker tokens
+    (chosen from each language's measured top-frequency tokens), argmax with
+    a fixed precedence tie-break. Deterministic → exact oracle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda x, m=markers: x.isin(*m)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when(
+            (scores["de"] >= scores["en"])
+            & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["zh"]),
+            "de",
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "llm_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+               i -> md5(concat_ws(' ', string_split(text,' ')[i],
+                                       string_split(text,' ')[i+1],
+                                       string_split(text,' ')[i+2]))),
+             'min') AS fingerprint
+    FROM documents
+    """,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-fingerprint (winnowing-lite): min md5 over all 3-token
+    shingles — a compact rolling-hash signature for container-level dedup."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(0, size(split(text,' ')) - 3),"
+            " i -> md5(concat_ws(' ', split(text,' ')[i],"
+            " split(text,' ')[i+1], split(text,' ')[i+2]))))"
+        ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal-column plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ascii(text) AS INT) AS first_byte,
+           CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS frame_cnt
+    FROM documents
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: pack text into an opaque BINARY payload
+    column (stand-in for image/audio bytes — no codec libs in this
+    environment), then run a mapInPandas "decoder" that extracts typed
+    features per Arrow batch. The DECODE IS A DETERMINISTIC FAKE (byte
+    length / first byte / fake frame count); the Spark-side plumbing —
+    binary column, schema, Arrow batching, UDF signature — is real and is
+    what a real image decoder would plug into."""
+
+    def decode(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            blen = payloads.map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blen,
+                    # real impl: PIL.Image.open(io.BytesIO(payload)) etc.
+                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "frame_cnt": (blen // 100 + 1).astype("int32"),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(decode, "doc_id long, byte_len long, first_byte int, frame_cnt int")

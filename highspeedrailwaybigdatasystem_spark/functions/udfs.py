@@ -1,0 +1,180 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+These are deliberately the ONLY operators that cross the JVM↔Python
+boundary; everything else in the engine stays in whole-stage codegen. The
+hierarchy demonstrated here, fastest first:
+
+  pandas UDF (Arrow-batched, vectorized)  >  applyInPandas / mapInPandas
+  (Arrow-batched, per-group/partition)    >  row-at-a-time Python UDF
+  (udf_python_scalar — kept as the explicit slow-path example).
+
+At 100 TB: Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch)
+and group cardinality are the knobs; a group that doesn't fit in one
+executor's memory must be pre-aggregated or salted before applyInPandas.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import register
+from ..operators._util import money, ratio, t
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'budget'
+                WHEN o_totalprice < 200000 THEN 'standard'
+                ELSE 'premium' END AS fare_band
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, kept for surface parity —
+    the same logic as a CASE expression stays JVM-side)."""
+
+    @F.udf(StringType())
+    def band(price: float) -> str:
+        if price < 50000:
+            return "budget"
+        if price < 200000:
+            return "standard"
+        return "premium"
+
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", band("o_totalprice").alias("fare_band")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy arithmetic)."""
+
+    @F.pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return (price * (1.0 - discount)).round(2)
+
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: quantity-weighted mean price per flag."""
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(ratio(wavg("l_extendedprice", "l_quantity")).alias("wavg_price"))
+    )
+
+
+@register(
+    "udtf_apply_in_pandas",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS zscore
+    FROM events
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped grouped transform: per-user z-score of event value
+    (one group in → n rows out) via applyInPandas."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)  # NaN for 1-row groups, like stddev_samp→NULL
+        z = (pdf["value"] - pdf["value"].mean()) / sd
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "zscore": z.round(6)}
+        ).astype({"zscore": "float64"})
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, zscore double")
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise batch transform via mapInPandas: parse props.k with
+    vectorized string extraction (the multimodal-column plumbing pattern —
+    opaque payload in, typed feature out)."""
+
+    def parse(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "k_val": pdf["props"]
+                    .str.extract(r'"k":\s*(-?\d+)')[0]
+                    .astype("int64"),
+                }
+            )
+            yield out
+
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "props")
+        .mapInPandas(parse, "event_id long, k_val long")
+    )
+
+
+@register(
+    "udaf_custom",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udaf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (geometric mean) as a GROUPED_AGG pandas UDF — the
+    Spark-idiomatic way to define a new aggregate from Python."""
+
+    @F.pandas_udf("double")
+    def geo_mean(price: pd.Series) -> float:
+        return float(np.exp(np.log(price.to_numpy()).mean()))
+
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(money(geo_mean("o_totalprice")).alias("geo_mean_price"))
+    )

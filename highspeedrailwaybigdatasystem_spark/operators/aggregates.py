@@ -1,0 +1,254 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Scale notes: every groupBy here is a hash aggregate with a map-side partial
+phase (Spark splits partial/final automatically); the only full shuffles are
+on the grouping keys. ``agg_count_distinct`` is the one to watch at 100 TB —
+exact distinct forces a shuffle by (group, value); the approximate variant
+(`agg_approx_distinct`) is the scale path and is O(1) state per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, ratio, t
+
+
+@register(
+    "agg_scan_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_scan_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan + multi-aggregate group-by."""
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_base"),
+        money(F.sum(disc)).alias("sum_disc"),
+        money(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+        ratio(F.avg("l_quantity")).alias("avg_qty"),
+        ratio(F.avg("l_extendedprice")).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("distinct_cust"))
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++). At 100 TB
+    this replaces exact distinct: constant-size sketch per group, mergeable
+    map-side. No oracle — estimates differ across engines by design."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total."""
+    df = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("order_cnt"), money(F.sum("o_totalprice")).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "order_cnt",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), money(F.sum("o_totalprice")).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_sum,
+           count(*) FILTER (WHERE event_type = 'error') AS error_cnt,
+           count(*) AS total_cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — sum/count FILTER as sum(when(...))."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        money(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))).alias(
+            "purchase_sum"
+        ),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("error_cnt"),
+        F.count(F.lit(1)).alias("total_cnt"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ratio(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        ratio(F.var_samp("l_quantity")).alias("var_qty"),
+        ratio(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        money(F.min("l_extendedprice")).alias("min_price"),
+        money(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — matches quantile_cont).
+    At 100 TB the scale path is approx_percentile; exact is used here for
+    oracle equality."""
+    df = t(spark, sf_dir, "orders").join(
+        F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return df.groupBy("c_mktsegment").agg(
+        money(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
+        money(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT r_name, list(n_name ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted list of nation names per region (deterministic: array_sort)."""
+    df = t(spark, sf_dir, "nation").join(
+        F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return df.groupBy("r_name").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT n_name, count(*) AS cust_cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) > (SELECT count(*) / 25.0 FROM customer)
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter with a scale-invariant threshold (above-average
+    nations), expressed as a scalar subquery both sides."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS cust_cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING count(*) > (SELECT count(*) / 25.0 FROM customer)
+        """
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

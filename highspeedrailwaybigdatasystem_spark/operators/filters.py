@@ -1,0 +1,134 @@
+"""Filter / projection / predicate operators (SURVEY.md §2.2).
+
+All predicates here are sargable compositions of built-in expressions —
+they stay inside whole-stage codegen and push down to the parquet scan
+where the format allows (AND-of-comparisons does; OR pushes as a tree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, t
+
+
+@register(
+    "filt_pred_and_or",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+    FROM lineitem
+    WHERE (l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24) OR l_tax = 0.0
+    """,
+)
+def filt_pred_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pred = (
+        F.col("l_discount").between(0.02, 0.06) & (F.col("l_quantity") < 24)
+    ) | (F.col("l_tax") == 0.0)
+    return li.where(pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+
+
+@register(
+    "filt_in_list",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filt_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "filt_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%a%'
+    """,
+)
+def filt_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_type").like("PROMO%") | F.col("p_name").like("%a%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "filt_null_safe",
+    oracle="""
+    SELECT (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_f, count(*) AS cnt
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate <  TIMESTAMP '1995-03-01') o
+      ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def filt_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality over outer-join-manufactured NULLs (the corpus has
+    none of its own — FIXTURES.md §3): <=> groups NULL separately from
+    'F'-mismatch, exactly like IS NOT DISTINCT FROM."""
+    customer = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+    )
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy(F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_f"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "proj_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           count(*) AS cnt,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def proj_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "proj_expr_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    """,
+)
+def proj_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        money(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+    )

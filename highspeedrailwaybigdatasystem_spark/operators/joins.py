@@ -1,0 +1,306 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes (100 TB design intent, per-operator):
+
+* Dimension tables (region/nation/customer-at-small-sf/part/supplier) are
+  broadcast — no shuffle of the fact side. ``join_broadcast`` pins this with
+  an explicit hint; the star join relies on size-based selection + AQE.
+* Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; at cluster
+  scale these benefit from bucketing both tables by orderkey — the join is
+  written key-first so Catalyst can use either strategy.
+* Non-equi joins are kept bounded: the theta join pre-filters the probe side
+  to a sliver before the BroadcastNestedLoopJoin; the interval self-join
+  carries an equi key (user_id) so Spark plans a shuffled equi join with a
+  range residual, not a cartesian product.
+* The as-of join is expressed as a window ``last(..., ignoreNulls)`` over the
+  event stream — one shuffle by user, no join at all; this is the idiomatic
+  Spark formulation and scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import EVENTS_TS_US, money, t
+
+
+# --------------------------------------------------------------------------
+# join_multiway — the flagship: 5-way star join, TPC-H Q5 shape
+# --------------------------------------------------------------------------
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation for one region and one order year.
+
+    Plan shape at scale: lineitem⋈orders is the only big shuffle; customer/
+    nation/region are broadcast (dimension-side filters applied before the
+    join so the broadcast is as small as possible).
+    """
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    dim = F.broadcast(
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS item_cnt,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × small-dim equi join with an explicit broadcast hint."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("item_cnt"),
+            money(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "join_shuffle",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large equi join; Spark picks sort-merge/shuffle-hash (AQE may demote
+    to broadcast at small sf — semantics identical)."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), money(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS urgent_cnt
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') u
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer with its count of URGENT orders, including zeros
+    (count(key) over the null-extended side)."""
+    customer = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("urgent_cnt"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(c.cust_cnt, 0) AS cust_cnt,
+           coalesce(s.supp_cnt, 0) AS supp_cnt
+    FROM (SELECT c_nationkey AS k, count(*) AS cust_cnt FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, count(*) AS supp_cnt FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer rollup of customer vs supplier presence per nation.
+    Aggregating before the join keeps both sides tiny (pre-agg pushdown by
+    hand — at 100 TB this is the difference between joining rows and keys)."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return cust.join(supp, "k", "full").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (left-semi ≡ EXISTS)."""
+    customer = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o_orderdate <  TIMESTAMP '1996-01-01')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders in 1995 (left-anti ≡ NOT EXISTS)."""
+    customer = t(spark, sf_dir, "customer")
+    o95 = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return customer.join(
+        o95, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian product of two dimensions (125 rows)."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderkey, p_partkey
+    FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+    JOIN part
+      ON p_retailprice BETWEEN o_totalprice / 100 AND o_totalprice / 50
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join. The probe side is pre-filtered to a sliver so
+    the BroadcastNestedLoopJoin stays bounded; at scale this is the pattern
+    of broadcasting the small side of any theta join."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    part = t(spark, sf_dir, "part")
+    cond = F.col("p_retailprice").between(
+        F.col("o_totalprice") / 100, F.col("o_totalprice") / 50
+    )
+    return F.broadcast(orders).join(part, cond).select("o_orderkey", "p_partkey")
+
+
+@register(
+    "join_self_interval",
+    oracle=f"""
+    SELECT a.user_id, count(*) AS pair_cnt
+    FROM (SELECT user_id, event_id, {EVENTS_TS_US} AS ts_us FROM events) a
+    JOIN (SELECT user_id, event_id, {EVENTS_TS_US} AS ts_us FROM events) b
+      ON a.user_id = b.user_id
+     AND b.ts_us > a.ts_us
+     AND b.ts_us <= a.ts_us + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_self_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs per user within a 5-minute window (interval self-join).
+    The equi key (user_id) makes this a shuffled equi join with a range
+    residual — NOT a cartesian product; scales with per-user density."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'signup' THEN ts_us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_ts
+    FROM (SELECT event_id, user_id, event_type, {EVENTS_TS_US} AS ts_us FROM events) e
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event tagged with the user's most recent STRICTLY
+    PRIOR 'signup' event timestamp. Expressed as a window last(ignoreNulls)
+    — one shuffle by user_id, no join; the idiomatic Spark as-of
+    (SURVEY.md §2.3 join_asof)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return e.select(
+        "event_id",
+        F.last(signup_ts, ignorenulls=True).over(w).alias("prev_signup_ts"),
+    )

@@ -1,0 +1,52 @@
+"""Scan operators (SURVEY.md §2.1 — the parquet read path).
+
+Scale notes: these three exist to pin the scan-side guarantees every other
+operator depends on — count pushdown into parquet metadata, column pruning
+to the reader's ReadSchema, and predicate pushdown to row-group statistics.
+tests/test_plans.py asserts the explain() evidence for each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import money, t
+
+
+@register("scan_full", oracle="SELECT count(*) AS cnt FROM lineitem")
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table count; Spark answers this from parquet row-group metadata."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: only 3 of 11 columns reach the reader."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "scan_partition_prune",
+    oracle="""
+    SELECT count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range scan; the predicate is sargable so it pushes down to
+    parquet row-group min/max stats (skips non-qualifying row groups)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.sum("l_extendedprice")).alias("sum_price"),
+        )
+    )

@@ -1,0 +1,193 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Scale notes: every window here shuffles once on its partition key and sorts
+within partitions — the shuffle is shared when several window specs use the
+same partitioning. Skewed partition keys (one giant user) are the 100 TB
+hazard; the keys used here (customer, user, brand, segment) are
+high-cardinality and near-uniform in this corpus. All orderings carry a
+unique tie-break key so results are deterministic (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import EVENTS_TS_US, money, ratio, t
+
+
+@register(
+    "win_rownum_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) x
+    WHERE rn <= 3
+    """,
+)
+def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (canonical per-group top-k)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+    FROM part
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT event_id,
+           date_diff('microsecond',
+                     lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+                     ts_us) AS gap_us,
+           date_diff('microsecond',
+                     ts_us,
+                     lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) AS next_gap_us
+    FROM (SELECT event_id, user_id, {EVENTS_TS_US} AS ts_us FROM events) e
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap in µs via lag/lead."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - us).alias("next_gap_us"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             date_diff('day', TIMESTAMP '1995-01-01', date_trunc('day', o_orderdate)) AS day_num,
+             sum(o_totalprice) AS day_total
+      FROM orders GROUP BY 1, 2)
+    SELECT day, round(avg(day_total) OVER (ORDER BY day_num
+                                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+                      2) AS ma7
+    FROM daily
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order totals (RANGE frame over a day
+    number, so missing days widen the window correctly)."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(F.sum("o_totalprice").alias("day_total"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select("day", money(F.avg("day_total").over(w)).alias("ma7"))
+
+
+@register(
+    "win_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        ratio(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle=f"""
+    SELECT DISTINCT user_id, date_trunc('day', ts_us) AS day,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val
+    FROM (SELECT user_id, value, event_id, {EVENTS_TS_US} AS ts_us FROM events) e
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts_us)
+                 ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event value per user-day (full-frame first/last)."""
+    e = t(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "day",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    ).distinct()

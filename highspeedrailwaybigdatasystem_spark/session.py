@@ -1,0 +1,40 @@
+"""SparkSession construction with the scale-aware defaults from SURVEY.md §4.3.
+
+Local testing runs a single JVM (``local[N]``); the configs below are the
+ones that also matter on a real cluster: AQE (runtime re-planning, skew-join
+splitting, shuffle coalescing), Arrow at the Python boundary, and a shuffle
+partition count sized to the parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "hsr-bigdata-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # ~2× cores keeps every core busy through stragglers without tiny-task
+    # overhead at test scale; AQE coalesces further at runtime. On a real
+    # cluster this would be sized to data volume instead (see README).
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,126 @@
+"""Source/sink round-trips (SURVEY.md §2.1): CSV, JSON-lines, partitioned
+parquet sink, and a file-based Structured Streaming source.
+
+Scratch writes go under ``<repo>/_scratch`` (gitignored). Each operator is a
+genuine write→read round-trip — the oracle reads the ORIGINAL table, so the
+hash-match proves the round-trip lost nothing.
+
+Scale notes: the partitioned sink demonstrates the layout contract for a
+100 TB table — partition by a low-cardinality derived column (year) so
+readers prune whole directories; at cluster scale add bucketing on the join
+key inside each partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from ..schemas import SCHEMAS
+from ._scratch import scratch_dir
+from ..operators._util import money, t
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → CSV (header) → read back with explicit schema."""
+    out = scratch_dir("csv_region")
+    t(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(SCHEMAS["region"]).option("header", True).csv(out)
+
+
+@register(
+    "src_json_lines",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (sans ts — JSON timestamp format drift) → JSON lines → read
+    back with explicit schema → aggregate. Doubles survive the text
+    round-trip at full precision (Spark writes shortest-roundtrip repr)."""
+    out = scratch_dir("json_events")
+    t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), money(F.sum("value")).alias("value_sum")
+    )
+
+
+@register(
+    "sink_parquet_part",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) >= 1998
+    GROUP BY 1
+    """,
+)
+def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by derived o_year → read back with a
+    partition filter (directory pruning: only year≥1998 dirs are scanned)."""
+    out = scratch_dir("orders_by_year")
+    t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_year") >= 1998)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "stream_file_source",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat the events parquet as a file-streaming source: readStream →
+    grouped count → memory sink (complete mode), availableNow trigger.
+    End-of-stream state equals the batch aggregate, so the oracle is exact."""
+    src = f"{sf_dir}/events.parquet"
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_file_source_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT event_type, cnt FROM stream_file_source_sink")

@@ -1,0 +1,244 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+Pattern: the batch corpus has no live stream, so each operator REPLAYS the
+events parquet through ``readStream`` (file source), runs the stateful
+transformation, collects end-of-stream state via a memory sink
+(availableNow trigger), and returns it as a batch DataFrame. Where the
+end-of-stream answer provably equals the batch answer, the DuckDB oracle is
+exact; arrival-order-dependent results (watermark drops) are rows-only.
+
+Determinism notes: the file source replays files in listing order; operators
+that need multiple micro-batches (dedup, foreachBatch) stage N file copies
+in scratch and set maxFilesPerTrigger=1, so batch boundaries are exact and
+reproducible.
+
+Scale notes (real cluster): the same code runs against Kafka by swapping the
+source; state lives in the executor-local state store keyed by window/user,
+and the watermark bounds state size — without it, session/dedup state grows
+unboundedly at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..schemas import SCHEMAS
+from ..sources._scratch import scratch_dir
+from ..operators._util import EVENTS_TS_US, money
+
+_events_schema = SCHEMAS["events"]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1, tag: str = "") -> DataFrame:
+    """File-source stream over the events table. copies>1 stages duplicate
+    files so the run spans multiple micro-batches (maxFilesPerTrigger=1)."""
+    src = f"{sf_dir}/events.parquet"
+    d = scratch_dir(f"stream_src_{tag}_{os.path.basename(sf_dir)}_{copies}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in range(copies):
+        shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
+    reader = spark.readStream.schema(_events_schema)
+    if copies > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(d)
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', {EVENTS_TS_US}) AS win_start, event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window × type; complete-mode end state
+    equals the batch hourly rollup exactly."""
+    agg = (
+        _stream_events(spark, sf_dir, tag="tumb")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "cnt")
+    )
+    _run_to_memory(agg, "stream_tumbling_sink", "complete")
+    return spark.sql("SELECT win_start, event_type, cnt FROM stream_tumbling_sink")
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    SELECT to_timestamp(floor(epoch({EVENTS_TS_US}) / 900) * 900 - k.k * 900) AS win_start,
+           count(*) AS cnt,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min, sum(value): each event lands in 4
+    overlapping windows. Oracle reconstructs the same window set via a
+    generate_series cross join."""
+    agg = (
+        _stream_events(spark, sf_dir, tag="slide")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "cnt",
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+    )
+    _run_to_memory(agg, "stream_sliding_sink", "complete")
+    return spark.sql("SELECT win_start, cnt, value_sum FROM stream_sliding_sink")
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, {EVENTS_TS_US} AS ts_us,
+             CASE WHEN {EVENTS_TS_US} - lag({EVENTS_TS_US})
+                       OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag({EVENTS_TS_US})
+                       OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered)
+    SELECT user_id, min(ts_us) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (stateful
+    session_window aggregation). Oracle is the batch gaps-and-islands
+    formulation: new session when the gap ≥ the timeout."""
+    agg = (
+        _stream_events(spark, sf_dir, tag="sess")
+        .withWatermark("ts", "40 days")  # ≥ data span: keep all state, emit once
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_session_sink", "update")
+    return spark.sql(
+        "SELECT user_id, session_start, n_events FROM stream_session_sink"
+    )
+
+
+@register("stream_watermark_late")  # rows-only: emission depends on watermark advance
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling count under a 10-minute watermark: only windows
+    the watermark has passed are finalized and emitted; trailing windows stay
+    open at end-of-stream. Inherently arrival-order-dependent → rows-only."""
+    agg = (
+        _stream_events(spark, sf_dir, copies=2, tag="late")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "cnt")
+    )
+    _run_to_memory(agg, "stream_watermark_late_sink", "append")
+    return spark.sql(
+        "SELECT win_start, event_type, cnt FROM stream_watermark_late_sink"
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id across micro-batches: the source
+    is the events file staged TWICE (maxFilesPerTrigger=1 → two batches), so
+    batch 2 is a full duplicate that the dedup state must suppress. The
+    deduped stream equals the original table — the oracle proves it."""
+    dedup = _stream_events(spark, sf_dir, copies=2, tag="dedup").dropDuplicates(
+        ["event_id"]
+    )
+    _run_to_memory(dedup, "stream_dedup_sink", "append")
+    return spark.sql(
+        "SELECT event_type, count(*) AS cnt FROM stream_dedup_sink GROUP BY event_type"
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name, count(*) AS cnt, round(sum(value), 2) AS value_sum
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: enrich the event stream with nation names
+    (user_id → nationkey mod map), then aggregate. The static side is
+    broadcast to every task — the standard stream-enrichment shape."""
+    from ..schemas import load
+
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        _stream_events(spark, sf_dir, tag="sjoin")
+        .join(F.broadcast(nation), F.col("user_id") % 25 == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum"))
+        .select("n_name", "cnt", F.round("value_sum", 2).alias("value_sum"))
+    )
+    _run_to_memory(joined, "stream_static_join_sink", "complete")
+    return spark.sql(
+        "SELECT n_name, cnt, value_sum FROM stream_static_join_sink"
+    )
+
+
+@register(
+    "stream_foreachbatch",
+    oracle="""
+    SELECT event_type, CAST(2 * count(*) AS BIGINT) AS total_cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert: each micro-batch's per-type counts are merged
+    into an accumulator table (the idempotent-merge sink pattern — in
+    production this is a MERGE INTO against a transactional table). Source
+    is staged twice → totals are exactly 2× the base table."""
+    totals: dict[str, int] = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.groupBy("event_type").count().collect():
+            totals[row["event_type"]] = totals.get(row["event_type"], 0) + row["count"]
+
+    stream = _stream_events(spark, sf_dir, copies=2, tag="feb")
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(totals.items())], "event_type string, total_cnt long"
+    )
