@@ -483,9 +483,12 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chosen from each language's measured top-frequency tokens), argmax with
     a fixed precedence tie-break. Deterministic → exact oracle."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     scores = {
-        lang: F.size(F.filter(toks, lambda x, m=markers: x.isin(*m)))
+        lang: F.expr(
+            "size(filter(split(text, ' '), x -> x IN ({})))".format(
+                ", ".join(f"'{m}'" for m in markers)
+            )
+        )
         for lang, markers in _LANG_MARKERS.items()
     }
     predicted = (

@@ -58,16 +58,18 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+           l_extendedprice * (1 - l_discount) AS disc_price
     FROM lineitem
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized scalar pandas UDF (Arrow batches, numpy arithmetic)."""
+    """Vectorized scalar pandas UDF (Arrow batches, numpy arithmetic).
+    No rounding: the IEEE product is bit-identical to the oracle's, while
+    numpy's half-even round vs DuckDB's half-away diverges on boundaries."""
 
     @F.pandas_udf(DoubleType())
     def disc_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        return (price * (1.0 - discount)).round(2)
+        return price * (1.0 - discount)
 
     return t(spark, sf_dir, "lineitem").select(
         "l_orderkey",

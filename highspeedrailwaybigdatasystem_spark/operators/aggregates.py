@@ -184,22 +184,23 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — matches quantile_cont).
-    At 100 TB the scale path is approx_percentile; exact is used here for
-    oracle equality."""
+    """Exact percentiles. UNROUNDED: Spark's percentile() and DuckDB's
+    quantile_cont use the same lo+(hi-lo)*frac interpolation and are
+    bit-identical on identical inputs (verified), whereas round() diverges
+    on .xx5 boundaries. At 100 TB the scale path is approx_percentile."""
     df = t(spark, sf_dir, "orders").join(
         F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey")
     )
     return df.groupBy("c_mktsegment").agg(
-        money(F.expr("percentile(o_totalprice, 0.5)")).alias("median_price"),
-        money(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
     )
 
 

@@ -120,15 +120,18 @@ def proj_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proj_expr_arith",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
     FROM lineitem
     """,
 )
 def proj_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic is NOT rounded: IEEE multiply on identical inputs
+    is bit-identical across engines, while round() itself diverges on
+    boundary values (Spark BigDecimal HALF_UP vs DuckDB scaled-double)."""
     return t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        money(
+        (
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("charge"),
     )

@@ -103,6 +103,29 @@ TABLE_NAMES = tuple(SCHEMAS)
 
 EMBEDDING_DIM = 64
 
+#: events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4.x cannot read as
+#: a timestamp at all (PARQUET_TYPE_ILLEGAL). With
+#: spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) the column
+#: arrives as a raw ns-since-epoch long; ``load`` converts it to a µs
+#: TimestampType with exact integer division (``div``, not ``/`` — ns epochs
+#: exceed double's 2^53 exact-integer range). The corpus has zero sub-µs
+#: components (FIXTURES.md), so the conversion is lossless and matches
+#: DuckDB's CAST(ts AS TIMESTAMP) µs view used in every oracle.
+EVENTS_READ_SCHEMA = _st(
+    ("event_id", LongType()),
+    ("ts", LongType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+
+def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.
@@ -112,6 +135,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning and predicate pushdown still apply (schema is a projection
     contract, not a cast).
     """
+    if name == "events":
+        raw = spark.read.schema(EVENTS_READ_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        return _events_ts_to_timestamp(raw)
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -107,11 +107,18 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat the events parquet as a file-streaming source: readStream →
     grouped count → memory sink (complete mode), availableNow trigger.
-    End-of-stream state equals the batch aggregate, so the oracle is exact."""
-    src = f"{sf_dir}/events.parquet"
+    End-of-stream state equals the batch aggregate, so the oracle is exact.
+    The file source needs a directory, so the parquet is staged into
+    scratch first."""
+    from ..schemas import EVENTS_READ_SCHEMA
+
+    src_dir = scratch_dir("stream_file_source_events")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events_0.parquet"))
     stream = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(src)
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .parquet(src_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -27,26 +27,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..schemas import SCHEMAS
+from ..schemas import EVENTS_READ_SCHEMA, _events_ts_to_timestamp
 from ..sources._scratch import scratch_dir
 from ..operators._util import EVENTS_TS_US, money
-
-_events_schema = SCHEMAS["events"]
 
 
 def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1, tag: str = "") -> DataFrame:
     """File-source stream over the events table. copies>1 stages duplicate
-    files so the run spans multiple micro-batches (maxFilesPerTrigger=1)."""
+    files so the run spans multiple micro-batches (maxFilesPerTrigger=1).
+    ts arrives as raw ns long (Spark can't read TIMESTAMP(NANOS) parquet)
+    and is converted to a µs timestamp — see schemas.EVENTS_READ_SCHEMA."""
     src = f"{sf_dir}/events.parquet"
     d = scratch_dir(f"stream_src_{tag}_{os.path.basename(sf_dir)}_{copies}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     for i in range(copies):
         shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
-    reader = spark.readStream.schema(_events_schema)
+    reader = spark.readStream.schema(EVENTS_READ_SCHEMA)
     if copies > 1:
         reader = reader.option("maxFilesPerTrigger", 1)
-    return reader.parquet(d)
+    return _events_ts_to_timestamp(reader.parquet(d))
 
 
 def _run_to_memory(df, name: str, mode: str) -> None:
@@ -84,7 +84,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding",
     oracle=f"""
-    SELECT to_timestamp(floor(epoch({EVENTS_TS_US}) / 900) * 900 - k.k * 900) AS win_start,
+    SELECT CAST(to_timestamp(floor(epoch({EVENTS_TS_US}) / 900) * 900 - k.k * 900)
+                AS TIMESTAMP) AS win_start,
            count(*) AS cnt,
            round(sum(value), 2) AS value_sum
     FROM events
@@ -137,7 +138,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation: new session when the gap ≥ the timeout."""
     agg = (
         _stream_events(spark, sf_dir, tag="sess")
-        .withWatermark("ts", "40 days")  # ≥ data span: keep all state, emit once
+        .withWatermark("ts", "40 days")  # ≥ data span: keep all state
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -146,7 +147,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "stream_session_sink", "update")
+    _run_to_memory(agg, "stream_session_sink", "complete")
     return spark.sql(
         "SELECT user_id, session_start, n_events FROM stream_session_sink"
     )
