@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (mirrors BASELINE.md): one reused warmed SparkSession for the
+whole set; per query, one untimed warmup pass then best-of-2 timed runs
+(timing = plan + execute + collect, perf_counter). `value` is the sum of
+per-query times — total wall-clock for the headline set, excluding session
+startup (amortized across the set, per SURVEY.md §4.3).
+
+Headline set: the six BASELINE.md shapes (q_scan_agg q_join3 q_window
+q_topk q_json q_session_ish) plus the LLM-pipeline differentiators
+(dedup / similarity / text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from highspeedrailwaybigdatasystem_spark.registry import all_queries
+from highspeedrailwaybigdatasystem_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: bench name → queries() key (BASELINE.md names first, same query shapes)
+HEADLINE = {
+    "q_scan_agg": "agg_scan_group",          # TPC-H Q1 shape
+    "q_join3": "join_multiway",              # 5-table star join → revenue
+    "q_window": "win_rownum_topk",           # row_number top-3 per customer
+    "q_topk": "topk_global",                 # group+order+limit
+    "q_json": "json_extract",                # json props → agg
+    "q_session_ish": "win_lag_lead",         # per-user ordered event walk
+    "q_dedup": "llm_exact_dedup",            # content-hash dedup
+    "q_sim_topk": "llm_sim_topk",            # cosine top-k over embeddings
+    "q_text_stats": "llm_text_stats",        # tokenize+explode+agg
+    "q_minhash": "llm_minhash_banding",      # MinHash-LSH banding near-dedup
+}
+
+
+def time_query(fn, spark, runs: int = 2) -> float:
+    fn(spark, SF_DIR).collect()  # warmup: plan + codegen + file listing
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = build_session("bench")
+    qs = all_queries()
+    # global JVM/Python warmup so the first measured query isn't charged
+    # for executor/codegen bring-up
+    qs["scan_full"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for bench_name, qname in HEADLINE.items():
+        timings[bench_name] = round(time_query(qs[qname], spark), 4)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline query set wall-clock (warm session, best-of-2 per query)",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,28 +69,140 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
     shingled = d.select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', split(text, ' ')[i],"
-            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+            "transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
         ).alias("shingles"),
     ).where(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(shingled)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True)
+    # cached: the featurized side is read 3× (fit + both join sides)
+    feats = tf.transform(shingled).cache()
     lsh = MinHashLSH(inputCol="features", outputCol="minhash", numHashTables=5, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
-    return (
+    out = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 3).alias("jaccard_dist"),
         )
+    )
+    return out
+
+
+@register(
+    "llm_minhash_banding",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shingle AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, s.seed, min(md5(concat(CAST(s.seed AS VARCHAR), ':', sh))) AS mh
+      FROM shingle CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS seed) s
+      GROUP BY doc_id, s.seed),
+    band AS (
+      SELECT doc_id, seed // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared) >= 0.2
+    """,
+)
+def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding built from pure DataFrame ops (the 100 TB
+    near-dedup path, deterministic and exactly oracle-checkable):
+
+    distinct 3-token shingles → 20 md5 min-hashes (seed-prefixed) → 5 bands
+    of 4 → band-signature self-join for candidates → exact Jaccard verify
+    at ≥ 0.2. Banding makes candidate generation linear in corpus size; the
+    quadratic work happens only inside band-collision buckets. md5 stands in
+    for xxhash64 so DuckDB can replicate the signature bit-for-bit (at
+    production scale xxhash64 is the cheaper choice)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("tk"))
+    shingle = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(tk) - 3),"
+                    " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
+                )
+            ).alias("sh"),
+        )
+    ).cache()
+    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    seeds = spark.range(20).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        shingle.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
+            ).alias("mh")
+        )
+    )
+    band = (
+        sig.withColumn("band_id", F.expr("seed div 4"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a, b = band.alias("a"), band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shingle.alias("sa"), shingle.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jacc = F.col("shared").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("shared"))
+    return (
+        inter.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        .where(jacc >= 0.2)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
 
 

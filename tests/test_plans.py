@@ -1,0 +1,90 @@
+"""Physical-plan assertions (SURVEY.md §5.2): the scale guarantees are only
+real if the explain() shows them. These lock in:
+
+* predicate pushdown reaching the parquet scan (PushedFilters)
+* column pruning (ReadSchema limited to selected columns)
+* broadcast joins for dimension tables
+* TakeOrderedAndProject for global top-k (no full sort)
+* whole-stage codegen on the hot relational path (no Python in the plan)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+_QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    return _QUERIES[name](spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown(spark):
+    df = _QUERIES["scan_partition_prune"](spark, SF_ORACLE)
+    s = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in s, s
+
+
+def test_scan_column_pruning(spark):
+    df = _QUERIES["scan_project"](spark, SF_ORACLE)
+    s = formatted(df)
+    read_schema = next(l for l in s.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema  # untouched columns never read
+
+
+def test_star_join_broadcasts_dims(spark):
+    s = plan_of(spark, "join_multiway")
+    assert "BroadcastHashJoin" in s
+    # the only non-broadcast join may be lineitem⋈orders (AQE may still
+    # demote it to broadcast at this sf) — no nested-loop anywhere
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_broadcast_hint_honored(spark):
+    s = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in s
+
+
+def test_topk_is_take_ordered(spark):
+    s = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in s
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_hot_path_has_no_python(spark):
+    """P0 relational operators must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython / FlatMapGroupsInPandas in the plan)."""
+    for name in ["agg_scan_group", "join_multiway", "win_rownum_topk", "topk_global"]:
+        s = plan_of(spark, name)
+        for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"]:
+            assert marker not in s, f"{name} crosses the Python boundary: {marker}"
+
+
+def test_wholestage_codegen_on_q1(spark):
+    df = _QUERIES["agg_scan_group"](spark, SF_ORACLE)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in s, s  # whole-stage-codegen span markers
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_sum" in s
+
+
+def test_interval_join_is_equi_not_cartesian(spark):
+    s = plan_of(spark, "join_self_interval")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
