@@ -155,28 +155,35 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cache()
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    seeds = spark.range(20).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        shingle.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
-            ).alias("mh")
-        )
+    # all 20 min-hashes in ONE aggregation pass: per-row md5s fold into
+    # map-side partial mins, so the shuffle carries 20 columns × n_docs
+    # groups — not an exploded (shingle × seed) row set.
+    sig = shingle.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(20)
+        ]
     )
-    band = (
-        sig.withColumn("band_id", F.expr("seed div 4"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                    "|",
-                )
-            ).alias("band_sig")
-        )
-    )
+    band = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[f"mh{4 * j + i}" for i in range(4)]
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for j in range(5)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band_id", "bs.band_sig")
+    # cached: both sides of the candidate self-join read this tiny table
+    band = band.cache()
     a, b = band.alias("a"), band.alias("b")
     cand = (
         a.join(
