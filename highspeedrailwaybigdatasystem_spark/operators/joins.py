@@ -230,7 +230,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_theta_range",
     oracle="""
     SELECT o_orderkey, p_partkey
-    FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+    FROM (SELECT * FROM orders WHERE o_orderkey % 1000 = 0) o
     JOIN part
       ON p_retailprice BETWEEN o_totalprice / 100 AND o_totalprice / 50
     """,
@@ -239,7 +239,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join. The probe side is pre-filtered to a sliver so
     the BroadcastNestedLoopJoin stays bounded; at scale this is the pattern
     of broadcasting the small side of any theta join."""
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 1000 == 0)
     part = t(spark, sf_dir, "part")
     cond = F.col("p_retailprice").between(
         F.col("o_totalprice") / 100, F.col("o_totalprice") / 50
