@@ -99,6 +99,47 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_bucketed",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table write + co-located join: both fact tables are written
+    bucketed (and sorted) by the join key, so the join reads bucket-aligned
+    files and needs NO shuffle — at 100 TB this is the difference between
+    re-shuffling the fact table on every join and doing it once at write
+    time. The round-trip is verified against the original tables."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("orders_bucketed", "lineitem_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a fresh session's catalog doesn't know about leftover warehouse
+        # dirs from a previous run — remove them or saveAsTable refuses
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    t(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").format("parquet").saveAsTable("orders_bucketed")
+    t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("lineitem_bucketed")
+    o = spark.table("orders_bucketed")
+    li = spark.table("lineitem_bucketed")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.sum("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
     "stream_file_source",
     oracle="""
     SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type

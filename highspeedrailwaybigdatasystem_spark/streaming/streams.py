@@ -220,6 +220,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           CAST(2 * count(*) AS BIGINT) AS n_events,
+           round(2 * sum(value), 2) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running (count, sum) accumulator carried across micro-batches
+    in the state store. Source staged twice (maxFilesPerTrigger=1 → two
+    batches), so the final state is exactly 2× the batch aggregate — the
+    oracle proves the state actually survived the batch boundary. This is
+    the extension point for any custom sessionizer/CEP operator Spark
+    lacks natively."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        cnt, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((cnt, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "value_sum": [vsum]}
+        )
+
+    updates = (
+        _stream_events(spark, sf_dir, copies=2, tag="state")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running,
+            outputStructType="user_id long, n_events long, value_sum double",
+            stateStructType="cnt long, vsum double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_memory(updates, "stream_custom_state_sink", "update")
+    # the memory sink holds one emission per (user, batch); the final state
+    # is the one with the largest running count
+    return spark.sql(
+        """
+        SELECT user_id,
+               max(n_events) AS n_events,
+               round(max_by(value_sum, n_events), 2) AS value_sum
+        FROM stream_custom_state_sink GROUP BY user_id
+        """
+    )
+
+
+@register(
     "stream_foreachbatch",
     oracle="""
     SELECT event_type, CAST(2 * count(*) AS BIGINT) AS total_cnt

@@ -88,3 +88,22 @@ def test_interval_join_is_equi_not_cartesian(spark):
     s = plan_of(spark, "join_self_interval")
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located bucketed join: neither side may re-shuffle on the join
+    key (broadcast disabled to force the sort-merge path the buckets
+    exist for)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _QUERIES["sink_bucketed"](spark, SF_ORACLE)
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in s, s
+        # the only exchange allowed is the final groupBy, not the join:
+        # no hashpartitioning on the join key below the join
+        join_part = s.split("SortMergeJoin")[1]
+        assert "Exchange hashpartitioning(l_orderkey" not in join_part, s
+        assert "Exchange hashpartitioning(o_orderkey" not in join_part, s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
