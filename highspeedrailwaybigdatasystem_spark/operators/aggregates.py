@@ -253,3 +253,119 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): linestatus values become columns. The value list
+    is given explicitly — at scale, an unlisted pivot forces an extra
+    distinct-scan job to discover the columns."""
+    p = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            money(F.sum("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+    )
+
+
+@register(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_discount >= 0.09)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_tax = 0.0)
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    decorrelates both into semi/anti joins (no per-row subquery execution)."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_discount >= 0.09)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey AND l_tax = 0.0)
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders o
+    WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5× above the customer's own
+    average) — decorrelated by Catalyst into an aggregate + join."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders o
+        WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(nationkey, depth) AS (
+      SELECT CAST(0 AS INT) AS nationkey, 0 AS depth
+      UNION ALL
+      SELECT CAST((nationkey * 7 + 3) % 25 AS INT), depth + 1
+      FROM walk WHERE depth < 24)
+    SELECT w.depth, n.n_name
+    FROM walk w JOIN nation n ON w.nationkey = n.n_nationkey
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x): a deterministic 25-step walk over the
+    nation keyspace joined back to the dimension — the iterate-until-fixed-
+    point surface (org charts, BOM explosions) without resorting to driver
+    loops."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(nationkey, depth) AS (
+          SELECT CAST(0 AS INT) AS nationkey, 0 AS depth
+          UNION ALL
+          SELECT CAST((nationkey * 7 + 3) % 25 AS INT), depth + 1
+          FROM walk WHERE depth < 24)
+        SELECT w.depth, n.n_name
+        FROM walk w JOIN nation n ON w.nationkey = n.n_nationkey
+        """
+    )
