@@ -512,6 +512,82 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors.select("vec_id", F.round("euclid_dist", 6).alias("euclid_dist"))
 
 
+@register(
+    "llm_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    nodes AS (
+      SELECT DISTINCT src AS v FROM undirected),
+    reach AS (
+      SELECT v, v AS lbl FROM nodes
+      UNION
+      SELECT u.dst AS v, r.lbl
+      FROM reach r JOIN undirected u ON u.src = r.v)
+    SELECT v AS vec_id, min(lbl) AS component_id
+    FROM reach GROUP BY v
+    """,
+)
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the cosine
+    near-dup graph (edges = rounded sim ≥ 0.35), via iterative min-label
+    propagation — the GraphFrames-free union-find named in SURVEY.md §4.2.
+
+    Each iteration is one join + aggregate (Pregel-style superstep); the
+    loop stops when no label changes. Iteration count is bounded by the
+    graph diameter, and each superstep is a fully distributed shuffle-join —
+    the standard way to run fixpoint algorithms on Spark without a graph
+    library. Only nodes that appear in at least one edge are returned
+    (singletons are trivially their own component). Oracle: recursive-CTE
+    transitive reachability with the same min-label rule."""
+    edges = (
+        llm_embed_near_dup(spark, sf_dir)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    # localCheckpoint truncates lineage each superstep — without it the
+    # logical plan nests exponentially across iterations (OOM at plan
+    # explain time long before data is a problem)
+    und = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; converges far earlier here
+        neighbor_min = (
+            und.join(labels, und.src == labels.v)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col("v2"), "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vec_id"), F.col("lbl").alias("component_id"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

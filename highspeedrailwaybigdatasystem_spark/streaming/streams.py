@@ -220,6 +220,53 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT c.user_id, count(*) AS pair_cnt
+    FROM (SELECT user_id, event_id, {EVENTS_TS_US} AS ts_us FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, {EVENTS_TS_US} AS ts_us FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts_us > c.ts_us
+     AND p.ts_us <= c.ts_us + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the same user's purchases
+    within 10 minutes, both sides unbounded streams with watermarks (the
+    watermark + time-range condition is what lets Spark expire join state —
+    without it, both sides buffer forever at 100 TB/day). End-of-stream
+    result equals the batch interval join, so the oracle is exact. The
+    aggregation runs on the collected sink output — chaining an agg after a
+    stream-stream join in one query needs append-emittable aggregates."""
+    clicks = (
+        _stream_events(spark, sf_dir, tag="ssj_c")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, tag="ssj_p")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    _run_to_memory(joined, "stream_stream_join_sink", "append")
+    return spark.sql(
+        "SELECT user_id, count(*) AS pair_cnt FROM stream_stream_join_sink"
+        " GROUP BY user_id"
+    )
+
+
+@register(
     "stream_custom_state",
     oracle="""
     SELECT user_id,
