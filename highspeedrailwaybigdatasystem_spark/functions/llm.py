@@ -548,9 +548,23 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         llm_embed_near_dup(spark, sf_dir)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
-    # localCheckpoint truncates lineage each superstep — without it the
-    # logical plan nests exponentially across iterations (OOM at plan
-    # explain time long before data is a problem)
+    # the iterative frames are tiny relative to the corpus — size the
+    # superstep shuffles to the GRAPH, not the session default (restored
+    # below; all loop actions are eager so the conf applies only here)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        labels = _label_propagation_fixpoint(edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels.select(F.col("v").alias("vec_id"), F.col("lbl").alias("component_id"))
+
+
+def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
+    """Min-label propagation with pointer jumping until no label changes.
+    localCheckpoint truncates lineage each superstep — without it the
+    logical plan nests exponentially across iterations (OOM at plan
+    explain time long before data is a problem)."""
     und = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
@@ -561,17 +575,26 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("v"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; converges far earlier here
+    for _ in range(20):  # with pointer jumping, converges in O(log diameter)
         neighbor_min = (
             und.join(labels, und.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        propagated = labels.join(neighbor_min, labels.v == F.col("v2"), "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jumping (path halving): replace each label by ITS label,
+        # so chains collapse exponentially instead of one hop per superstep
+        hop = propagated.select(
+            F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.v == F.col("v2"), "left")
+            propagated.join(hop, propagated.lbl == hop.jv, "left")
             .select(
                 "v",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
@@ -585,7 +608,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("v").alias("vec_id"), F.col("lbl").alias("component_id"))
+    return labels
 
 
 # ---------------------------------------------------------------------------
