@@ -289,6 +289,67 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (neither rollup nor cube) + grouping-id
+    bitmask — both engines use the same bit convention (1 = aggregated)."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+             round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty_f' AS measure, qty_f AS qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'qty_o' AS measure, qty_o AS qty FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long), the inverse of agg_pivot: measure columns melt
+    into (measure, value) rows via DataFrame.unpivot (SQL: stack)."""
+    wide = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            money(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")))).alias("qty_f"),
+            money(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")))).alias("qty_o"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="measure",
+        valueColumnName="qty",
+    )
+
+
+@register(
     "sql_exists_subquery",
     oracle="""
     SELECT o_orderkey FROM orders o

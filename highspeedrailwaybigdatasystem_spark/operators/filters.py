@@ -90,6 +90,43 @@ def filt_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           (o_orderkey IS NOT NULL) AS has_order,
+           coalesce(o_orderstatus, 'NONE') AS status_filled,
+           coalesce(o_totalprice, 0.0) AS price_filled,
+           nullif(coalesce(o_orderstatus, 'F'), 'F') AS status_nullifs
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+                 AND o_orderdate >= TIMESTAMP '2001-01-01') o
+      ON c_custkey = o_custkey
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery over outer-join-manufactured NULLs (the corpus
+    itself has none — FIXTURES.md §3): isNotNull, coalesce, na.fill,
+    nullif."""
+    customer = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    )
+    joined = customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+    filled = joined.na.fill({"o_totalprice": 0.0})  # DataFrameNaFunctions path
+    return filled.select(
+        "c_custkey",
+        F.col("o_orderkey").isNotNull().alias("has_order"),
+        F.coalesce("o_orderstatus", F.lit("NONE")).alias("status_filled"),
+        F.col("o_totalprice").alias("price_filled"),
+        F.nullif(F.coalesce("o_orderstatus", F.lit("F")), F.lit("F")).alias(
+            "status_nullifs"
+        ),
+    )
+
+
+@register(
     "proj_case_when",
     oracle="""
     SELECT CASE WHEN o_totalprice < 50000 THEN 'low'

@@ -268,6 +268,150 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dt_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS ymdhm,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+                AS TIMESTAMP) AS reparsed,
+           CAST(make_date(CAST(year(o_orderdate) AS INT),
+                          CAST(month(o_orderdate) AS INT), 1) AS TIMESTAMP) AS month_first
+    FROM orders
+    """,
+)
+def dt_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ↔ string: date_format out, to_timestamp back (lossless
+    round-trip), make_date construction. Locale-free patterns only."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("ymdhm"),
+        F.to_timestamp(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd").alias(
+            "reparsed"
+        ),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+        .cast("timestamp")
+        .alias("month_first"),
+    )
+
+
+@register(
+    "str_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
+    """,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between part names within a brand (fuzzy-matching
+    primitive; the brand equi-key blocks the pair space)."""
+    a = t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0).alias("a")
+    b = t(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0).alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type AS parsed_type,
+           CAST(props->>'$.k' AS INT) AS parsed_k
+    FROM events
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → to_json → from_json round-trip plus a re-parse of the
+    original props payload; proves JSON serialization is lossless for
+    typed fields."""
+    e = t(spark, sf_dir, "events")
+    packed = e.select(
+        "event_id",
+        F.to_json(
+            F.struct("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        ).alias("j"),
+    )
+    parsed = packed.select(
+        "event_id",
+        F.from_json("j", "event_type string, k int").alias("s"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("s.event_type").alias("parsed_type"),
+        F.col("s.k").alias("parsed_k"),
+    )
+
+
+@register(
+    "null_safe_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / nullif(l_discount, 0.0) AS qty_per_disc,
+           coalesce(l_quantity / nullif(l_discount, 0.0), -1.0) AS qty_per_disc_filled,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int
+    FROM lineitem
+    """,
+)
+def null_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-free math: try_divide → NULL on /0 (≡ x / nullif(y,0)),
+    try_cast on non-numeric strings → NULL instead of failure — the ANSI
+    error-handling surface a production pipeline needs to not die on bad
+    rows."""
+    li = t(spark, sf_dir, "lineitem")
+    qpd = F.try_divide("l_quantity", "l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qpd.alias("qty_per_disc"),
+        F.coalesce(qpd, F.lit(-1.0)).alias("qty_per_disc_filled"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+    )
+
+
+@register(
+    "arr_setops",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(toks, ['hash', 'zzz_new']))) AS union_toks,
+           list_sort(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))) AS common_toks,
+           list_sort(list_filter(toks, x -> x NOT IN ('hash', 'join', 'scan'))) AS rest_toks,
+           (len(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))) > 0) AS has_any
+    FROM d
+    """,
+)
+def arr_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra against a constant vocabulary: union / intersect /
+    except / overlap. Outputs are sorted — set-op result order is
+    engine-specific."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    probe = F.array(F.lit("hash"), F.lit("join"), F.lit("scan"))
+    return d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_union("toks", F.array(F.lit("hash"), F.lit("zzz_new")))
+        ).alias("union_toks"),
+        F.array_sort(F.array_intersect("toks", probe)).alias("common_toks"),
+        F.array_sort(F.array_except("toks", probe)).alias("rest_toks"),
+        F.arrays_overlap("toks", probe).alias("has_any"),
+    )
+
+
+@register(
     "map_ops",
     oracle="""
     WITH per_type AS (
