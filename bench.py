@@ -55,7 +55,13 @@ def time_query(fn, spark, runs: int = 2) -> float:
 
 
 def main() -> None:
-    spark = build_session("bench")
+    # Shuffle partitions sized to the DATA, not the core count: at sf0.1
+    # every shuffle is <20 MB, so 16 partitions (measured best of 8/16/64)
+    # keeps scan/window parallelism without per-task scheduling overhead.
+    # At production scale this would target ~128 MB per shuffle partition.
+    spark = build_session(
+        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
+    )
     qs = all_queries()
     # global JVM/Python warmup so the first measured query isn't charged
     # for executor/codegen bring-up
