@@ -160,6 +160,34 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_api_bridge",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark: the same groupby written in pandas idiom
+    (`df.pandas_api().groupby(...)`) compiles to the identical distributed
+    Catalyst plan — the migration bridge for pandas-literate users; no data
+    leaves the cluster."""
+    psdf = t(spark, sf_dir, "orders").pandas_api()
+    out = (
+        psdf.groupby("o_orderstatus")
+        .agg(total=("o_totalprice", "sum"), cnt=("o_orderkey", "count"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderstatus",
+        F.round("total", 2).alias("total"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+@register(
     "udaf_custom",
     oracle="""
     SELECT o_orderpriority,

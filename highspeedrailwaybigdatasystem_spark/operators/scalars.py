@@ -412,6 +412,63 @@ def arr_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_udf",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.07 AS tax_due,
+           CASE WHEN o_totalprice < 50000 THEN 'S'
+                WHEN o_totalprice < 200000 THEN 'M'
+                ELSE 'L' END AS size_band
+    FROM orders
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 CREATE FUNCTION … RETURN expr): unlike
+    Python UDFs these inline into the plan as expressions — full codegen,
+    zero serialization boundary; the right way to package reusable scalar
+    logic for SQL users."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tax_due(p DOUBLE)"
+        " RETURNS DOUBLE RETURN p * 0.07"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION size_band(p DOUBLE) RETURNS STRING"
+        " RETURN CASE WHEN p < 50000 THEN 'S' WHEN p < 200000 THEN 'M' ELSE 'L' END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, tax_due(o_totalprice) AS tax_due,
+               size_band(o_totalprice) AS size_band
+        FROM orders
+        """
+    )
+
+
+@register(
+    "json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
+           count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse once with parse_json,
+    extract typed paths with variant_get — the open-schema column pattern
+    (vs per-access get_json_object string re-parsing in json_extract)."""
+    e = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "map_ops",
     oracle="""
     WITH per_type AS (
