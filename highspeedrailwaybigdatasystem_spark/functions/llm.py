@@ -488,6 +488,68 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_knn_all",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+    SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM sims) x
+    WHERE rnk <= 5
+    """,
+)
+def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for EVERY vector (batch k-NN, the
+    build-the-similarity-graph shape behind near-dup clustering and
+    retrieval indexes). Block-GEMM per Arrow batch against the broadcast
+    corpus matrix; the top-k selection happens INSIDE the kernel
+    (argpartition), so only k rows per vector leave Python. Ranking uses
+    the rounded sim with neighbor-id tie-break on both sides, making the
+    cut deterministic across engines."""
+    import numpy as np
+    import pandas as pd
+
+    ids, _, mat = _embedding_matrix(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    k = 5
+
+    def block_knn(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (row_mat @ b_mat.T).round(6)
+            out_v, out_n, out_r, out_s = [], [], [], []
+            for i, vid in enumerate(pdf["vec_id"]):
+                s = sims[i].copy()
+                s[b_ids == vid] = -np.inf  # exclude self
+                # top-k by (sim DESC, neighbor_id ASC); the candidate set is
+                # everything >= the k-th largest sim so boundary TIES are all
+                # present before the id tie-break decides the cut
+                kth = np.partition(s, -k)[-k]
+                cand = np.nonzero(s >= kth)[0]
+                order = cand[np.lexsort((b_ids[cand], -s[cand]))][:k]
+                out_v.extend([vid] * k)
+                out_n.extend(b_ids[order].tolist())
+                out_r.extend(range(1, k + 1))
+                out_s.extend(s[order].tolist())
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n, "rnk": out_r, "sim": out_s}
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "rnk": "int32", "sim": "float64"}
+            )
+
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(block_knn, "vec_id long, neighbor_id long, rnk int, sim double")
+    )
+
+
 @register("llm_ann_lsh")  # rows-only: LSH ANN is approximate by design
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors for probe vec_id=0 via random-hyperplane
