@@ -133,24 +133,30 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 150000 THEN 'mid'
                 ELSE 'high' END AS tier,
            count(*) AS cnt,
-           round(avg(o_totalprice), 2) AS avg_price
+           (CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // count(*)) / 100.0
+             AS avg_price
     FROM orders GROUP BY 1
     """,
 )
 def proj_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg(money) uses exact integer-cents division — money averages over
+    counts land exactly on half-cents where the engines' round() rules
+    disagree (see win_moving_avg)."""
     tier = (
         F.when(F.col("o_totalprice") < 50000, "low")
         .when(F.col("o_totalprice") < 150000, "mid")
         .otherwise("high")
     )
-    return (
+    agged = (
         t(spark, sf_dir, "orders")
         .groupBy(tier.alias("tier"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            money(F.avg("o_totalprice")).alias("avg_price"),
+            F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
         )
     )
+    int_div = (F.col("cents") - F.col("cents") % F.col("cnt")) / F.col("cnt")
+    return agged.select("tier", "cnt", (int_div / 100.0).alias("avg_price"))
 
 
 @register(

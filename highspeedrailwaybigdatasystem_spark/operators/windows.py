@@ -119,17 +119,23 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS day,
              date_diff('day', TIMESTAMP '1995-01-01', date_trunc('day', o_orderdate)) AS day_num,
-             sum(o_totalprice) AS day_total
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS day_cents
       FROM orders GROUP BY 1, 2)
-    SELECT day, round(avg(day_total) OVER (ORDER BY day_num
-                                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
-                      2) AS ma7
+    SELECT day,
+           (sum(day_cents) OVER w // count(*) OVER w) / 100.0 AS ma7
     FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily order totals (RANGE frame over a day
-    number, so missing days widen the window correctly)."""
+    number, so missing days widen the window correctly).
+
+    Arithmetic is integer CENTS end-to-end: daily sums snap to exact cent
+    integers (the float sum is within 1e-6 of one), the window sums
+    BIGINTs (no float accumulation drift), and the average is exact
+    integer division — because avg(money over small counts) lands exactly
+    on half-cents where Spark's and DuckDB's round() disagree."""
     daily = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -138,10 +144,19 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.date_trunc("day", "o_orderdate"), F.lit("1995-01-01").cast("date")
             ).alias("day_num"),
         )
-        .agg(F.sum("o_totalprice").alias("day_total"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("day_cents"))
     )
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
-    return daily.select("day", money(F.avg("day_total").over(w)).alias("ma7"))
+    framed = daily.select(
+        "day",
+        F.sum("day_cents").over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_days"),
+    )
+    # exact integer division (positive operands), then one shared float op
+    int_div = (F.col("win_cents") - F.col("win_cents") % F.col("win_days")) / F.col(
+        "win_days"
+    )
+    return framed.select("day", (int_div / 100.0).alias("ma7"))
 
 
 @register(
