@@ -84,6 +84,47 @@ def test_scalar_functions_match_duckdb(spark, rows):
 
 @given(rows=ROWS)
 @settings(**_SETTINGS)
+def test_window_rownum_matches_duckdb(spark, rows):
+    """row_number with a total order (full tie-break) ≡ DuckDB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s").orderBy("k", "v")
+    sp = (
+        _df(spark, rows)
+        .select("k", "v", "s", F.row_number().over(w).alias("rn"))
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    du = con.execute(
+        "SELECT k, v, s, CAST(row_number() OVER"
+        " (PARTITION BY s ORDER BY k, v) AS INT) AS rn FROM t"
+    ).fetchdf()
+    con.close()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))
+    assert key(sp) == key(du)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_outer_join_null_semantics(spark, rows):
+    """Left join: every left row survives exactly once per match (or once
+    with NULLs); total = inner count + unmatched count."""
+    from pyspark.sql import functions as F
+
+    df = _df(spark, rows)
+    right = df.where("k % 2 = 0").select(F.col("k").alias("rk")).distinct()
+    left_join = df.join(right, df.k == right.rk, "left")
+    inner = df.join(right, df.k == right.rk).count()
+    unmatched = left_join.where("rk IS NULL").count()
+    assert left_join.count() == inner + unmatched
+    assert unmatched == df.where("k % 2 != 0 OR k IS NULL").count()
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
 def test_groupby_sum_matches_duckdb(spark, rows):
     """Integer-exact aggregate: Spark group sums ≡ DuckDB group sums."""
     sp = _df(spark, rows).groupBy("s").sum("k").toPandas()
