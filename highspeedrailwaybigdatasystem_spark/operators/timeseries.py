@@ -1,0 +1,176 @@
+"""Time-series operators over the event stream (the railway-telemetry
+domain surface: continuous sensor/ops feeds with gaps, sessions, and
+anomalies — SURVEY.md §0.1's "time-series event analytics").
+
+All pure DataFrame built-ins: spine generation via sequence+explode,
+forward-fill via last(ignoreNulls) windows, sessionization via the
+gaps-and-islands double window, anomalies via trailing-frame statistics.
+Each shuffles once on its partition key and scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import EVENTS_TS_US, ratio, t
+
+
+@register(
+    "ts_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', {EVENTS_TS_US}) AS hr,
+             count(*) AS cnt
+      FROM events WHERE user_id < 10 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.hr, h.cnt,
+             (h.cnt IS NOT NULL) AS observed
+      FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr)
+    SELECT user_id, hr, observed,
+           coalesce(cnt, 0) AS cnt_zero_filled,
+           last_value(cnt IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ffilled
+    FROM joined
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling: build a continuous hourly spine per series (sequence +
+    explode between each series' min/max hour), left-join observations,
+    then zero-fill and forward-fill (last ignoreNulls). The hypertable
+    resample-and-fill primitive; spine generation is per-series and never
+    materializes a global calendar."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    ff = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.col("cnt").isNotNull().alias("observed"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt_zero_filled"),
+        F.last("cnt", ignorenulls=True).over(ff).alias("cnt_ffilled"),
+    )
+
+
+@register(
+    "ts_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, event_id, value, {EVENTS_TS_US} AS ts_us FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    numbered AS (
+      SELECT user_id, value, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts_us) AS session_start, max(ts_us) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): flag session starts with a
+    lag() gap test, number sessions with a running sum, aggregate per
+    session. The batch counterpart of stream_session — same 30-minute gap,
+    verifiable row-for-row against it."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap — a seconds cast would truncate and flip boundary gaps
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(order_w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.select(
+        "user_id",
+        "value",
+        "ts",
+        F.sum("new_session").over(run_w).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "ts_anomaly",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_id, user_id, value, ts_us,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*)           OVER w AS n_prior
+      FROM (SELECT event_id, user_id, value, {EVENTS_TS_US} AS ts_us FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, round((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_prior >= 10 AND sigma > 0
+      AND abs(value - mu) > 3 * sigma
+    """,
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each reading scored against the TRAILING
+    20-event window of its own series (frame excludes the current row — no
+    self-contamination); flag |z| > 3 with a warm-up guard. The sensor
+    anomaly-count primitive of the railway domain; one shuffle by series."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    return scored.where(
+        (F.col("n_prior") >= 10)
+        & (F.col("sigma") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+    ).select("event_id", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"))

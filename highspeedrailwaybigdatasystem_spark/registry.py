@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.operators.sorts",
     "highspeedrailwaybigdatasystem_spark.operators.setops",
     "highspeedrailwaybigdatasystem_spark.operators.scalars",
+    "highspeedrailwaybigdatasystem_spark.operators.timeseries",
     "highspeedrailwaybigdatasystem_spark.sources.formats",
     "highspeedrailwaybigdatasystem_spark.sources.custom_source",
     "highspeedrailwaybigdatasystem_spark.functions.udfs",
