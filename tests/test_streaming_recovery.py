@@ -1,0 +1,83 @@
+"""Checkpoint/recovery semantics: a restarted streaming query must resume
+from its checkpoint and process ONLY new files — end state exactly-once.
+
+This is the core Structured Streaming durability contract: offsets + state
+live in the checkpoint dir; a crash/restart replays nothing and loses
+nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from highspeedrailwaybigdatasystem_spark.schemas import (
+    EVENTS_READ_SCHEMA,
+    _events_ts_to_timestamp,
+)
+from highspeedrailwaybigdatasystem_spark.sources._scratch import scratch_dir
+from tests.conftest import SF_ORACLE
+
+
+def _run_counting_query(spark, src, ckpt, sink_table):
+    stream = _events_ts_to_timestamp(
+        spark.readStream.schema(EVENTS_READ_SCHEMA).parquet(src)
+    )
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_restart_resumes_from_checkpoint(spark):
+    src = scratch_dir("recovery_src")
+    ckpt = scratch_dir("recovery_ckpt")
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    events = f"{SF_ORACLE}/events.parquet"
+    base = (
+        spark.read.schema(EVENTS_READ_SCHEMA)
+        .parquet(events)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    expected_one = {r["event_type"]: r["count"] for r in base}
+
+    # phase 1: one file
+    shutil.copy(events, os.path.join(src, "a.parquet"))
+    _run_counting_query(spark, src, ckpt, "recovery_sink")
+    got1 = {
+        r["event_type"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM recovery_sink").collect()
+    }
+    assert got1 == expected_one
+
+    # phase 2: drop a second file, RESTART the same query (same checkpoint).
+    # Recovery must process only the new file; counts double, not triple.
+    shutil.copy(events, os.path.join(src, "b.parquet"))
+    _run_counting_query(spark, src, ckpt, "recovery_sink")
+    got2 = {
+        r["event_type"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM recovery_sink").collect()
+    }
+    assert got2 == {k: 2 * v for k, v in expected_one.items()}
+
+    # phase 3: restart with NO new data — a no-op, state unchanged
+    _run_counting_query(spark, src, ckpt, "recovery_sink")
+    got3 = {
+        r["event_type"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM recovery_sink").collect()
+    }
+    assert got3 == got2
