@@ -74,10 +74,14 @@ def test_restart_resumes_from_checkpoint(spark):
     }
     assert got2 == {k: 2 * v for k, v in expected_one.items()}
 
-    # phase 3: restart with NO new data — a no-op, state unchanged
+    # phase 3: third restart, third file — checkpointed state must still be
+    # the 2× counts underneath (3×, not 1× or 4×, proves state persisted
+    # across BOTH restarts). (A restart with no new data emits nothing to a
+    # fresh memory sink — complete mode only emits on a processed batch.)
+    shutil.copy(events, os.path.join(src, "c.parquet"))
     _run_counting_query(spark, src, ckpt, "recovery_sink")
     got3 = {
         r["event_type"]: r["cnt"]
         for r in spark.sql("SELECT * FROM recovery_sink").collect()
     }
-    assert got3 == got2
+    assert got3 == {k: 3 * v for k, v in expected_one.items()}
