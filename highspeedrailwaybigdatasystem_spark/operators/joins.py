@@ -248,6 +248,50 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS hot_user,
+             value
+      FROM events)
+    SELECT n_name, count(*) AS cnt, round(sum(value), 2) AS value_sum
+    FROM skewed JOIN nation ON hot_user % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via SALTING: half the fact rows are remapped to
+    one hot key (manufactured 50% skew), then the fact side gets a random-
+    free deterministic salt (event hash mod S) and the dim side is exploded
+    ×S, so the hot key's rows spread over S reducer partitions instead of
+    one straggler. This is the manual pattern for engines/joins AQE skew
+    handling can't reach (broadcast would dodge the demo, hence the salted
+    shuffle join is forced with a merge hint)."""
+    SALT = 8
+    e = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT)).alias("salt"),
+    )
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt_r"),
+    )
+    joined = e.hint("merge").join(
+        nation,
+        (F.col("hot_user") % 25 == F.col("n_nationkey"))
+        & (F.col("salt") == F.col("salt_r")),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
     "join_self_interval",
     oracle=f"""
     SELECT a.user_id, count(*) AS pair_cnt

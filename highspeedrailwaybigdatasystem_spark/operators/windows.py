@@ -47,6 +47,23 @@ def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) x
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical per-group top-k (SURVEY.md §2.6 row — the row_number
+    formulation; same computation as win_rownum_topk)."""
+    return win_rownum_topk(spark, sf_dir)
+
+
+@register(
     "win_rank_dense",
     oracle="""
     SELECT p_partkey, p_brand,
