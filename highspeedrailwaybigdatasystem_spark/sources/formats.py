@@ -99,6 +99,63 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_json_corrupt",
+    oracle="""
+    SELECT (event_id % 7 = 3) AS is_corrupt,
+           count(*) AS cnt,
+           CAST(sum(CASE WHEN event_id % 7 <> 3 THEN event_id END) AS BIGINT)
+             AS good_id_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance: a JSON export where every (event_id%7==3)
+    line is deterministically corrupted (truncated mid-object), read back
+    in PERMISSIVE mode with a _corrupt_record column — bad rows are
+    captured, not fatal, and good rows parse fully. The
+    don't-die-on-bad-data contract of any 100 TB ingest."""
+    from pyspark.sql.types import StructField, StructType
+
+    out = scratch_dir("json_corrupt")
+    src = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "user_')),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "user_id", "event_type")))
+        .alias("value")
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # cached per Spark's requirement: a query may not filter solely on the
+    # corrupt-record column of an un-materialized relation
+    back = back.cache()
+    return back.groupBy(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("event_id"))).alias(
+            "good_id_sum"
+        ),
+    )
+
+
+@register(
     "sink_bucketed",
     oracle="""
     SELECT o_orderstatus, count(*) AS cnt,
