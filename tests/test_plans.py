@@ -90,6 +90,29 @@ def test_interval_join_is_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_table_statistics_for_cbo(spark):
+    """ANALYZE TABLE feeds the cost-based optimizer: row count and column
+    stats must land in the catalog (what CBO join reordering reads)."""
+    import shutil as _sh
+    import os as _os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    _sh.rmtree(_os.path.join(warehouse, "nation_stats"), ignore_errors=True)
+    from highspeedrailwaybigdatasystem_spark.schemas import load
+
+    load(spark, SF_ORACLE, "nation").write.saveAsTable("nation_stats")
+    spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats").toPandas()
+    stats_row = detail[detail.col_name == "Statistics"]
+    assert not stats_row.empty and "25 rows" in stats_row.data_type.iloc[0]
+    col_detail = spark.sql(
+        "DESCRIBE TABLE EXTENDED nation_stats n_nationkey"
+    ).toPandas()
+    got = dict(zip(col_detail.info_name, col_detail.info_value))
+    assert got.get("distinct_count") == "25"
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Co-located bucketed join: neither side may re-shuffle on the join
     key (broadcast disabled to force the sort-merge path the buckets
