@@ -412,6 +412,116 @@ def arr_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS padded,
+           rpad(p_type, 10, '.') AS rpadded,
+           translate(p_name, 'aeiou', 'AEIOU') AS upvowel,
+           CAST(strpos(p_name, 'e') AS INT) AS e_pos,
+           repeat(p_brand, 2) AS doubled,
+           reverse(p_type) AS revtype
+    FROM part
+    """,
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: pad / translate / locate / repeat / reverse
+    (oracle delta: DuckDB strpos ≡ Spark locate, both 1-based, 0=missing)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.rpad("p_type", 10, ".").alias("rpadded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("upvowel"),
+        F.locate("e", "p_name").alias("e_pos"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.reverse("p_type").alias("revtype"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id % 256) AS BIGINT) AS ids_and,
+           CAST(bit_or(event_id % 256) AS BIGINT) AS ids_or,
+           CAST(bit_xor(event_id % 256) AS BIGINT) AS ids_xor,
+           CAST(sum(bit_count(event_id)) AS BIGINT) AS popcount_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (flag-mask rollups) + per-row popcount."""
+    e = t(spark, sf_dir, "events")
+    masked = (F.col("event_id") % 256).alias("m")
+    return e.select("event_type", masked, F.bit_count("event_id").alias("pc")).groupBy(
+        "event_type"
+    ).agg(
+        F.bit_and("m").alias("ids_and"),
+        F.bit_or("m").alias("ids_or"),
+        F.bit_xor("m").alias("ids_xor"),
+        F.sum("pc").cast("bigint").alias("popcount_sum"),
+    )
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+    SELECT lang, token, count(*) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token IN ('hash', 'join')
+    GROUP BY lang, token
+    """,
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL-compat LATERAL VIEW explode through the SQL surface (the
+    TVF-style row-generator syntax; same plan as DataFrame explode)."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang, token, count(*) AS cnt
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) tok AS token
+        WHERE token IN ('hash', 'join')
+        GROUP BY lang, token
+        """
+    )
+
+
+@register(
+    "xml_roundtrip",
+    oracle="""
+    SELECT event_id, event_type AS xml_type,
+           CAST(props->>'$.k' AS INT) AS xml_k
+    FROM events
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as an interchange format: build an XML payload per event, parse
+    it back with from_xml (Spark 4 built-in) — lossless for typed fields,
+    mirroring json_roundtrip."""
+    e = t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><t>"),
+        F.col("event_type"),
+        F.lit("</t><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></ev>"),
+    )
+    parsed = e.select(
+        "event_id",
+        F.from_xml(xml, "t STRING, k INT").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.t").alias("xml_type"),
+        F.col("x.k").alias("xml_k"),
+    )
+
+
+@register(
     "sql_udf",
     oracle="""
     SELECT o_orderkey,
