@@ -575,6 +575,82 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sim_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+    """,
+)
+def llm_sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup via FULLY DISTRIBUTED block×block GEMM —
+    no driver collect, no broadcast of the corpus (contrast with
+    llm_embed_near_dup, whose broadcast matrix is the bounded-corpus
+    shortcut).
+
+    Rows are assigned to √N-ish blocks; the upper-triangular block-pair
+    list (P·(P+1)/2 pairs) is joined against both sides and cogrouped, so
+    each task multiplies one block against one block in numpy float64.
+    Data inflation is P× per side — the standard block-matrix trade; at
+    100 TB, block size is chosen so a block pair fits one executor's
+    memory, and the pair list shards the O(N²) work across the cluster."""
+    import numpy as np
+    import pandas as pd
+
+    BLOCK = 512
+
+    def blocked(side: str):
+        # fresh read per side — identical lineage on both cogroup sides
+        # trips Spark's ambiguous-self-join detection
+        return t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias(f"{side}_id"),
+            F.col("embedding").alias(f"{side}_emb"),
+            F.expr(f"vec_id div {BLOCK}").alias(f"{side}_blk"),
+        )
+
+    n_blocks = (
+        blocked("x").agg(F.max("x_blk")).head()[0] + 1
+    )  # scalar plan parameter
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+
+    def pair_df():
+        return spark.createDataFrame(pair_rows, "bi long, bj long")
+
+    left = (
+        blocked("l")
+        .join(pair_df(), F.col("l_blk") == F.col("bi"))
+        .select("bi", "bj", "l_id", "l_emb")
+        .groupBy("bi", "bj")
+    )
+    right = (
+        blocked("r")
+        .join(pair_df(), F.col("r_blk") == F.col("bj"))
+        .select("bi", "bj", "r_id", "r_emb")
+        .groupBy("bi", "bj")
+    )
+
+    def block_gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
+        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
+        sims = (la @ rb.T).round(6)
+        lid = lpdf["l_id"].to_numpy()
+        rid = rpdf["r_id"].to_numpy()
+        ii, jj = np.nonzero((sims >= 0.35) & (lid[:, None] < rid[None, :]))
+        return pd.DataFrame(
+            {"vec_a": lid[ii], "vec_b": rid[jj], "sim": sims[ii, jj]}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
+
+    return left.cogroup(right).applyInPandas(
+        block_gemm, "vec_a long, vec_b long, sim double"
+    )
+
+
+@register(
     "llm_dedup_components",
     oracle=f"""
     WITH RECURSIVE edges AS (
