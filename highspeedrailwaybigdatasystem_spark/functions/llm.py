@@ -1003,3 +1003,238 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(decode, "doc_id long, byte_len long, first_byte int, frame_cnt int")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS byte_len,
+               CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(byte_len AS BIGINT) AS byte_len,
+           n_frames,
+           CAST(len(range(0, n_frames, 4)) AS BIGINT) AS n_sampled,
+           CAST(list_aggregate(
+               list_transform(range(0, n_frames, 4),
+                   i -> i * 7 + CASE WHEN i < n_frames - 1 THEN 16
+                                     ELSE byte_len - 16 * (n_frames - 1) END),
+               'sum') AS BIGINT) AS checksum
+    FROM sized
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (video stand-in): chunk an opaque
+    BINARY payload into fixed 16-byte "frames", keep every 4th frame, and
+    emit per-doc frame stats. The payload here is the utf-8 text bytes (no
+    video codecs in this environment) and the per-frame "feature" is a
+    deterministic function of frame index + length — but the Spark-side
+    shape is the real thing: binary column in, Arrow batches through
+    mapInPandas, per-frame python loop over real byte slices, typed rows
+    out. A real frame sampler (pyav / decord) drops into `sample()`
+    unchanged. Scale: pure map-side — no shuffle, linear in corpus bytes."""
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "byte_len": [], "n_frames": [], "n_sampled": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                frames = [buf[o : o + 16] for o in range(0, len(buf), 16)]
+                sampled = frames[::4]
+                # real impl: decode each sampled frame; here a deterministic
+                # feature of (index, frame byte-length)
+                checksum = sum(4 * k * 7 + len(fr) for k, fr in enumerate(sampled))
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(len(buf))
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(sampled))
+                out["checksum"].append(checksum)
+            yield pd.DataFrame(out).astype("int64")
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        sample, "doc_id long, byte_len long, n_frames long, n_sampled long, checksum long"
+    )
+
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "llm_token_bpe",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS sum_bpe,
+           CAST(sum(ws) AS BIGINT) AS sum_ws,
+           round(avg(bpe), 6) AS avg_bpe,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north-star "token counting: whitespace + a
+    BPE-ish regex"): pre-tokenize with the GPT-2-style split — letter runs,
+    digit runs, single non-alnum symbols (CJK falls back to per-character,
+    as byte-BPE does) — and compare against whitespace tokenization via the
+    fertility ratio per language. ASCII-only regex classes keep Java regex
+    and RE2 semantics identical. Scale: map-side regexp + one shuffle on
+    lang; no Python boundary."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        # pattern as a Column literal — routing it through F.expr would make
+        # Spark's SQL string parser eat the \s escape ([^...\s] -> [^...s])
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).cast("long").alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("sum_bpe"),
+        F.sum("ws").alias("sum_ws"),
+        ratio(F.avg("bpe")).alias("avg_bpe"),
+        ratio(F.sum("bpe") / F.sum("ws")).alias("fertility"),
+    )
+
+
+_STOPWORDS = "the a an and of to in is for on".split()
+
+
+@register(
+    "llm_quality_score",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT source,
+               round(
+                 0.4 * (1 - CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  tk -> list_contains({_STOPWORDS!r}, tk))) AS DOUBLE)
+                        / len(regexp_split_to_array(trim(text), '\s+')))
+               + 0.3 * (1 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                        / length(text))
+               + 0.3 * least(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                        / len(regexp_split_to_array(trim(text), '\s+')) / 10, 1.0)
+               , 6) AS score
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS avg_score,
+           CAST(count(*) FILTER (score >= 0.8) AS BIGINT) AS high_q
+    FROM scored GROUP BY source
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous document quality scoring (north-star "quality scoring:
+    length/punct/stopword ratios") — complements llm_quality_filter's hard
+    gate with a weighted score: low stopword ratio + low punctuation ratio
+    + healthy mean word length. Identical float expression tree on both
+    engines, rounded once at 6 dp. Scale: map-side only + one agg shuffle
+    on source."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_cnt = F.size(
+        F.filter(ltoks, lambda tk: tk.isin(*_STOPWORDS))
+    )
+    punct_cnt = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    nonws_len = F.length(F.regexp_replace("text", r"\s", ""))
+    score = F.round(
+        0.4 * (1 - stop_cnt.cast("double") / F.size(toks))
+        + 0.3 * (1 - punct_cnt.cast("double") / F.length("text"))
+        + 0.3 * F.least(nonws_len.cast("double") / F.size(toks) / 10, F.lit(1.0)),
+        6,
+    )
+    d = t(spark, sf_dir, "documents").select("source", score.alias("score"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ratio(F.avg("score")).alias("avg_score"),
+        F.sum(F.when(F.col("score") >= 0.8, 1).otherwise(0)).alias("high_q"),
+    )
+
+
+@register(
+    "llm_ivf_ann",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+    probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6) DESC,
+                                c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rn = 1),
+    plists AS (
+        SELECT cent_id FROM cents CROSS JOIN probe
+        ORDER BY round({_DOT_ORACLE.format(a='cent', b='p')}, 6) DESC, cent_id
+        LIMIT 4)
+    SELECT e.vec_id, a.cent_id,
+           round({_DOT_ORACLE.format(a='e.embedding', b='p')}, 6) AS sim
+    FROM embeddings e
+    JOIN assigned a ON e.vec_id = a.vec_id
+    JOIN plists l ON a.cent_id = l.cent_id
+    CROSS JOIN probe
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbor — the scale path for
+    similarity search. Coarse quantizer: 16 deterministic centroids (the
+    vectors with vec_id < 16 stand in for trained k-means means, keeping
+    the op exactly oracle-checkable). Index build: every vector gets one
+    inverted-list assignment = argmax centroid cosine (map-side N×K dot
+    products against broadcast centroids, one shuffle on vec_id for the
+    argmax). Search: probe scans only its nprobe=4 nearest lists — at
+    100 TB with K=sqrt(N) lists this turns a full-corpus scan into a
+    ~nprobe/K fraction, and the assignment is a write-once index persisted
+    alongside the table."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    probe = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("p"))
+    )
+
+    rn = Window.partitionBy("vec_id").orderBy(
+        F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
+    )
+    assigned = (
+        e.crossJoin(cents)
+        .withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    plists = F.broadcast(
+        cents.crossJoin(probe)
+        .orderBy(F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id")
+        .limit(4)
+        .select("cent_id")
+    )
+    return (
+        e.join(assigned, "vec_id")
+        .join(plists, "cent_id")
+        .crossJoin(probe)
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "cent_id", F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -430,3 +430,107 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk w JOIN nation n ON w.nationkey = n.n_nationkey
         """
     )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS top_cust,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS bottom_cust,
+           round(max(c_acctbal), 2) AS top_bal,
+           round(min(c_acctbal), 2) AS bottom_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max aggregates): per nation, the customer name at
+    the extreme balance. The ordering key is integer cents * 1e6 + custkey —
+    exact int64 arithmetic making ties deterministic on BOTH engines (bare
+    doubles would tie-break arbitrarily). Single hash-agg shuffle; max_by
+    carries O(1) state per group vs. the window-rank alternative's full
+    sort."""
+    c = t(spark, sf_dir, "customer")
+    ordkey = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 1000000 + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ordkey).alias("top_cust"),
+        F.min_by("c_name", ordkey).alias("bottom_cust"),
+        money(F.max("c_acctbal")).alias("top_bal"),
+        money(F.min("c_acctbal")).alias("bottom_bal"),
+    )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH pr AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    md AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM pr)
+    SELECT s.o_orderstatus, m.mode_priority,
+           round(s.med_price, 2) AS med_price,
+           s.n_orders
+    FROM (SELECT o_orderstatus, median(o_totalprice) AS med_price,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_orderstatus) s
+    JOIN md m ON m.o_orderstatus = s.o_orderstatus AND m.rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() + deterministic mode per order status. Spark's mode(expr)
+    breaks ties arbitrarily (engine-dependent), so the mode is computed as
+    the canonical two-level aggregate — count per value, argmax with a
+    lowest-value tie-break — which both engines replicate exactly. median
+    is the built-in interpolating percentile(0.5) on both sides. Two
+    narrow shuffles (status+priority, then status)."""
+    o = t(spark, sf_dir, "orders")
+    pr = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    # argmax with lowest-priority tie-break, O(1) state per group:
+    # order key = cnt, tie-broken by max_by on a composite struct is not
+    # tie-safe for strings -> rank instead (3-row groups; negligible)
+    from pyspark.sql.window import Window
+
+    rn = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    md = pr.withColumn("rn", F.row_number().over(rn)).where(F.col("rn") == 1).select(
+        "o_orderstatus", F.col("o_orderpriority").alias("mode_priority")
+    )
+    stats = o.groupBy("o_orderstatus").agg(
+        money(F.median("o_totalprice")).alias("med_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return stats.join(md, "o_orderstatus").select(
+        "o_orderstatus", "mode_priority", "med_price", "n_orders"
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (modern SQL ergonomics, Spark 3.4+ and
+    DuckDB both): the engine infers grouping keys = all non-aggregate select
+    items. Identical plan to the explicit form — this row pins the parser
+    surface."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY ALL ORDER BY ALL
+        """
+    )

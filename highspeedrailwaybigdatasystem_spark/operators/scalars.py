@@ -605,3 +605,30 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.alias("type_keys"),
         F.transform(keys, lambda k: F.element_at(F.col("m"), k)).alias("type_counts"),
     )
+
+
+@register(
+    "dt_timezone",
+    oracle="""
+    SELECT (CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York' AS ny_wall,
+           CAST(extract(hour FROM (CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderkey < 500
+    GROUP BY 1, 2
+    """,
+)
+def dt_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: UTC instant → America/New_York wall
+    clock (from_utc_timestamp ≡ PG/DuckDB's double AT TIME ZONE hop), with
+    DST-correct offsets from the shared IANA tzdb. Grouped to exercise tz
+    conversion inside aggregation keys."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    ny = F.from_utc_timestamp("o_orderdate", "America/New_York")
+    return (
+        o.select(ny.alias("ny_wall"), F.hour(ny).alias("ny_hour"))
+        .groupBy("ny_wall", "ny_hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

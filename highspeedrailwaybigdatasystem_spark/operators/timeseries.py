@@ -174,3 +174,95 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("sigma") > 0)
         & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
     ).select("event_id", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"))
+
+
+@register(
+    "ts_ohlc",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, date_trunc('hour', {EVENTS_TS_US}) AS bucket, value,
+               first_value(value) OVER (
+                   PARTITION BY event_type, date_trunc('hour', {EVENTS_TS_US})
+                   ORDER BY {EVENTS_TS_US}, event_id) AS open,
+               last_value(value) OVER (
+                   PARTITION BY event_type, date_trunc('hour', {EVENTS_TS_US})
+                   ORDER BY {EVENTS_TS_US}, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+        FROM events)
+    SELECT event_type, bucket,
+           round(min(open), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(min(close), 6) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM w GROUP BY event_type, bucket
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling (classic hypertable rollup): per event_type
+    per hour, the first/max/min/last of value ordered by (ts, event_id).
+    open/close via deterministic window first/last, high/low/volume via
+    plain aggregates — ONE shuffle on (event_type, hour): the window
+    partition key equals the groupBy key, so Catalyst reuses the exchange.
+    At 100 TB this is the downsample-on-ingest pattern: the rollup output
+    is ~1/10⁴ the raw volume and answers most dashboards."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket"), "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_oc = e.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(wfull).alias("close"),
+    )
+    return with_oc.groupBy("event_type", "bucket").agg(
+        ratio(F.min("open")).alias("open"),
+        ratio(F.max("value")).alias("high"),
+        ratio(F.min("value")).alias("low"),
+        ratio(F.min("close")).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, list(value ORDER BY {EVENTS_TS_US}, event_id) AS vals
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ordered
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.3), the
+    recursive smoother window functions can't express: fold the ordered
+    value list with a higher-order aggregate — seed = first value, then
+    acc' = alpha*x + (1-alpha)*acc. Left fold order is identical in Spark
+    and DuckDB, so float64 results match bit-for-bit. Scale: one shuffle
+    on user_id; per-key state is O(series length) — for unbounded series
+    the streaming twin (stream_custom_state) keeps O(1) state instead."""
+    e = t(spark, sf_dir, "events")
+    ordered = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s.value,
+        ).alias("vals")
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.slice("vals", 2, F.size("vals") - 1),
+                F.element_at("vals", 1),
+                lambda acc, x: 0.3 * x + 0.7 * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    )

@@ -223,3 +223,40 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_val"),
         F.last("value").over(w).alias("last_val"),
     ).distinct()
+
+
+@register(
+    "win_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           round(sum(o_totalprice) OVER w, 2) AS running_spend,
+           round(avg(o_totalprice) OVER w2, 2) AS avg_spend
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey)
+    """,
+)
+def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL named-WINDOW clause: one spec declared once, referenced by
+    several functions — parser surface for reusing a window definition.
+    Both specs share the o_custkey partitioning, so Catalyst plans a
+    single exchange for the two Window nodes."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               round(sum(o_totalprice) OVER w, 2) AS running_spend,
+               round(avg(o_totalprice) OVER w2, 2) AS avg_spend
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY o_custkey)
+        """
+    )
