@@ -208,3 +208,45 @@ def udaf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(money(geo_mean("o_totalprice")).alias("geo_mean_price"))
     )
+
+
+@register(
+    "udtf_python",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(u.pos AS INT) AS pos,
+           u.token,
+           CAST(length(u.token) AS INT) AS tok_len
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+         (SELECT unnest(generate_series(1, len(regexp_split_to_array(d.text, ' ')))) AS pos,
+                 unnest(regexp_split_to_array(d.text, ' ')) AS token) u
+    WHERE length(u.token) >= 8
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Spark 4 Python UDTF (pyspark.sql.functions.udtf): a class-based
+    table function LATERAL-joined per input row — one row of text in, one
+    row per long token out (the UDTF analogue of posexplode+filter). This
+    is the arbitrary-fan-out escape hatch for logic that genuinely can't
+    be a builtin; the class ships to Python workers and yields rows per
+    input. Kept off hot paths per the module hierarchy above."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, tok_len int")
+    class LongTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                if len(tok) >= 8:
+                    yield i, tok, len(tok)
+
+    spark.udtf.register("long_tokens", LongTokens)
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, u.pos, u.token, u.tok_len
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL long_tokens(d.text) u
+        """
+    )

@@ -534,3 +534,82 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent,
+           round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS medium,
+           round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (parser surface; same plan as DataFrame .pivot with
+    an explicit value list — no extra distinct-values job). DuckDB's PIVOT
+    materializes differently, so the oracle uses the FILTER-agg expansion,
+    which is exactly what both planners lower PIVOT to."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders)
+        PIVOT (round(sum(o_totalprice), 2)
+               FOR o_orderpriority IN ('1-URGENT' AS urgent, '3-MEDIUM' AS medium, '5-LOW' AS low))
+        """
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets of 50k, top bucket
+    open-ended): the fixed-bucket formulation every engine vectorizes —
+    map-side bucket id, one narrow shuffle on the bucket key. The
+    width_bucket builtin compiles to the same floor arithmetic; written
+    explicitly so both engines share the exact expression."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.min("o_totalprice")).alias("lo"),
+            money(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@register("agg_hll_sketch")  # rows-only: sketch binary + estimate are impl-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (Spark 3.5+): per-event-type distinct-
+    user sketches merged into a global union — the mergeable-summary pattern
+    that makes 100 TB distinct counting cheap (O(2^lgK) state per group,
+    re-aggregatable across days/partitions without rescanning raw data).
+    Estimates are deterministic for a fixed lgK + input but DuckDB's HLL
+    differs bit-for-bit → rows-only check."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    ).unionAll(
+        per_type.agg(F.hll_union_agg("sk").alias("u")).select(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+        )
+    )

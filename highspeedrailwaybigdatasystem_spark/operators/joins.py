@@ -348,3 +348,53 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(signup_ts, ignorenulls=True).over(w).alias("prev_signup_ts"),
     )
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS pair_cnt
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND abs(a.value - b.value) <= 0.1
+    GROUP BY a.event_type
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join accelerated by BINNING — the scale path for |a.v - b.v| <= w
+    predicates. A naive range join degenerates to a per-key cartesian
+    product; instead each left row is exploded into its bin and both
+    neighbors (3 rows), the join runs as a pure EQUI join on
+    (event_type, bin), and the exact band predicate filters residually.
+    Work drops from O(n²) per key to O(n · density per bin); bin width =
+    band width guarantees no candidate is missed. Same trick DuckDB/Trino
+    apply internally for range joins (IEJoin-family); Spark's SQL planner
+    has no native range join, so the rewrite is explicit here."""
+    w = 0.1
+    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    a = e.select(
+        "event_type",
+        F.col("event_id").alias("a_id"),
+        F.col("value").alias("a_val"),
+        F.explode(
+            F.array(
+                F.floor(F.col("value") / w) - 1,
+                F.floor(F.col("value") / w),
+                F.floor(F.col("value") / w) + 1,
+            )
+        ).alias("bin"),
+    )
+    b = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_val"),
+        F.floor(F.col("value") / w).alias("bin"),
+    )
+    return (
+        a.join(b, ["event_type", "bin"])
+        .where((F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_val") - F.col("b_val")) <= w))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )

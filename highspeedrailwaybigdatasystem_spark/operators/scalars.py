@@ -632,3 +632,33 @@ def dt_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ny_wall", "ny_hour")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "str_collate",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_name FROM customer WHERE c_custkey <= 500
+        UNION ALL
+        SELECT upper(c_name) FROM customer WHERE c_custkey <= 500)
+    SELECT CAST(count(DISTINCT c_name) AS BIGINT) AS n_binary,
+           CAST(count(DISTINCT lower(c_name)) AS BIGINT) AS n_ci
+    FROM mixed
+    """,
+)
+def str_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: COUNT DISTINCT under the UTF8_LCASE
+    collation vs binary collation over a deliberately case-doubled input —
+    the collation-aware path must see half as many distinct names. DuckDB
+    has no collation-typed expressions, so the oracle lowers UTF8_LCASE to
+    lower(), which is its defined comparison semantics."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select("c_name")
+    )
+    mixed = c.unionAll(c.select(F.upper("c_name").alias("c_name")))
+    return mixed.agg(
+        F.countDistinct("c_name").alias("n_binary"),
+        F.countDistinct(F.collate("c_name", "UTF8_LCASE")).alias("n_ci"),
+    )

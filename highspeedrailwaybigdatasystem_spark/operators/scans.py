@@ -50,3 +50,26 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("l_extendedprice")).alias("sum_price"),
         )
     )
+
+
+@register(
+    "scan_metadata_cols",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    """,
+)
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (_metadata.file_name et al.): per-file
+    row accounting straight from the scan — the lineage/debugging surface
+    for multi-file tables (which files fed this partition, how fresh).
+    The corpus ships one parquet file per table, so the oracle pins the
+    constant name; on a real multi-file table the same query audits every
+    file. Zero extra I/O: metadata is attached at the reader, not joined."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -266,3 +266,55 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@register(
+    "ts_funnel",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min({EVENTS_TS_US}) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min({EVENTS_TS_US}) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND {EVENTS_TS_US} > v.t1
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min({EVENTS_TS_US}) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND {EVENTS_TS_US} > c.t2
+        GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): stage k counts
+    users whose earliest stage-k event strictly follows their earliest
+    qualifying stage-(k-1) event. Three narrow aggregates chained by
+    equi joins on user_id — each stage's frame shrinks, and all shuffles
+    share the user_id key so AQE coalesces them. The classic product-
+    analytics op Spark has no builtin for."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # one declarative plan, no driver-side .count() actions
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
