@@ -613,3 +613,87 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
         )
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS big_discounts,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax = 0) AS any_tax_free,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate battery: count_if / bool_and (every) / bool_or
+    (any) — predicate summaries with O(1) state per group."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("big_discounts"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") == 0).alias("any_tax_free"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "sql_hints",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer-hint surface: /*+ BROADCAST(dim) */ pins the join
+    strategy and /*+ REPARTITION(n, col) */ pre-shapes the shuffle — the
+    explicit knobs for overriding size estimates at 100 TB (e.g. a dim
+    that is small but whose stats say otherwise). Hints are semantically
+    neutral: the oracle is the plain join."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation), REPARTITION(8, n_name) */
+               n_name,
+               count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE l_suppkey < 50 GROUP BY l_suppkey
+    """,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-dialect physical-layout clauses: DISTRIBUTE BY hashes rows to
+    partitions, SORT BY orders within each partition (no global sort) —
+    the write-path idiom for producing clustered, per-file-sorted output.
+    Content is unchanged, so the oracle is the plain aggregate over the
+    distributed-sorted subquery."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_suppkey, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+        FROM (
+            SELECT l_suppkey, l_extendedprice
+            FROM lineitem WHERE l_suppkey < 50
+            DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_extendedprice)
+        GROUP BY l_suppkey
+        """
+    )

@@ -662,3 +662,26 @@ def str_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_name").alias("n_binary"),
         F.countDistinct(F.collate("c_name", "UTF8_LCASE")).alias("n_ci"),
     )
+
+
+@register(
+    "str_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (Spark 3.4 mask()): uppercase→X, lowercase→x, digit→n,
+    punctuation kept — the redaction primitive for exporting identifier
+    columns. DuckDB has no mask(); the oracle lowers it to the 3-pass
+    regexp_replace it is defined as."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name", F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias("masked"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )

@@ -260,3 +260,39 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                w2 AS (PARTITION BY o_custkey)
         """
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS settled
+        FROM orders WHERE o_custkey < 200)
+    SELECT o_custkey, o_orderkey,
+           round(last_value(settled IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_settled,
+           round(first_value(settled IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS first_settled
+    FROM base
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry the last/first non-null
+    settled price across a gappy series (open orders manufacture the
+    NULLs) — the forward-fill primitive in its raw windowed form. One
+    shuffle on o_custkey shared by both window functions."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    settled = F.when(F.col("o_orderstatus") == "O", None).otherwise(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money(
+            F.last(settled, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("last_settled"),
+        money(F.first(settled, ignorenulls=True).over(w)).alias("first_settled"),
+    )
