@@ -130,3 +130,33 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange hashpartitioning(o_orderkey" not in join_part, s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_full_surface_plan_hygiene(spark):
+    """Every batch operator's physical plan is free of accidental
+    cartesian products and row-at-a-time Python.
+
+    Allowlists are the ops where the shape is intentional:
+    * BNLJ — bounded broadcast cross joins (probe vectors, 1-row aggs,
+      theta joins, the cross-pair dimension walk).
+    * BatchEvalPython — the two ops whose very point is the Python row
+      path (the explicit slow-path example and the UDTF).
+    A CartesianProduct (non-broadcast full cartesian) is never acceptable.
+    """
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    BNLJ_OK = {"join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk", "ts_funnel"}
+    ROWPY_OK = {"udf_python_scalar", "udtf_python"}
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans are asserted in their own tests
+        df = fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            failures.append(f"{name}: unexpected BNLJ")
+        if "BatchEvalPython" in plan and name not in ROWPY_OK:
+            failures.append(f"{name}: unexpected row-Python")
+    assert not failures, failures
