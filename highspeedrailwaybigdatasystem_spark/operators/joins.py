@@ -398,3 +398,66 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type, {EVENTS_TS_US} AS ts_us,
+               last_value(CASE WHEN event_type = 'signup' THEN {EVENTS_TS_US} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_signup,
+               first_value(CASE WHEN event_type = 'signup' THEN {EVENTS_TS_US} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup
+        FROM events)
+    SELECT event_id,
+           CAST(CASE
+             WHEN prev_signup IS NULL THEN epoch_us(next_signup) - epoch_us(ts_us)
+             WHEN next_signup IS NULL THEN epoch_us(ts_us) - epoch_us(prev_signup)
+             WHEN epoch_us(ts_us) - epoch_us(prev_signup)
+                  <= epoch_us(next_signup) - epoch_us(ts_us)
+               THEN epoch_us(ts_us) - epoch_us(prev_signup)
+             ELSE epoch_us(next_signup) - epoch_us(ts_us)
+           END AS BIGINT) AS gap_us
+    FROM marked
+    WHERE event_type = 'purchase'
+      AND (prev_signup IS NOT NULL OR next_signup IS NOT NULL)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction AS-OF join: each purchase matched to the
+    temporally closest signup of the same user, looking BOTH ways (the
+    existing join_asof is backward-only). Realized without any join at
+    all: two IGNORE NULLS navigation windows over the single interleaved
+    event sequence — one pass, one shuffle on user_id — the idiomatic
+    Spark formulation of pandas merge_asof(direction='nearest'). Ties
+    (equidistant) break backward."""
+    e = t(spark, sf_dir, "events")
+    sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    marked = e.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.last(sig, ignorenulls=True).over(back)).alias("prev_signup"),
+        F.unix_micros(F.first(sig, ignorenulls=True).over(fwd)).alias("next_signup"),
+    )
+    back_gap = F.col("ts_us") - F.col("prev_signup")
+    fwd_gap = F.col("next_signup") - F.col("ts_us")
+    gap = (
+        F.when(F.col("prev_signup").isNull(), fwd_gap)
+        .when(F.col("next_signup").isNull(), back_gap)
+        .when(back_gap <= fwd_gap, back_gap)
+        .otherwise(fwd_gap)
+    )
+    return (
+        marked.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_signup").isNotNull() | F.col("next_signup").isNotNull())
+        )
+        .select("event_id", gap.cast("long").alias("gap_us"))
+    )

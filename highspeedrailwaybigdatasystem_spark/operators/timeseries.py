@@ -318,3 +318,74 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+@register(
+    "ts_retention_cohort",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('day', min({EVENTS_TS_US})) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, date_trunc('day', {EVENTS_TS_US})) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_day,
+           CAST(day_offset AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each subsequent day-offset they return (the activation/retention
+    analysis every product team runs). Two shuffles, both on user_id
+    (first-seen agg + the activity join), then one on the small
+    (cohort, offset) grid; the distinct collapses per-user-day event
+    volume BEFORE the final count, which is what keeps the grid agg
+    tiny at 100 TB."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "ts_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY {EVENTS_TS_US}, event_id) AS next_type
+        FROM events)
+    SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (clickstream path analysis). One shuffle on user_id
+    for the lead window; the 5×5 transition grid aggregates map-side."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )

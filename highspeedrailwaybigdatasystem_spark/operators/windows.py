@@ -296,3 +296,33 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_settled"),
         money(F.first(settled, ignorenulls=True).over(w)).alias("first_settled"),
     )
+
+
+@register(
+    "win_moving_median",
+    oracle=f"""
+    SELECT event_id,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med11
+    FROM events WHERE user_id < 30
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 11-row frame — the robust-smoothing
+    counterpart of win_moving_avg (order statistics need the frame's
+    values, not a running sum, so the engine re-ranks per frame; both
+    engines interpolate percentile(0.5) identically). One shuffle on
+    user_id."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    # median() is rejected inside a frame (ordered-set agg); percentile(0.5)
+    # is the same interpolating statistic and frame-legal
+    return e.select(
+        "event_id",
+        ratio(F.expr("percentile(value, 0.5)").over(w)).alias("med11"),
+    )

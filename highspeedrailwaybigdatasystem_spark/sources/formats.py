@@ -229,3 +229,26 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql("SELECT event_type, cnt FROM stream_file_source_sink")
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_supp,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back → aggregate. ORC is the other columnar
+    format Spark reads natively (vectorized, predicate pushdown, same
+    planner path as parquet); the oracle reads the parquet source since
+    the round-trip must be lossless."""
+    out = scratch_dir("orc_supplier")
+    t(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    back = spark.read.schema(SCHEMAS["supplier"]).orc(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
