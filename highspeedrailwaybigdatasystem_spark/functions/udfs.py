@@ -250,3 +250,26 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL long_tokens(d.text) u
         """
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT p_partkey,
+           concat(upper(substr(p_brand, 1, 5)), '-', CAST(p_size AS VARCHAR)) AS sku
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 3.5 useArrow=True): same row-wise
+    author experience as a classic Python UDF, but inputs/outputs move as
+    Arrow batches instead of pickled rows — the drop-in ~2-5× upgrade when
+    a UDF can't be vectorized. Contrast with udf_python_scalar (pickled)
+    and udf_pandas_scalar (fully vectorized)."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def make_sku(brand: str, size: int) -> str:
+        return f"{brand[:5].upper()}-{size}"
+
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    return p.select("p_partkey", make_sku("p_brand", "p_size").alias("sku"))

@@ -697,3 +697,28 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
         """
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based EXACT distinct counting (Spark 3.5 bitmap functions):
+    each key maps to a bucket bit position, per-group bitmaps OR-merge in
+    the aggregate, popcount gives the distinct total. Bitmaps are the
+    exact-but-mergeable middle ground between count(DISTINCT) (full
+    shuffle of values) and HLL (approximate): state is dense bits, merges
+    are bitwise OR, and re-aggregation across partitions/days is free.
+    The oracle is plain count(DISTINCT) — the op must equal it exactly."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("exact_customers"))
+    )

@@ -685,3 +685,162 @@ def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask("c_name", F.lit("X"), F.lit("x"), F.lit("n"), F.lit(None)).alias("masked"),
         F.length("c_name").cast("int").alias("name_len"),
     )
+
+
+@register(
+    "dt_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH + INTERVAL 10 DAY AS due_ts,
+           CAST(date_diff('day', o_orderdate,
+                o_orderdate + INTERVAL 3 MONTH + INTERVAL 10 DAY) AS BIGINT) AS due_days,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 7 AS BIGINT) AS weeks_since_95
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def dt_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic battery: make_interval addition (calendar-aware
+    month + day offsets) and timestampdiff extraction at day/week units —
+    the SLA/due-date computation surface. Month arithmetic clamps to
+    month-end identically in both engines (Jan 31 + 1 month = Feb 28)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    due = F.col("o_orderdate") + F.expr("make_interval(0, 3)") + F.expr("make_interval(0, 0, 0, 10)")
+    return o.select(
+        "o_orderkey",
+        due.alias("due_ts"),
+        F.expr(
+            "timestampdiff(DAY, o_orderdate,"
+            " o_orderdate + make_interval(0, 3) + make_interval(0, 0, 0, 10))"
+        ).alias("due_days"),
+        # WEEK units disagree across engines (7-day periods vs ISO-boundary
+        # crossings) -> floor(days/7) explicitly on both sides
+        (F.expr("timestampdiff(DAY, TIMESTAMP'1995-01-01', o_orderdate)") / 7)
+        .cast("long")
+        .alias("weeks_since_95"),
+    )
+
+
+@register(
+    "sql_tvf_range",
+    oracle="""
+    SELECT r.id AS bucket_id,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM range(0, 10) r(id)
+    LEFT JOIN orders ON CAST(o_orderkey % 10 AS BIGINT) = r.id
+    GROUP BY r.id
+    """,
+)
+def sql_tvf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued function surface: range() generating a dense spine in
+    the FROM clause, left-joined so empty buckets survive — the TVF idiom
+    behind calendar spines and bucket scaffolds."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.id AS bucket_id, count(o_orderkey) AS n_orders
+        FROM range(0, 10) r
+        LEFT JOIN orders ON o_orderkey % 10 = r.id
+        GROUP BY r.id
+        """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4 named-parameter binding): values bind
+    as literals server-side — no string interpolation, no injection, and
+    Catalyst still constant-folds them into pushed filters."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "status": "F"},
+    )
+
+
+@register(
+    "str_regexp2",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+           regexp_extract(text, '([a-z]+)a', 1) AS first_a_stem,
+           CAST(CASE WHEN regexp_matches(text, 'spark.*stream|stream.*spark')
+                THEN 1 ELSE 0 END AS INT) AS both_terms
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery 2 (Spark 3.5 additions): regexp_count, capture-group
+    extraction, multi-pattern containment via rlike alternation."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("data")).cast("int").alias("n_data"),
+        F.regexp_extract("text", r"([a-z]+)a", 1).alias("first_a_stem"),
+        F.col("text").rlike("spark.*stream|stream.*spark").cast("int").alias("both_terms"),
+    )
+
+
+@register(
+    "arr_map_hof",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               list({'et': event_type, 'cnt': cnt} ORDER BY event_type) AS entries
+        FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+              FROM events WHERE user_id < 20 GROUP BY user_id, event_type)
+        GROUP BY user_id)
+    SELECT user_id,
+           list_sort(list_transform(list_filter(entries, e -> e.cnt >= 10),
+                                    e -> e.et)) AS busy_types,
+           list_sort(list_transform(entries, e -> e.cnt * 2)) AS doubled,
+           CAST(list_aggregate(list_transform(entries, e -> e.cnt), 'sum') AS BIGINT) AS total
+    FROM m
+    """,
+)
+def arr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build map(event_type → count) per user,
+    then map_filter / transform_values / aggregate over values. Outputs
+    are sorted ARRAYS, not maps — map key order is engine-defined, arrays
+    canonicalize it (SURVEY.md §2.8 map_ops rule)."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    counts = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("counts")
+        )
+    )
+    return counts.select(
+        "user_id",
+        F.array_sort(
+            F.map_keys(F.map_filter("counts", lambda k, v: v >= 10))
+        ).alias("busy_types"),
+        F.array_sort(
+            F.map_values(F.transform_values("counts", lambda k, v: v * 2))
+        ).alias("doubled"),
+        F.aggregate(
+            F.map_values("counts"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
