@@ -1,0 +1,274 @@
+"""ETL / warehouse operators — the publish-side surface of the reference's
+domain (SURVEY.md §0.1: "ETL (ingest, cleanse, dedup, aggregate, publish)"):
+SCD upserts, change-history intervals, data-quality auditing, schema
+evolution, and partition-pruned reads.
+
+Scale notes (100 TB):
+* SCD-1 upsert is one full-outer join on the business key — the snapshot
+  side stays partitioned/bucketed by that key so only the delta shuffles.
+* SCD-2 history build is a per-key window (lead) — one shuffle, linear.
+* DQ audit is a single pass of conditional aggregates per table — map-side
+  combine means the shuffle carries one row per metric.
+* Schema evolution (mergeSchema) is a reader-side union of footers — no
+  rewrite of old files when columns are added.
+* Partition-pruned scans skip whole directories; dynamic partition pruning
+  derives the pruning set from the dim filter at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..sources._scratch import scratch_dir
+from ._util import money, t
+
+
+@register(
+    "etl_scd1_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0),
+    merged AS (
+        SELECT coalesce(d.c_custkey, s.c_custkey) AS c_custkey,
+               coalesce(d.c_name, s.c_name) AS c_name,
+               round(coalesce(d.c_acctbal, s.c_acctbal), 2) AS c_acctbal,
+               CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS updated
+        FROM customer s FULL OUTER JOIN delta d ON s.c_custkey = d.c_custkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(updated) AS BIGINT) AS n_updated,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM merged
+    """,
+)
+def etl_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 upsert (MERGE-into emulation for plain tables): a delta
+    frame (every 10th customer, balance bumped) full-outer-joins the
+    snapshot on the business key; delta wins where present. This is
+    exactly what MERGE INTO lowers to on engines without Delta/Iceberg
+    ACID — at scale the snapshot is bucketed by c_custkey so the join
+    co-locates and only the delta moves."""
+    s = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    d = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        )
+    )
+    merged = s.alias("s").join(d.alias("d"), "c_custkey", "full_outer").select(
+        F.coalesce(F.col("d.c_name"), F.col("s.c_name")).alias("c_name"),
+        F.round(F.coalesce(F.col("d.c_acctbal"), F.col("s.c_acctbal")), 2).alias("c_acctbal"),
+        F.when(F.col("d.c_name").isNotNull(), 1).otherwise(0).alias("updated"),
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("updated").cast("long").alias("n_updated"),
+        money(F.sum("c_acctbal")).alias("total_bal"),
+    )
+
+
+@register(
+    "etl_scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey, o_orderdate AS valid_from, o_totalprice, o_orderkey
+        FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, o_orderkey) AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey
+                     ORDER BY valid_from, o_orderkey) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current,
+           round(o_totalprice, 2) AS attr_price
+    FROM changes
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each change record becomes a validity
+    interval [valid_from, valid_to) via lead() over the per-key change
+    sequence; the open interval is the current row. One shuffle on the
+    business key — the standard warehouse dimension-history pattern."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w).isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        money("o_totalprice").alias("attr_price"),
+    )
+
+
+@register(
+    "etl_dq_audit",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT) AS bad_price,
+           CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT) AS fk_orphans,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS bad_status
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    """,
+)
+def etl_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: per table one row of (row count, domain
+    violations, FK orphans, enum violations) — the cleanse-gate every
+    ingest pipeline runs before publish. Violations are conditional
+    aggregates (one scan per table); FK orphans are left-anti counts.
+    All-zero violation columns on this corpus is itself the assertion
+    (FIXTURES.md §3 measured FK closure)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    li = t(spark, sf_dir, "lineitem")
+    ok = t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+
+    orders_row = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+        .crossJoin(
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+                F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+            )
+        )
+        .select(
+            F.lit("orders").alias("tbl"), "n_rows", "bad_price", "fk_orphans", "bad_status"
+        )
+    )
+    li_row = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+        .crossJoin(
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col("l_quantity") <= 0).alias("bad_price"),
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).alias("bad_status"),
+            )
+        )
+        .select(
+            F.lit("lineitem").alias("tbl"), "n_rows", "bad_price", "fk_orphans", "bad_status"
+        )
+    )
+    return orders_row.unionAll(li_row)
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(o_clerk_v2) AS BIGINT) AS with_new_col,
+           round(sum(o_totalprice), 2) AS total
+    FROM (
+        SELECT o_orderstatus, o_totalprice, NULL AS o_clerk_v2
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice, o_orderpriority AS o_clerk_v2
+        FROM orders WHERE o_orderkey % 2 = 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution via mergeSchema: generation-1 files lack a column
+    that generation-2 files carry; a merged read unions the footers and
+    null-fills the missing column — additive evolution with no rewrite of
+    old data (the only sane policy at 100 TB). The oracle replays the
+    union with explicit NULL padding."""
+    out = scratch_dir("evolve_orders")
+    shutil.rmtree(out, ignore_errors=True)
+    o = t(spark, sf_dir, "orders")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_totalprice", F.col("o_orderpriority").alias("o_clerk_v2")
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("o_clerk_v2").alias("with_new_col"),
+        money(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "scan_dpp",
+    oracle="""
+    WITH yrs AS (
+        SELECT DISTINCT CAST(extract(year FROM o_orderdate) AS INT) AS yr
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND extract(year FROM o_orderdate) IN (1994, 1995))
+    SELECT CAST(extract(year FROM l_shipdate) AS INT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN yrs ON CAST(extract(year FROM l_shipdate) AS INT) = yrs.yr
+    GROUP BY 1
+    """,
+)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem re-published partitioned by
+    ship_year (the ingest layout), then JOINED ON THE PARTITION COLUMN
+    against a filtered year dim — Catalyst derives the partition set from
+    the dim at runtime (dynamicpruning subquery on the scan, asserted in
+    test_plans) and skips whole directories. At 100 TB this is the
+    date-partitioned-fact × filtered-calendar pattern: I/O scales with the
+    selected partitions, not the table."""
+    # per-SF scratch: a cached layout from another scale factor must not leak
+    out = scratch_dir(f"lineitem_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        shutil.rmtree(out, ignore_errors=True)
+        li = t(spark, sf_dir, "lineitem")
+        li.withColumn("ship_year", F.year("l_shipdate")).write.mode(
+            "overwrite"
+        ).partitionBy("ship_year").parquet(out)
+    part = spark.read.parquet(out)
+    yrs = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.year("o_orderdate").isin(1994, 1995)
+        )
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    return (
+        part.join(yrs, part.ship_year == yrs.yr)
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money(F.sum("l_extendedprice")).alias("revenue"),
+        )
+    )

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.operators.setops",
     "highspeedrailwaybigdatasystem_spark.operators.scalars",
     "highspeedrailwaybigdatasystem_spark.operators.timeseries",
+    "highspeedrailwaybigdatasystem_spark.operators.etl",
     "highspeedrailwaybigdatasystem_spark.sources.formats",
     "highspeedrailwaybigdatasystem_spark.sources.custom_source",
     "highspeedrailwaybigdatasystem_spark.functions.udfs",

@@ -145,7 +145,10 @@ def test_full_surface_plan_hygiene(spark):
     """
     from highspeedrailwaybigdatasystem_spark.registry import all_queries
 
-    BNLJ_OK = {"join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk", "ts_funnel"}
+    BNLJ_OK = {
+        "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
+        "ts_funnel", "etl_dq_audit",  # 1-row aggregate crossJoins
+    }
     ROWPY_OK = {"udf_python_scalar", "udtf_python"}
     failures = []
     for name, fn in sorted(all_queries().items()):
@@ -160,3 +163,11 @@ def test_full_surface_plan_hygiene(spark):
         if "BatchEvalPython" in plan and name not in ROWPY_OK:
             failures.append(f"{name}: unexpected row-Python")
     assert not failures, failures
+
+
+def test_dynamic_partition_pruning(spark):
+    """scan_dpp joins a year-partitioned fact on its partition column
+    against a filtered dim: the scan must carry a dynamicpruning
+    subquery (runtime directory skipping), not a static-only filter."""
+    s = plan_of(spark, "scan_dpp")
+    assert "dynamicpruning" in s.lower(), s[:2000]
