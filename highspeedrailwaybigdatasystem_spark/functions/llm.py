@@ -1238,3 +1238,111 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "llm_seq_packing",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok) / 512) AS BIGINT) AS bin_id
+        FROM toks)
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training batches: docs stream into
+    512-token bins per source in deterministic doc_id order — bin id =
+    floor(preceding-token-cumsum / 512), the standard streaming
+    first-fit used by training-data pipelines (bins can overflow by one
+    doc; no doc is split). One shuffle on source for the cumsum window;
+    at 100 TB packing runs per input shard and bin ids offset by shard."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+@register(
+    "mm_image_resize_stub",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(64 + (doc_id * 37) % 960 AS INT) AS width,
+               CAST(64 + (doc_id * 53) % 960 AS INT) AS height
+        FROM documents WHERE doc_id < 500)
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN width >= height
+                THEN CAST(floor(256.0 * width / height) AS INT)
+                ELSE 256 END AS INT) AS out_w,
+           CAST(CASE WHEN width >= height
+                THEN 256
+                ELSE CAST(floor(256.0 * height / width) AS INT) END AS INT) AS out_h
+    FROM meta
+    """,
+)
+def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (image stand-in): typed (width, height)
+    metadata rides next to an opaque payload column; an Arrow-batched
+    mapInPandas "resizer" computes shortest-side-256 output dims
+    (aspect-preserving — the CLIP/ViT preprocessing contract). Dims are
+    synthesized deterministically from doc_id (no image libs in this
+    environment); a real cv2/PIL resize drops into `resize()` with the
+    same schema and batching."""
+    import numpy as np
+
+    def resize(batches):
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            landscape = w >= h
+            out_w = np.where(landscape, (256.0 * w / h).astype("int64"), 256)
+            out_h = np.where(landscape, 256, (256.0 * h / w).astype("int64"))
+            # real impl: cv2.resize(decode(payload), (out_w, out_h)) per row
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                }
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            (64 + (F.col("doc_id") * 37) % 960).cast("int").alias("width"),
+            (64 + (F.col("doc_id") * 53) % 960).cast("int").alias("height"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    return d.mapInPandas(
+        resize, "doc_id long, width int, height int, out_w int, out_h int"
+    )
