@@ -1,0 +1,622 @@
+"""Adapted TPC-H decision-support suite (SURVEY.md §2.13).
+
+The corpus tables are TPC-H-shaped but carry a reduced column set (no
+``partsupp`` table; no ``l_shipmode``/``l_commitdate``/``l_receiptdate``,
+``o_shippriority``/``o_comment``, ``c_phone``/``c_address``,
+``p_container``/``p_mfgr`` — FIXTURES.md). The classic 22-query workload is
+therefore re-parameterized onto the available columns, keeping each query's
+*shape* (its join graph, aggregation pattern, and plan stressor) intact:
+
+===========  ==========================================================
+query        adaptation
+===========  ==========================================================
+Q1           already on the surface as ``agg_scan_group``
+Q3           drops ``o_shippriority`` from the projection
+Q4           "late" = shipped > 90 days after order date
+             (no commit/receipt dates)
+Q5           already on the surface as ``join_multiway``
+Q7/Q8        nation/region names from the corpus (NATION_n)
+Q12          groups by ``l_returnflag`` (no ``l_shipmode``)
+Q13          order-exclusion filter on ``o_orderpriority``
+             (no ``o_comment``)
+Q19          drops the ``p_container`` conjunct from each OR arm
+Q2,Q9,Q11,   need ``partsupp`` / ``ps_supplycost`` — not expressible on
+Q16,Q20      this corpus, omitted
+Q21          needs commit/receipt dates — omitted
+Q22          needs ``c_phone`` country codes — omitted
+===========  ==========================================================
+
+Scale notes (100 TB design intent):
+
+* Every dimension side (customer-filtered, part-filtered, nation, region,
+  supplier) is explicitly ``broadcast()`` — the only shuffles left are the
+  lineitem⋈orders fact join and the final aggregations.
+* Top-k queries (Q3, Q10, Q18) order by an integer-cents sort key so the
+  LIMIT frontier is deterministic across engines, and Spark plans them as
+  ``TakeOrderedAndProject`` — no global sort of the aggregate output.
+* Q18's "large orders" pre-aggregate is a semi-join reduction: the
+  HAVING-filtered orderkey set (tiny) broadcasts back against lineitem,
+  so the big table is scanned twice but shuffled only once.
+* Q17's correlated scalar subquery is decorrelated by hand into a
+  per-part average aggregate joined broadcast — the plan Catalyst itself
+  produces for the subquery form, made explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import money, ratio, t
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+#: integer-cents revenue sort key — deterministic LIMIT frontier (§5.3)
+_REV_CENTS = "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)"
+
+
+def _rev_cents() -> F.Column:
+    return F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0).cast(
+        "bigint"
+    )
+
+
+def _rev_money() -> F.Column:
+    return money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping-priority: top unshipped-revenue orders for one segment
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q03",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30'
+      AND l_shipdate  > TIMESTAMP '1998-06-30'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY {_REV_CENTS} DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (no o_shippriority column): revenue still open at the
+    cutoff date for one market segment, top-10 orders. Customer (segment
+    sliver) broadcasts; lineitem⋈orders is the one shuffle; the LIMIT runs
+    as TakeOrderedAndProject on an integer-cents key."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < _ts("1998-06-30"))
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1998-06-30"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_rev_money().alias("revenue"), _rev_cents().alias("_cents"))
+        .orderBy(F.col("_cents").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking: orders with at least one late lineitem
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q04",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape ("late" = shipped >90 days after order date; the
+    corpus has no commit/receipt dates). The EXISTS is a left-semi join:
+    equi key l_orderkey=o_orderkey with the lateness residual — shuffles
+    only the quarter's orders plus lineitem keys+dates, aggregates five
+    priority groups map-side."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan-filter-agg
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q06",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim (all columns exist): the canonical
+    predicate-pushdown probe — every filter reaches the parquet scan
+    (PushedFilters), a 4-column ReadSchema, one partial+final agg, zero
+    joins. At 100 TB this is scan-bound; nothing else to optimize."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and year
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q07",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01') AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (corpus nation names): bilateral trade volume by
+    direction and ship year. Both nation joins broadcast; the OR'd
+    nation-pair predicate lands after them, pre-aggregation. The only big
+    shuffle is lineitem⋈orders."""
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_rev_money().alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share inside one region for one product line
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q08",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region    ON n1.n_regionkey = r_regionkey
+          JOIN supplier  ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+            AND p_type LIKE 'ECONOMY%') AS all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (corpus names; p_type prefix class for the product
+    line): NATION_2's share of ASIA-market ECONOMY revenue per order year.
+    Seven-table star: part/customer/supplier/nation/region all broadcast
+    after their filters; lineitem⋈orders is the single fact shuffle; the
+    share is one conditional-sum ratio per year group."""
+    part = t(spark, sf_dir, "part").where(F.col("p_type").startswith("ECONOMY")).select("p_partkey")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            ratio(
+                F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting: top-20 customers by lost revenue
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY {_REV_CENTS} DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (minus the absent c_address/c_phone/c_comment
+    output columns): customers who returned the most revenue in one
+    quarter. Returned-lineitem filter pushes to the scan; customer+nation
+    broadcast; top-20 frontier on integer cents."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_money().alias("revenue"), _rev_cents().alias("_cents"))
+        .orderBy(F.col("_cents").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — priority-class line counts per return flag (shipmode surrogate)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape grouped by l_returnflag (the corpus has no
+    l_shipmode): urgent-vs-other line counts per flag for one ship year.
+    One fact-fact shuffle, conditional sums fold map-side into 3 groups."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (incl. zero-order customers)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) AS c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (order-exclusion predicate on o_orderpriority —
+    the corpus has no o_comment): how many customers placed k qualifying
+    orders, zero included. The left join keeps orderless customers;
+    count(o_orderkey) skips the null-extended rows; double aggregation
+    collapses to ~40 distribution rows."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion revenue share for one month
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 verbatim semantics: percentage of one month's revenue
+    from PROMO-class parts. Part broadcasts against the month sliver of
+    lineitem; single global conditional-ratio aggregate."""
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            ratio(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0.0)))
+                / F.sum(vol)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               {_REV_CENTS} AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (view + scalar-subquery max, decorrelated): supplier(s)
+    with the quarter's top lineitem revenue. The max comparison runs on
+    integer cents so the winner is engine-stable. Per-supplier aggregate
+    is one shuffle; the max is a window over the tiny aggregate."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_money().alias("total_revenue"), _rev_cents().alias("rev_cents")
+    )
+    top = rev.withColumn("_max", F.max("rev_cents").over(Window.partitionBy())).where(
+        F.col("rev_cents") == F.col("_max")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        F.broadcast(top)
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue for one brand
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (no p_container conjunct): yearly-averaged revenue
+    of below-20%-of-average-quantity orders for one brand. The correlated
+    scalar subquery is decorrelated into a per-part avg aggregate joined
+    broadcast — lineitem is scanned twice, shuffled once (the per-part
+    agg); the brand filter prunes the probe side before the join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    probe = li.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        probe.join(F.broadcast(per_part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (orders above a quantity threshold)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 verbatim semantics: customers whose single order exceeds
+    300 units. The HAVING pre-aggregate reduces lineitem to a tiny
+    orderkey set that broadcasts back as a semi-join filter; quantities
+    are integral doubles so sums compare exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "_bigkey")),
+        F.col("o_orderkey") == F.col("_bigkey"),
+        "left_semi",
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").desc(), "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under OR'd brand/size/quantity arm predicates
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (no p_container conjunct in the arms): revenue
+    matched by three OR'd brand×size×quantity windows. The join stays an
+    equi hash join on partkey with the OR residual evaluated post-join;
+    a derived IN-list brand filter pre-prunes the broadcast side."""
+    part = t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm)
+        .agg(_rev_money().alias("revenue"))
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.operators.scalars",
     "highspeedrailwaybigdatasystem_spark.operators.timeseries",
     "highspeedrailwaybigdatasystem_spark.operators.etl",
+    "highspeedrailwaybigdatasystem_spark.operators.tpch",
     "highspeedrailwaybigdatasystem_spark.sources.formats",
     "highspeedrailwaybigdatasystem_spark.sources.custom_source",
     "highspeedrailwaybigdatasystem_spark.functions.udfs",
