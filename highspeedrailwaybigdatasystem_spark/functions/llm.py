@@ -1346,3 +1346,172 @@ def mm_image_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         resize, "doc_id long, width int, height int, out_w int, out_h int"
     )
+
+
+@register(
+    "llm_hash_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tagged)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(count(*) AS DOUBLE) / max(total), 6) AS frac
+    FROM tagged, totals
+    GROUP BY split
+    """,
+)
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash bucket:
+    the first two md5 hex chars of the doc key partition the corpus
+    ~80/10/10 ('00'-'cb' / 'cc'-'e5' / 'e6'-'ff' of 256 buckets). The
+    assignment is a map-side expression — no shuffle, no RNG state, and
+    re-running over 100 TB (or over tomorrow's corpus) lands every
+    surviving doc in the same split; only the tiny 3-group agg shuffles."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = t(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test").alias("split"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        tagged.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .withColumn("frac", ratio(F.col("n_docs") / F.sum("n_docs").over(w_all)))
+    )
+
+
+@register(
+    "llm_contamination",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' AS is_eval
+        FROM documents),
+    grams AS (
+        SELECT doc_id, is_eval,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 4),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+        FROM base WHERE len(tk) >= 5),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE NOT is_eval),
+    eval_grams AS (SELECT doc_id, gram FROM grams WHERE is_eval)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(t.gram) AS BIGINT) AS n_shared,
+           round(CAST(count(t.gram) AS DOUBLE) / count(*), 6) AS contamination
+    FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+    GROUP BY e.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per held-out (eval) document, the
+    fraction of its distinct 5-gram shingles that also appear anywhere in
+    the train split (hash-bucketed eval = md5 first hex 'f', ~6%). This is
+    the standard n-gram-overlap decontamination pass run before training.
+    At 100 TB the train gram set is pre-deduplicated (one shuffle on the
+    gram), eval grams are a sliver joined against it on the gram key; the
+    left join keeps zero-overlap docs in the report."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f").alias("is_eval"),
+    ).where(F.size("tk") >= 5)
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(tk) - 5),"
+                " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))"
+            )
+        ).alias("gram"),
+    )
+    train_grams = grams.where(~F.col("is_eval")).select("gram").distinct()
+    eval_grams = grams.where(F.col("is_eval")).select("doc_id", "gram")
+    shared = train_grams.withColumn("hit", F.lit(1))
+    return (
+        eval_grams.join(shared, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+            ratio(F.count("hit") / F.count(F.lit(1))).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "llm_gopher_repetition",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    tok_stats AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tok,
+               round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+                 AS dup_token_frac
+        FROM base),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM base),
+    counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM bigrams GROUP BY doc_id, gram),
+    top AS (
+        SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM counts GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tok, s.dup_token_frac,
+           round(CAST(t.top_c AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac,
+           (s.dup_token_frac > 0.8 OR CAST(t.top_c AS DOUBLE) / t.n_bigrams > 0.1)
+             AS flagged
+    FROM tok_stats s JOIN top t ON s.doc_id = t.doc_id
+    """,
+)
+def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules: per doc, the duplicate-token
+    fraction (1 - type/token ratio) and the share of the most frequent
+    bigram among all bigrams; a doc is flagged when either exceeds its
+    threshold (0.8 / 0.1 — the published rules use per-n-gram thresholds
+    of this shape). Token stats are pure map-side expressions; only the
+    per-doc bigram count (shuffle on doc_id+gram, combiner-friendly)
+    touches the network — linear in corpus size at 100 TB."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    ).where(F.size("tk") >= 2)
+    tok_stats = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        ratio(1.0 - F.size(F.array_distinct("tk")) / F.size("tk")).alias("dup_token_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    tbf = F.col("top_c") / F.col("n_bigrams")
+    return tok_stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "dup_token_frac",
+        ratio(tbf).alias("top_bigram_frac"),
+        ((F.col("dup_token_frac") > 0.8) | (tbf > 0.1)).alias("flagged"),
+    )

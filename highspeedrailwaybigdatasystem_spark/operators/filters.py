@@ -178,3 +178,48 @@ def proj_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("charge"),
     )
+
+
+@register(
+    "filt_hash_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT l_extendedprice, l_quantity,
+               substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 2) < '0d'
+                 AS in_sample
+        FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS sample_frac,
+           round(sum(CASE WHEN in_sample THEN l_extendedprice ELSE 0 END), 2)
+             AS sampled_price
+    FROM tagged
+    """,
+)
+def filt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via hash bucketing (first two md5 hex chars
+    of the row key < '0d' = 13/256 ≈ 5.08%) — the reproducible alternative
+    to sample()/TABLESAMPLE whose membership is stable across runs,
+    engines, and scale-ups (the property audits and A/B slices need).
+    Pure map-side expression + one global conditional aggregate: a 100 TB
+    scan with no shuffle beyond the single-row agg."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    tagged = li.select(
+        "l_extendedprice",
+        (F.substring(F.md5(key), 1, 2) < "0d").alias("in_sample"),
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).alias("n_sampled"),
+        F.round(
+            F.sum(F.when(F.col("in_sample"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("sample_frac"),
+        F.round(
+            F.sum(F.when(F.col("in_sample"), F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("sampled_price"),
+    )

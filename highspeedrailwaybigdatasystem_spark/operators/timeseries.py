@@ -389,3 +389,99 @@ def ts_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("transitions"))
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', {EVENTS_TS_US}) AS hr,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events WHERE user_id < 10 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.hr, h.cnt FROM spine s
+      LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr),
+    bracketed AS (
+      SELECT user_id, hr, cnt,
+             last_value(cnt IGNORE NULLS) OVER wb AS prev_val,
+             last_value(CASE WHEN cnt IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER wb AS prev_hr,
+             first_value(cnt IGNORE NULLS) OVER wf AS next_val,
+             first_value(CASE WHEN cnt IS NOT NULL THEN hr END IGNORE NULLS)
+               OVER wf AS next_hr
+      FROM joined
+      WINDOW wb AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr, (cnt IS NOT NULL) AS observed,
+           round(CASE WHEN cnt IS NOT NULL THEN cnt
+                 ELSE prev_val + (next_val - prev_val)
+                      * (epoch(hr) - epoch(prev_hr))
+                      / (epoch(next_hr) - epoch(prev_hr)) END, 6) AS cnt_interp
+    FROM bracketed
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on a regular per-series spine (the
+    hypertable `interpolate()` primitive, complementing ts_gapfill's
+    ffill): missing hours get prev + (next-prev)·(t-t_prev)/(t_next-t_prev)
+    from the bracketing observations. Two window passes (backward carry,
+    forward carry) over the same per-series sort — one shuffle on user_id;
+    the spine is generated per series, never a global calendar. Edge rows
+    are always observed (spine spans min..max per series), so the
+    interpolation expression never sees a NULL bracket."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("cnt").isNotNull(), F.col("hr"))
+    bracketed = joined.select(
+        "user_id",
+        "hr",
+        "cnt",
+        F.last("cnt", ignorenulls=True).over(wb).alias("prev_val"),
+        F.last(obs_hr, ignorenulls=True).over(wb).alias("prev_hr"),
+        F.first("cnt", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(obs_hr, ignorenulls=True).over(wf).alias("next_hr"),
+    )
+    frac = (F.unix_timestamp("hr") - F.unix_timestamp("prev_hr")) / (
+        F.unix_timestamp("next_hr") - F.unix_timestamp("prev_hr")
+    )
+    return bracketed.select(
+        "user_id",
+        "hr",
+        F.col("cnt").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("cnt").isNotNull(), F.col("cnt")).otherwise(
+                F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+            ),
+            6,
+        ).alias("cnt_interp"),
+    )
