@@ -171,3 +171,38 @@ def test_dynamic_partition_pruning(spark):
     subquery (runtime directory skipping), not a static-only filter."""
     s = plan_of(spark, "scan_dpp")
     assert "dynamicpruning" in s.lower(), s[:2000]
+
+
+def test_tpch_q6_full_pushdown(spark):
+    """Q6 is the canonical pushdown probe: every filter must reach the
+    parquet scan, and the ReadSchema must shrink to the 4 used columns."""
+    df = _QUERIES["tpch_q06"](spark, SF_ORACLE)
+    s = formatted(df)
+    pushed = next(l for l in s.splitlines() if "PushedFilters" in l)
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, pushed
+    read_schema = next(l for l in s.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # untouched columns never read
+
+
+def test_tpch_topk_frontiers_are_take_ordered(spark):
+    """Q3/Q10/Q18's LIMIT must plan as TakeOrderedAndProject (streamed
+    per-partition top-k + driver merge), never a global sort."""
+    for name in ["tpch_q03", "tpch_q10", "tpch_q18"]:
+        s = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in s, f"{name}: {s}"
+
+
+def test_tpch_q8_star_broadcasts_every_dim(spark):
+    """The 7-table Q8 star leaves exactly one shuffled fact join:
+    part/customer/supplier/nation×2/region all broadcast."""
+    s = plan_of(spark, "tpch_q08")
+    assert s.count("BroadcastHashJoin") >= 6, s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    s = plan_of(spark, "tpch_q04")
+    assert "LeftSemi" in s, s
