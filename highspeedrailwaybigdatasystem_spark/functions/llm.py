@@ -1515,3 +1515,154 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(tbf).alias("top_bigram_frac"),
         ((F.col("dup_token_frac") > 0.8) | (tbf > 0.1)).alias("flagged"),
     )
+
+
+@register(
+    "llm_window_chunking",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tok,
+               unnest(list_transform(
+                   generate_series(0, CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS BIGINT)),
+                   c -> struct_pack(
+                       chunk_id := c,
+                       chunk_tokens := CAST(least(64, len(tk) - c * 48) AS BIGINT),
+                       chunk_text := array_to_string(tk[c*48 + 1 : c*48 + 64], ' ')))) AS ch
+        FROM base)
+    SELECT doc_id, n_tok,
+           CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+           ch.chunk_tokens, md5(ch.chunk_text) AS chunk_md5
+    FROM chunks
+    """,
+)
+def llm_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for LLM training/RAG ingest: each document
+    splits into 64-token windows with stride 48 (16-token overlap), the
+    standard sliding-window prep for models with a fixed context. The
+    chunk count per doc is ceil((n-64)/48)+1 (always ≥1 — short docs
+    yield one partial chunk). Pure map-side transform+explode — no
+    shuffle at all; at 100 TB chunking streams through the scan and the
+    output is written partition-local. Chunk text is md5'd in the result
+    so the oracle compares content identity without hauling strings."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    chunks = base.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int(greatest(ceil((size(tk) - 64) / 48.0), 0))),"
+                " c -> struct(bigint(c) AS chunk_id,"
+                "            bigint(least(64, size(tk) - c * 48)) AS chunk_tokens,"
+                "            concat_ws(' ', slice(tk, c * 48 + 1, 64)) AS chunk_text))"
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        "n_tok",
+        F.col("ch.chunk_id").alias("chunk_id"),
+        F.col("ch.chunk_tokens").alias("chunk_tokens"),
+        F.md5(F.col("ch.chunk_text")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "llm_source_mixture",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(count(*) AS DOUBLE) AS n_sources
+            FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / total_tokens, 6) AS token_share,
+           round((total_tokens / n_sources) / n_tokens, 6) AS uniform_upsample
+    FROM per_source, tot
+    """,
+)
+def llm_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting per source: token counts, the source's
+    share of the corpus, and the repeat factor that would equalize every
+    source to a uniform token budget (the number data-mixing configs are
+    built from — >1 means upsample, <1 means downsample). Token counting
+    is map-side; one shuffle to the ~20 source groups; the corpus total
+    joins back as a broadcast of the tiny aggregate, not a global window."""
+    per_source = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        ratio(F.col("n_tokens") / F.col("total_tokens")).alias("token_share"),
+        ratio((F.col("total_tokens") / F.col("n_sources")) / F.col("n_tokens")).alias(
+            "uniform_upsample"
+        ),
+    )
+
+
+@register(
+    "llm_curriculum_buckets",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS ttr
+        FROM documents),
+    phased AS (
+        SELECT doc_id, n_tok, ttr,
+               CAST(ntile(4) OVER (ORDER BY ttr, doc_id) AS INT) AS phase
+        FROM scored)
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS phase_tokens,
+           round(avg(ttr), 6) AS avg_ttr,
+           round(min(ttr), 6) AS min_ttr,
+           round(max(ttr), 6) AS max_ttr
+    FROM phased GROUP BY phase
+    """,
+)
+def llm_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: rank the corpus by a quality proxy
+    (type-token ratio, doc_id tie-break) and cut it into 4 equal-count
+    training phases with per-phase token budgets — the quantile-phase
+    assignment curriculum schedules consume. ntile's global order is one
+    shuffle at this output grain; at 100 TB the same cut comes from
+    approx_percentile bounds + a map-side bucket expression instead of a
+    global sort (the exact ntile here doubles as that path's oracle)."""
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        ratio(
+            F.size(F.array_distinct(F.split(F.col("text"), " ")))
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("ttr"),
+    )
+    phased = scored.select(
+        "n_tok",
+        "ttr",
+        F.ntile(4).over(Window.orderBy("ttr", "doc_id")).alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("phase_tokens"),
+        ratio(F.avg("ttr")).alias("avg_ttr"),
+        ratio(F.min("ttr")).alias("min_ttr"),
+        ratio(F.max("ttr")).alias("max_ttr"),
+    )

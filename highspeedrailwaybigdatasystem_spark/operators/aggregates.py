@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ._util import money, ratio, t
@@ -721,4 +722,53 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
         .groupBy("o_orderpriority")
         .agg(F.expr("sum(bitmap_count(bm))").cast("long").alias("exact_customers"))
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_quantity AS v,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS wt
+        FROM lineitem),
+    cum AS (
+        SELECT l_returnflag, v,
+               sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w)
+    SELECT l_returnflag, min(v) AS weighted_median
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price-weighted quantity per return flag): the
+    smallest value whose cumulative weight reaches half the group total.
+    The RANGE frame makes every tie-peer share one cumulative value, and
+    weights are integer cents, so the frontier is engine-exact — no
+    float-accumulation ordering hazard. One shuffle on the group key;
+    the two windows share a single sort."""
+    w = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("v"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("wt"),
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(tot_w).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
     )

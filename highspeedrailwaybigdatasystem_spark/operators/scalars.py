@@ -844,3 +844,41 @@ def arr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("counts"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total"),
     )
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+    WITH tier(mktsegment, tier_name, tier_mult) AS (
+        VALUES ('AUTOMOBILE', 'gold', 1.5),
+               ('BUILDING',   'silver', 1.2),
+               ('FURNITURE',  'bronze', 1.0))
+    SELECT t.tier_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c.c_acctbal * t.tier_mult), 2) AS weighted_bal
+    FROM customer c
+    JOIN tier t ON c.c_mktsegment = t.mktsegment
+    GROUP BY t.tier_name
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table (literal lookup/config data joined against the
+    corpus — tier tables, config maps, enum decodes). The literal relation
+    is driver-side and broadcasts by size automatically; the pattern
+    replaces the collect-then-when-chain antipattern for small decode
+    tables."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH tier(mktsegment, tier_name, tier_mult) AS (
+            VALUES ('AUTOMOBILE', 'gold', 1.5D),
+                   ('BUILDING',   'silver', 1.2D),
+                   ('FURNITURE',  'bronze', 1.0D))
+        SELECT t.tier_name,
+               count(*) AS n_cust,
+               round(sum(c.c_acctbal * t.tier_mult), 2) AS weighted_bal
+        FROM customer_v c
+        JOIN tier t ON c.c_mktsegment = t.mktsegment
+        GROUP BY t.tier_name
+        """
+    )
