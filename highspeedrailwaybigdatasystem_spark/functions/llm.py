@@ -1666,3 +1666,38 @@ def llm_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.min("ttr")).alias("min_ttr"),
         ratio(F.max("ttr")).alias("max_ttr"),
     )
+
+
+@register(
+    "llm_embedding_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings)
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(val), 6) AS mean_val,
+           round(stddev_samp(val), 6) AS std_val,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM flat GROUP BY dim
+    """,
+)
+def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health check: per-dimension mean/std/min/max over
+    the corpus — the feature-drift / dead-dimension / collapsed-variance
+    audit run before training on a new embedding batch. posexplode keeps
+    the dimension index; the shuffle is to 64 dim groups with map-side
+    partial aggregation, so network traffic is O(dims × partitions), not
+    O(rows × dims), no matter how large the corpus."""
+    flat = t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "fval")
+    ).select("dim", F.col("fval").cast("double").alias("val"))
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        ratio(F.avg("val")).alias("mean_val"),
+        ratio(F.stddev_samp("val")).alias("std_val"),
+        ratio(F.min("val")).alias("min_val"),
+        ratio(F.max("val")).alias("max_val"),
+    )

@@ -882,3 +882,57 @@ def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tier_name
         """
     )
+
+
+@register(
+    "dt_business_days",
+    oracle="""
+    WITH spans AS (
+        SELECT o_orderpriority,
+               CAST(len(list_filter(
+                   generate_series(CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE), INTERVAL 1 DAY),
+                   d -> dayofweek(d) NOT IN (0, 6))) AS BIGINT) AS busdays
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(busdays), 6) AS avg_busdays,
+           CAST(max(busdays) AS BIGINT) AS max_busdays
+    FROM spans GROUP BY o_orderpriority
+    """,
+)
+def dt_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day span between order and ship date (order-to-ship SLA
+    in weekdays, ≤30-day fulfilments): a day sequence filtered by a
+    weekday lambda, counted — all JVM-side higher-order date functions,
+    no UDF. Engine delta encoded here: Spark dayofweek() is 1=Sunday,
+    DuckDB 0=Sunday. The sequence explode is bounded (≤31 elements) so
+    the expression stays O(1) per row at any corpus size."""
+    joined = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+    )
+    busdays = F.size(
+        F.expr(
+            "filter(sequence(to_date(o_orderdate), to_date(l_shipdate),"
+            " interval 1 day), d -> dayofweek(d) NOT IN (1, 7))"
+        )
+    ).cast("long")
+    return (
+        joined.select("o_orderpriority", busdays.alias("busdays"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("busdays"), 6).alias("avg_busdays"),
+            F.max("busdays").alias("max_busdays"),
+        )
+    )
