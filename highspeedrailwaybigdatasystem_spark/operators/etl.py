@@ -272,3 +272,95 @@ def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("l_extendedprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "etl_dynamic_overwrite",
+    oracle="""
+    WITH adjusted AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CASE WHEN year(o_orderdate) = 1997
+                    THEN round(o_totalprice + 10, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders)
+    SELECT order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM adjusted GROUP BY order_year
+    """,
+)
+def etl_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE of ONE partition):
+    publish orders partitioned by year, then overwrite only year 1997
+    with restated totals under partitionOverwriteMode=dynamic — every
+    other partition's files are untouched (the daily-restatement pattern;
+    static mode would wipe the whole table). The read-back aggregate
+    proves 1997 changed and the rest survived. At 100 TB the rewrite I/O
+    is one partition, not the table."""
+    out = scratch_dir(f"orders_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    # full publish (fresh each run — the op is idempotent end-to-end)
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    restated = orders.where(F.col("order_year") == 1997).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 10, 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "etl_compaction",
+    oracle="""
+    SELECT 'small' AS stage, CAST(64 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    UNION ALL
+    SELECT 'compacted', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+           round(sum(l_extendedprice), 2)
+    FROM lineitem
+    """,
+)
+def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — THE operational hazard of long-lived 100 TB
+    tables (every tiny file costs a task + a namenode entry + a footer
+    read): a 64-file fragmented publish is rewritten via coalesce(4) —
+    coalesce, not repartition, so the rewrite is shuffle-free — and both
+    layouts are audited from the data itself with countDistinct on the
+    ``_metadata.file_path`` hidden column: file counts 64 → 4 with
+    byte-identical content sums."""
+    frag = scratch_dir(f"lineitem_frag_{os.path.basename(sf_dir.rstrip('/'))}")
+    compact = scratch_dir(f"lineitem_compact_{os.path.basename(sf_dir.rstrip('/'))}")
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    t(spark, sf_dir, "lineitem").select(cols).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+
+    def audit(path: str, stage: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .select("l_extendedprice", F.col("_metadata.file_path").alias("fp"))
+            .agg(
+                F.lit(stage).alias("stage"),
+                F.countDistinct("fp").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                money(F.sum("l_extendedprice")).alias("sum_price"),
+            )
+        )
+
+    return audit(frag, "small").unionAll(audit(compact, "compacted"))

@@ -138,3 +138,67 @@ def test_groupby_sum_matches_duckdb(spark, rows):
     sp.columns = ["s", "sk"]
     key = lambda d: sorted(map(tuple, d.itertuples(index=False)))
     assert key(sp) == key(du)
+
+
+def test_chunking_covers_every_token(spark):
+    """llm_window_chunking invariants on the real corpus: chunk count is
+    ceil((n-64)/48)+1 (min 1), per-chunk token sums reconstruct
+    n + 16·(n_chunks-1) (the overlap double-count), and no chunk is empty."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    full = (
+        entrymod.queries()["llm_window_chunking"](spark, SF_ORACLE).toPandas()
+    )
+    g = full.groupby(["doc_id", "n_tok"])["chunk_tokens"]
+    for (doc_id, n_tok), s in g:
+        expect_chunks = max(math.ceil((n_tok - 64) / 48), 0) + 1
+        assert len(s) == expect_chunks, (doc_id, n_tok, len(s))
+        assert (s > 0).all(), (doc_id, "empty chunk")
+        # stride-48/size-64 windows double-count 16 tokens per boundary,
+        # except the last (possibly short) chunk which double-counts
+        # whatever of the 16-token overlap it actually contains
+        if expect_chunks == 1:
+            assert s.sum() == n_tok
+        else:
+            tail = min(n_tok - 48 * (expect_chunks - 1), 64)
+            assert s.iloc[-1] == tail, (doc_id, n_tok, s.iloc[-1], tail)
+            assert s.sum() == 64 * (expect_chunks - 1) + tail
+
+
+def test_hash_split_is_partition(spark):
+    """llm_hash_split: the three splits are disjoint and exhaustive, and
+    membership is stable across invocations (pure function of doc_id)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    q = entrymod.queries()["llm_hash_split"]
+    a = q(spark, SF_ORACLE).toPandas().set_index("split").sort_index()
+    b = q(spark, SF_ORACLE).toPandas().set_index("split").sort_index()
+    assert set(a.index) == {"train", "val", "test"}
+    assert a["n_docs"].sum() == 500  # every doc in exactly one split
+    pd.testing.assert_frame_equal(a, b)  # deterministic re-run
+
+
+def test_weighted_median_brute_force(spark):
+    """agg_weighted_median vs a driver-side brute force on the same data."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    got = (
+        entrymod.queries()["agg_weighted_median"](spark, SF_ORACLE)
+        .toPandas()
+        .set_index("l_returnflag")["weighted_median"]
+    )
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    li["wt"] = (li.l_extendedprice * 100).round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values("l_quantity")
+        cum = g.groupby("l_quantity")["wt"].sum().cumsum()
+        half = g["wt"].sum() / 2
+        expect = cum[cum >= half].index[0]
+        assert got[flag] == expect, (flag, got[flag], expect)
