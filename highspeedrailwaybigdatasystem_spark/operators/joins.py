@@ -461,3 +461,131 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", gap.cast("long").alias("gap_us"))
     )
+
+
+@register(
+    "geo_grid_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT)
+                % 2000) / 100.0 - 10 AS lat,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4) AS INT)
+                % 36000) / 100.0 - 180 AS lon
+        FROM customer)
+    SELECT a.id AS a_id, b.id AS b_id,
+           round(2 * 6371.0 * asin(sqrt(
+               sin(radians((b.lat - a.lat) / 2)) ^ 2
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians((b.lon - a.lon) / 2)) ^ 2)), 3) AS dist_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE 2 * 6371.0 * asin(sqrt(
+              sin(radians((b.lat - a.lat) / 2)) ^ 2
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * sin(radians((b.lon - a.lon) / 2)) ^ 2)) < 50
+    """,
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join (all point pairs within 50 km, haversine) via
+    1°-grid bucketing: each point lands in one cell, the probe side
+    explodes to its 3×3 cell neighborhood, candidates equi-join ON THE
+    CELL KEY, and the exact haversine runs only inside buckets. The
+    oracle is the O(n²) brute force — identical results, because 50 km
+    < 1° of latitude everywhere and < 1° of longitude for |lat| ≤ 10°
+    (the synthesized band), so no qualifying pair can escape adjacency.
+    This is the standard way to make distance-radius joins linear at
+    100 TB: shuffle on cell, O(density²) work per cell, never O(n²).
+    Coordinates are md5-derived from the key (engine-identical ints, so
+    both sides compute bit-equal doubles)."""
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
+    ).toDF("id", "lat", "lon")
+    cell = lambda df: df.withColumn("cy", F.floor("lat").cast("int")).withColumn(
+        "cx", F.floor("lon").cast("int")
+    )
+    build = cell(pts).toDF("b_id", "b_lat", "b_lon", "cy", "cx")
+    probe = (
+        cell(pts)
+        .select(
+            "id",
+            "lat",
+            "lon",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dy ->"
+                    " transform(sequence(-1, 1), dx -> struct(cy + dy AS cy, cx + dx AS cx))))"
+                )
+            ).alias("nc"),
+        )
+        .select("id", "lat", "lon", F.col("nc.cy").alias("cy"), F.col("nc.cx").alias("cx"))
+    )
+    cand = probe.join(build, ["cy", "cx"]).where(F.col("id") < F.col("b_id"))
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians((F.col("b_lat") - F.col("lat")) / 2)), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.pow(F.sin(F.radians((F.col("b_lon") - F.col("lon")) / 2)), 2)
+            )
+        )
+    )
+    return (
+        cand.withColumn("dist_km", dist)
+        .where(F.col("dist_km") < 50)
+        .select(
+            F.col("id").alias("a_id"),
+            "b_id",
+            F.round("dist_km", 3).alias("dist_km"),
+        )
+    )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT 'null_free' AS variant, CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'with_null', CAST(count(*) AS BIGINT)
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                        ELSE o_custkey END
+                            FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN is NOT an anti join when the subquery can yield NULL: one
+    NULL in the set makes `x NOT IN (...)` UNKNOWN for every x, so the
+    with_null variant returns 0 rows — the classic three-valued-logic
+    trap. Spark plans the null-free variant as a plain LeftAnti and the
+    nullable one as a null-aware anti join (broadcast build side scans
+    for NULL before rejecting); both SQL strings are shared verbatim
+    with the oracle. At scale the null-free rewrite (filter NULLs out of
+    the subquery explicitly when the semantics allow) is the difference
+    between a shuffled anti join and a broadcast null-scan."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cust_naa")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_naa")
+    return spark.sql(
+        """
+        SELECT 'null_free' AS variant, count(*) AS n_cust
+        FROM cust_naa
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_naa
+                                WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT 'with_null', count(*)
+        FROM cust_naa
+        WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                            ELSE o_custkey END
+                                FROM orders_naa
+                                WHERE o_orderpriority = '1-URGENT')
+        """
+    )

@@ -147,7 +147,7 @@ def test_full_surface_plan_hygiene(spark):
 
     BNLJ_OK = {
         "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
-        "ts_funnel", "etl_dq_audit",  # 1-row aggregate crossJoins
+        "ts_funnel", "etl_dq_audit", "llm_source_mixture",  # 1-row aggregate crossJoins
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python"}
     failures = []
