@@ -1701,3 +1701,42 @@ def llm_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.min("val")).alias("min_val"),
         ratio(F.max("val")).alias("max_val"),
     )
+
+
+@register(
+    "llm_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(-ln(f.c / tot.n)), 6) AS avg_nll
+    FROM tok t JOIN freq f ON t.token = f.token, tot
+    GROUP BY t.doc_id
+    """,
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: each doc scored by the mean negative
+    log-likelihood of its tokens under the corpus unigram distribution —
+    the cheap statistical stand-in for model-based perplexity filtering
+    (high avg_nll = rare-token-heavy = boilerplate/garbage candidates).
+    The unigram table is a tiny aggregate broadcast back against the
+    token stream; at 100 TB the vocabulary fits in a broadcast while the
+    token explode never leaves the map side until the per-doc agg."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            ratio(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_nll"),
+        )
+    )

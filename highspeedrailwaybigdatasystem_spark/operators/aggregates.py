@@ -772,3 +772,29 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in OLS aggregates (price ~ quantity per return flag):
+    regr_slope / intercept / r² — single-pass moment accumulation with
+    map-side partials, so the shuffle carries five sums per group no
+    matter the row count. The SQL-standard regr_* family, JVM-side."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        ratio(F.regr_slope(y, x)).alias("slope"),
+        ratio(F.regr_intercept(y, x)).alias("intercept"),
+        ratio(F.regr_r2(y, x)).alias("r2"),
+    )

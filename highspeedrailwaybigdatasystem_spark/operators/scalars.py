@@ -936,3 +936,22 @@ def dt_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("busdays").alias("max_busdays"),
         )
     )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (c_name, c_acctbal)
+    FROM customer WHERE c_custkey < 20
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (cols) — Spark 4's star-except projection (DuckDB
+    spells it EXCLUDE): project everything but the named columns without
+    enumerating the survivors, the schema-evolution-friendly idiom for
+    wide tables. Column pruning still reaches the scan: the excluded
+    columns never leave the parquet footer."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("cust_sx")
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM cust_sx WHERE c_custkey < 20"
+    )
