@@ -252,3 +252,47 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "src_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile ingest — THE source for multimodal corpora (images,
+    audio, video arrive as opaque files, not rows): 50 payload files are
+    staged on disk (UTF-8 doc text standing in for media bytes), read
+    back with ``format("binaryFile")`` (path, length, content columns),
+    and identity-audited by md5 of the raw bytes; the doc key is
+    recovered from the file path. At 100 TB this scan parallelizes per
+    file and binds payload bytes to typed metadata columns — exactly the
+    mm_decode/resize plumbing's upstream. ASCII text ⇒ strlen(text) on
+    the oracle side equals the staged byte length."""
+    from ..operators._util import t as _t
+
+    stage = scratch_dir(f"binfiles_{os.path.basename(sf_dir.rstrip('/'))}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()  # 50 tiny rows: driver-side staging of the fixture files
+        )
+        for r in rows:
+            with open(os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        open(done, "w").close()
+    binf = spark.read.format("binaryFile").load(os.path.join(stage, "*.bin"))
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
