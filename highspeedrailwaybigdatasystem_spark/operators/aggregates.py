@@ -798,3 +798,35 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.regr_intercept(y, x)).alias("intercept"),
         ratio(F.regr_r2(y, x)).alias("r2"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+    FROM (SELECT DISTINCT c_mktsegment, n_name
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (SQL:2023, new in Spark 4) — ordered
+    delimiter-joined string aggregation (DuckDB spells it string_agg
+    ORDER BY). The WITHIN GROUP sort is per-group and explicit, so the
+    concatenation is deterministic — the requirement that makes listagg
+    oracle-checkable at all."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+               count(DISTINCT n_name) AS n_nations
+        FROM (SELECT DISTINCT c_mktsegment, n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        GROUP BY c_mktsegment
+        """
+    )

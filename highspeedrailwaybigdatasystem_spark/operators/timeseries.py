@@ -485,3 +485,57 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cnt_interp"),
     )
+
+
+@register(
+    "ts_seasonal_ma",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1),
+    trended AS (
+        SELECT d, rev_cents,
+               CAST(count(*) OVER w AS BIGINT) AS win_n,
+               sum(rev_cents) OVER w AS win_cents
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    resid AS (
+        SELECT d,
+               (rev_cents - win_cents / 7.0) / 100.0 AS residual
+        FROM trended WHERE win_n = 7)
+    SELECT CAST(dayofweek(d) + 1 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(residual), 4) AS seasonal_idx
+    FROM resid GROUP BY dow
+    """,
+)
+def ts_seasonal_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality via centered-MA detrend (decompose-lite):
+    daily revenue minus its centered 7-day moving average (full windows
+    only — the first/last 3 days have no defined trend), residuals
+    averaged per day-of-week. Revenue is carried as integer cents through
+    the window so trend subtraction is engine-exact; the division back to
+    currency happens once per row. One sort for the trend window, a
+    7-group agg after. Oracle delta: DuckDB dayofweek is 0=Sunday vs
+    Spark 1=Sunday."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("rev_cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "rev_cents",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("rev_cents").over(w).alias("win_cents"),
+    )
+    resid = trended.where(F.col("win_n") == 7).select(
+        "d",
+        ((F.col("rev_cents") - F.col("win_cents") / 7.0) / 100.0).alias("residual"),
+    )
+    return resid.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("residual"), 4).alias("seasonal_idx"),
+    )
