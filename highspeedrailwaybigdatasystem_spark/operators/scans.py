@@ -73,3 +73,53 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet aggregate pushdown (spark.sql.parquet.aggregatePushdown):
+    COUNT(*)/MIN/MAX answered from row-group footer statistics without
+    decoding a single data page — the plan shows PushedAggregation and an
+    empty data ReadSchema. At 100 TB this turns full-table audits (row
+    counts, key ranges) from an I/O storm into a footer walk. Pushdown
+    only exists on the DSv2 read path, so BOTH confs are scoped here and
+    restored after: aggregatePushdown on, parquet off the V1 source list
+    (plan then shows BatchScan + PushedAggregation — asserted in
+    test_plans)."""
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(s for s in prev_v1.split(",") if s and s != "parquet"),
+    )
+    try:
+        def audit(name: str, key: str) -> DataFrame:
+            # read straight from the file (no schema cast: pushdown needs
+            # the physical column type) — keys are int64 in every table
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            return df.agg(
+                F.lit(name).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+            )
+
+        out = audit("lineitem", "l_orderkey").unionAll(audit("orders", "o_orderkey"))
+        out.collect()  # materialize under the scoped conf
+        return out
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -147,7 +147,8 @@ def test_full_surface_plan_hygiene(spark):
 
     BNLJ_OK = {
         "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
-        "ts_funnel", "etl_dq_audit", "llm_source_mixture",  # 1-row aggregate crossJoins
+        # 1-row aggregate crossJoins:
+        "ts_funnel", "etl_dq_audit", "llm_source_mixture", "llm_perplexity_proxy",
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python"}
     failures = []
@@ -206,3 +207,23 @@ def test_tpch_q8_star_broadcasts_every_dim(spark):
 def test_tpch_q4_exists_is_semi_join(spark):
     s = plan_of(spark, "tpch_q04")
     assert "LeftSemi" in s, s
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """scan_agg_pushdown's COUNT/MIN/MAX must be answered from parquet
+    footer statistics: DSv2 BatchScan with a PushedAggregation entry."""
+    from pyspark.sql import functions as F
+
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+        )
+        s = formatted(df)
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in s, s
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
