@@ -273,3 +273,40 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
     return p.select("p_partkey", make_sku("p_brand", "p_size").alias("sku"))
+
+
+@register(
+    "udf_pandas_iterator",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * 1.07, 2) AS taxed
+    FROM orders
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[pd.Series] → Iterator[pd.Series]):
+    the state block before the loop runs ONCE per partition, then every
+    Arrow batch streams through it — the API shape for amortizing
+    expensive per-executor init (tokenizer / model / compiled regex
+    loading) across batches instead of paying it per call. Here the
+    "model" is a tax rate; the semantics stay oracle-exact."""
+    from typing import Iterator
+
+    def apply_tax(batches):
+        rate = 1.07  # stands in for: load model/tokenizer once per partition
+        for prices in batches:
+            # no pandas-side .round(): numpy half-even diverges from the
+            # oracle's half-away — currency rounding stays JVM-side (money())
+            yield prices * rate
+
+    # real type objects (module-wide `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot introspect)
+    apply_tax.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    apply_tax = F.pandas_udf("double")(apply_tax)
+
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", money(apply_tax("o_totalprice")).alias("taxed")
+    )

@@ -326,3 +326,53 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ratio(F.expr("percentile(value, 0.5)").over(w)).alias("med11"),
     )
+
+
+@register(
+    "win_session_window_fn",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, value, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, event_id, value, {EVENTS_TS_US} AS ts_us FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    numbered AS (
+      SELECT user_id, value, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged)
+    SELECT user_id,
+           min(ts_us) AS session_start,
+           max(ts_us) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def win_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window() in batch groupBy (the same function
+    the streaming op uses, minus the watermark): events within a 30-min
+    gap merge into one session struct whose end = last event + gap. The
+    oracle is the manual gaps-and-islands formulation (ts_sessionize's
+    shape) with end re-derived as max(ts)+gap — proving the built-in and
+    the hand-rolled lowering agree session-for-session. One shuffle on
+    (user, session) — Spark merges windows inside the aggregation."""
+    e = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
