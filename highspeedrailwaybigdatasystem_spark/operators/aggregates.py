@@ -208,18 +208,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect",
     oracle="""
-    SELECT r_name, list(n_name ORDER BY n_name) AS nations
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted list of nation names per region (deterministic: array_sort)."""
+    """Sorted list of nation names per region. The surface flattens the
+    collected array to a comma-joined string — array cells are not hashable
+    by the external canonicalizer (SURVEY.md §5.3)."""
     df = t(spark, sf_dir, "nation").join(
         F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey")
     )
     return df.groupBy("r_name").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
 
 

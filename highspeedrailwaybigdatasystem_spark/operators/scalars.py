@@ -170,13 +170,16 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS INT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
            round(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
-           list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))), ',') AS head3
     FROM embeddings
     """,
 )
 def arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array basics over the embedding column. Oracle deltas: DuckDB len()
-    is BIGINT; DuckDB list slicing [1:3] ≡ Spark slice(arr, 1, 3)."""
+    is BIGINT; DuckDB list slicing [1:3] ≡ Spark slice(arr, 1, 3). head3 is
+    flattened through decimal(18,6) → string so both engines render
+    identical fixed-point text (double→string diverges on sci-notation)."""
     e = t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
@@ -184,8 +187,12 @@ def arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(emb).alias("dim"),
         F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
         F.round(F.element_at(emb, -1).cast("double"), 6).alias("last_elem"),
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double"), 6)
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 3),
+                lambda x: F.round(x.cast("double"), 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
         ).alias("head3"),
     )
 
@@ -385,28 +392,30 @@ def null_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
     SELECT doc_id,
-           list_sort(list_distinct(list_concat(toks, ['hash', 'zzz_new']))) AS union_toks,
-           list_sort(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))) AS common_toks,
-           list_sort(list_filter(toks, x -> x NOT IN ('hash', 'join', 'scan'))) AS rest_toks,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(toks, ['hash', 'zzz_new']))), ','), '') AS union_toks,
+           coalesce(array_to_string(list_sort(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))), ','), '') AS common_toks,
+           coalesce(array_to_string(list_sort(list_filter(toks, x -> x NOT IN ('hash', 'join', 'scan'))), ','), '') AS rest_toks,
            (len(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))) > 0) AS has_any
     FROM d
     """,
 )
 def arr_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra against a constant vocabulary: union / intersect /
-    except / overlap. Outputs are sorted — set-op result order is
-    engine-specific."""
+    except / overlap. Outputs are sorted then comma-joined — set-op result
+    order is engine-specific, and array cells don't survive the external
+    canonicalizer (SURVEY.md §5.3)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     probe = F.array(F.lit("hash"), F.lit("join"), F.lit("scan"))
     return d.select(
         "doc_id",
-        F.array_sort(
-            F.array_union("toks", F.array(F.lit("hash"), F.lit("zzz_new")))
+        F.array_join(
+            F.array_sort(F.array_union("toks", F.array(F.lit("hash"), F.lit("zzz_new")))),
+            ",",
         ).alias("union_toks"),
-        F.array_sort(F.array_intersect("toks", probe)).alias("common_toks"),
-        F.array_sort(F.array_except("toks", probe)).alias("rest_toks"),
+        F.array_join(F.array_sort(F.array_intersect("toks", probe)), ",").alias("common_toks"),
+        F.array_join(F.array_sort(F.array_except("toks", probe)), ",").alias("rest_toks"),
         F.arrays_overlap("toks", probe).alias("has_any"),
     )
 
@@ -585,15 +594,16 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, count(*) AS cnt
       FROM events GROUP BY user_id, event_type)
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(cnt ORDER BY event_type) AS type_counts
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS type_counts
     FROM per_type GROUP BY user_id
     """,
 )
 def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build map<event_type → count> per user, read it back as sorted
-    key/value arrays (MAP iteration order is engine-specific, so the output
-    contract is sorted arrays — SURVEY.md §2.8 map_ops)."""
+    """Build map<event_type → count> per user, read it back as sorted,
+    comma-joined key/value strings (MAP iteration order is engine-specific
+    and array cells don't survive the external canonicalizer — SURVEY.md
+    §2.8 map_ops + §5.3)."""
     e = t(spark, sf_dir, "events")
     per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
     with_map = per_type.groupBy("user_id").agg(
@@ -602,8 +612,10 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = F.array_sort(F.map_keys(F.col("m")))
     return with_map.select(
         "user_id",
-        keys.alias("type_keys"),
-        F.transform(keys, lambda k: F.element_at(F.col("m"), k)).alias("type_counts"),
+        F.array_join(keys, ",").alias("type_keys"),
+        F.array_join(
+            F.transform(keys, lambda k: F.element_at(F.col("m"), k).cast("string")), ","
+        ).alias("type_counts"),
     )
 
 
@@ -809,9 +821,10 @@ def str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events WHERE user_id < 20 GROUP BY user_id, event_type)
         GROUP BY user_id)
     SELECT user_id,
-           list_sort(list_transform(list_filter(entries, e -> e.cnt >= 10),
-                                    e -> e.et)) AS busy_types,
-           list_sort(list_transform(entries, e -> e.cnt * 2)) AS doubled,
+           coalesce(array_to_string(list_sort(list_transform(list_filter(entries, e -> e.cnt >= 10),
+                                     e -> e.et)), ','), '') AS busy_types,
+           coalesce(array_to_string(list_transform(list_sort(list_transform(entries, e -> e.cnt * 2)),
+                                          x -> CAST(x AS VARCHAR)), ','), '') AS doubled,
            CAST(list_aggregate(list_transform(entries, e -> e.cnt), 'sum') AS BIGINT) AS total
     FROM m
     """,
@@ -819,8 +832,9 @@ def str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map higher-order functions: build map(event_type → count) per user,
     then map_filter / transform_values / aggregate over values. Outputs
-    are sorted ARRAYS, not maps — map key order is engine-defined, arrays
-    canonicalize it (SURVEY.md §2.8 map_ops rule)."""
+    are sorted then comma-joined — map key order is engine-defined and
+    array cells don't survive the external canonicalizer (SURVEY.md §2.8
+    map_ops rule + §5.3)."""
     e = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
     counts = (
         e.groupBy("user_id", "event_type")
@@ -834,11 +848,15 @@ def arr_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counts.select(
         "user_id",
-        F.array_sort(
-            F.map_keys(F.map_filter("counts", lambda k, v: v >= 10))
+        F.array_join(
+            F.array_sort(F.map_keys(F.map_filter("counts", lambda k, v: v >= 10))), ","
         ).alias("busy_types"),
-        F.array_sort(
-            F.map_values(F.transform_values("counts", lambda k, v: v * 2))
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_values(F.transform_values("counts", lambda k, v: v * 2))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("doubled"),
         F.aggregate(
             F.map_values("counts"), F.lit(0).cast("long"), lambda acc, x: acc + x

