@@ -370,23 +370,96 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_matrix(spark: SparkSession, sf_dir: str):
-    """(ids, matrix) of the whole embeddings table as float64 numpy, for
-    broadcast into block-wise GEMM kernels. At 100 TB the corpus side stays
-    distributed and only a bounded block (here: the full 2 k×64 table,
-    ~1 MB) is broadcast — the classic block-matrix-multiply layout."""
-    import numpy as np
+#: Rows per GEMM block. A task touches 2·BLOCK·dim float64 inputs plus a
+#: BLOCK² sims tile (~2 MB at dim 64) — memory-bound constant, NOT data-sized;
+#: the block-pair grid shards the O(N²) work across the cluster.
+_SIM_BLOCK = 512
 
-    rows = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", "label")
-        .orderBy("vec_id")
-        .collect()
+
+def _sim_block_side(spark: SparkSession, sf_dir: str, side: str, with_label: bool):
+    """One side of the block×block GEMM cogroup. Fresh read per side —
+    identical lineage on both cogroup sides trips Spark's ambiguous-self-join
+    detection."""
+    cols = [
+        F.col("vec_id").alias(f"{side}_id"),
+        F.col("embedding").alias(f"{side}_emb"),
+        F.expr(f"vec_id div {_SIM_BLOCK}").alias(f"{side}_blk"),
+    ]
+    if with_label:
+        cols.append(F.col("label").alias(f"{side}_label"))
+    return t(spark, sf_dir, "embeddings").select(*cols)
+
+
+def _block_pair_grid(spark: SparkSession, n_blocks: int) -> DataFrame:
+    """Upper-triangular block-pair list (bi ≤ bj) built DISTRIBUTED from one
+    spark.range(P²) with div/mod — never a driver-side Python list (P² tuples
+    would OOM the driver at large corpus sizes) and never a cartesian join
+    (spark.range splits shard the enumeration across executors)."""
+    p = F.lit(n_blocks)
+    return (
+        spark.range(n_blocks * n_blocks)
+        .select((F.col("id") / p).cast("long").alias("bi"), (F.col("id") % p).alias("bj"))
+        .where(F.col("bi") <= F.col("bj"))
     )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    labels = np.array([r["label"] for r in rows], dtype=np.int32)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    return ids, labels, mat
+
+
+def _blocked_gemm(
+    spark: SparkSession,
+    sf_dir: str,
+    kernel,
+    out_schema: str,
+    with_label: bool = False,
+) -> DataFrame:
+    """FULLY DISTRIBUTED all-pairs layout — no driver collect, no corpus
+    broadcast: rows are assigned to contiguous _SIM_BLOCK-row blocks, the
+    upper-triangular block-pair grid is equi-joined against both sides, and
+    each cogroup task runs `kernel(key, left_block, right_block)` — one numpy
+    float64 GEMM tile per task. Data inflation is P× per side, the standard
+    block-matrix trade; the only driver-side value is the single block-count
+    scalar."""
+    n_blocks = int(
+        _sim_block_side(spark, sf_dir, "x", False).agg(F.max("x_blk") + 1).head()[0]
+    )  # single-scalar plan parameter (O(1) driver memory)
+    # fresh grid per side — shared lineage across cogroup sides is ambiguous
+    left = (
+        _sim_block_side(spark, sf_dir, "l", with_label)
+        .join(_block_pair_grid(spark, n_blocks), F.col("l_blk") == F.col("bi"))
+        .drop("l_blk")
+        .groupBy("bi", "bj")
+    )
+    right = (
+        _sim_block_side(spark, sf_dir, "r", with_label)
+        .join(_block_pair_grid(spark, n_blocks), F.col("r_blk") == F.col("bj"))
+        .drop("r_blk")
+        .groupBy("bi", "bj")
+    )
+    return left.cogroup(right).applyInPandas(kernel, out_schema)
+
+
+def _threshold_pair_kernel(threshold: float):
+    """Kernel: emit (vec_a, vec_b, sim) for unordered pairs with rounded
+    cosine ≥ threshold. lid < rid counts each pair once (the diagonal block
+    pair contains both orientations; off-diagonal blocks satisfy it for
+    free since block id is vec_id div BLOCK)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+            )
+        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
+        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
+        sims = (la @ rb.T).round(6)
+        lid = lpdf["l_id"].to_numpy()
+        rid = rpdf["r_id"].to_numpy()
+        ii, jj = np.nonzero((sims >= threshold) & (lid[:, None] < rid[None, :]))
+        return pd.DataFrame(
+            {"vec_a": lid[ii], "vec_b": rid[jj], "sim": sims[ii, jj]}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
+
+    return kernel
 
 
 @register(
@@ -401,43 +474,39 @@ def _embedding_matrix(spark: SparkSession, sf_dir: str):
 )
 def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering sanity check: average intra-label vs inter-label cosine
-    over all pairs. Executed as block-wise GEMM: each Arrow batch of rows is
-    multiplied against the broadcast corpus matrix in numpy (float64), ~100×
-    faster than per-element HOF lambdas and the layout that scales — the
-    distributed side streams, the broadcast side is a bounded block.
-    Partial (sum, count) per block, final aggregation in Spark."""
+    over all pairs. Runs on the fully distributed block×block GEMM layout
+    (_blocked_gemm — no driver collect, no corpus broadcast): each block-pair
+    task emits a 2-row partial (same_label, sim_sum, cnt); the final
+    aggregation is a 2-group Spark agg."""
     import numpy as np
     import pandas as pd
 
-    ids, labels, mat = _embedding_matrix(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, labels, mat))
-
-    def block_stats(batches):
-        b_ids, b_labels, b_mat = bc.value
-        for pdf in batches:
-            out = {True: [0.0, 0], False: [0.0, 0]}
-            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = row_mat @ b_mat.T  # (batch × corpus) float64 GEMM
-            for i, vid in enumerate(pdf["vec_id"]):
-                mask = b_ids > vid  # each unordered pair counted once
-                same = b_labels[mask] == pdf["label"].iloc[i]
-                s = sims[i, mask]
-                out[True][0] += float(s[same].sum())
-                out[True][1] += int(same.sum())
-                out[False][0] += float(s[~same].sum())
-                out[False][1] += int((~same).sum())
-            yield pd.DataFrame(
-                {
-                    "same_label": [True, False],
-                    "sim_sum": [out[True][0], out[False][0]],
-                    "cnt": [out[True][1], out[False][1]],
-                }
+    def pair_label_stats(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"same_label": [], "sim_sum": [], "cnt": []}).astype(
+                {"same_label": "bool", "sim_sum": "float64", "cnt": "int64"}
             )
+        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
+        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
+        sims = la @ rb.T  # float64 GEMM tile; rounding happens at the avg
+        pair_once = lpdf["l_id"].to_numpy()[:, None] < rpdf["r_id"].to_numpy()[None, :]
+        same = (
+            lpdf["l_label"].to_numpy()[:, None] == rpdf["r_label"].to_numpy()[None, :]
+        )
+        rows = []
+        for tf in (True, False):
+            m = pair_once & (same == tf)
+            rows.append((tf, float(sims[m].sum()), int(m.sum())))
+        return pd.DataFrame(rows, columns=["same_label", "sim_sum", "cnt"]).astype(
+            {"same_label": "bool", "sim_sum": "float64", "cnt": "int64"}
+        )
 
-    partials = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", "embedding")
-        .mapInPandas(block_stats, "same_label boolean, sim_sum double, cnt long")
+    partials = _blocked_gemm(
+        spark,
+        sf_dir,
+        pair_label_stats,
+        "same_label boolean, sim_sum double, cnt long",
+        with_label=True,
     )
     return partials.groupBy("same_label").agg(
         F.sum("cnt").alias("pair_cnt"),
@@ -455,36 +524,13 @@ def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35; corpus max ~0.51).
-    Block-wise GEMM like llm_sim_pairs_label: each batch × broadcast corpus
-    matrix, threshold applied inside the kernel so only qualifying pairs
-    leave Python. Threshold compares the ROUNDED sim on both sides so a
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.35; corpus max ~0.51)
+    on the fully distributed block×block GEMM layout — no driver collect, no
+    corpus broadcast. Threshold applied inside the kernel so only qualifying
+    pairs leave Python, and it compares the ROUNDED sim on both sides so a
     last-ulp GEMM-vs-fold difference can't flip membership at the cut."""
-    import numpy as np
-    import pandas as pd
-
-    ids, _, mat = _embedding_matrix(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def block_pairs(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (row_mat @ b_mat.T).round(6)
-            rows_a, rows_b, rows_s = [], [], []
-            for i, vid in enumerate(pdf["vec_id"]):
-                mask = (b_ids > vid) & (sims[i] >= 0.35)
-                rows_a.extend([vid] * int(mask.sum()))
-                rows_b.extend(b_ids[mask].tolist())
-                rows_s.extend(sims[i, mask].tolist())
-            yield pd.DataFrame(
-                {"vec_a": rows_a, "vec_b": rows_b, "sim": rows_s}
-            ).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
-
-    return (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(block_pairs, "vec_a long, vec_b long, sim double")
+    return _blocked_gemm(
+        spark, sf_dir, _threshold_pair_kernel(0.35), "vec_a long, vec_b long, sim double"
     )
 
 
@@ -506,47 +552,63 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for EVERY vector (batch k-NN, the
     build-the-similarity-graph shape behind near-dup clustering and
-    retrieval indexes). Block-GEMM per Arrow batch against the broadcast
-    corpus matrix; the top-k selection happens INSIDE the kernel
-    (argpartition), so only k rows per vector leave Python. Ranking uses
-    the rounded sim with neighbor-id tie-break on both sides, making the
-    cut deterministic across engines."""
+    retrieval indexes), on the fully distributed block×block GEMM layout —
+    no driver collect, no corpus broadcast.
+
+    Each block-pair task emits each row's LOCAL top-k vs the opposite block
+    (both directions for off-diagonal pairs), under the total order
+    (sim DESC, neighbor_id ASC) — the global top-k is a subset of the union
+    of per-block top-k's under the same total order, so a final window
+    row_number over ≤ P·k candidates per vector finishes the selection.
+    Sims are rounded BEFORE ranking on both sides, making the cut
+    deterministic across engines."""
     import numpy as np
     import pandas as pd
 
-    ids, _, mat = _embedding_matrix(spark, sf_dir)
-    bc = spark.sparkContext.broadcast((ids, mat))
     k = 5
 
-    def block_knn(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            row_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (row_mat @ b_mat.T).round(6)
-            out_v, out_n, out_r, out_s = [], [], [], []
-            for i, vid in enumerate(pdf["vec_id"]):
-                s = sims[i].copy()
-                s[b_ids == vid] = -np.inf  # exclude self
-                # top-k by (sim DESC, neighbor_id ASC); the candidate set is
-                # everything >= the k-th largest sim so boundary TIES are all
-                # present before the id tie-break decides the cut
-                kth = np.partition(s, -k)[-k]
-                cand = np.nonzero(s >= kth)[0]
-                order = cand[np.lexsort((b_ids[cand], -s[cand]))][:k]
-                out_v.extend([vid] * k)
-                out_n.extend(b_ids[order].tolist())
-                out_r.extend(range(1, k + 1))
-                out_s.extend(s[order].tolist())
-            yield pd.DataFrame(
-                {"vec_id": out_v, "neighbor_id": out_n, "rnk": out_r, "sim": out_s}
-            ).astype(
-                {"vec_id": "int64", "neighbor_id": "int64", "rnk": "int32", "sim": "float64"}
-            )
+    def local_topk(vids, nids, sims, out, self_mask=False):
+        """Per-row top-k of `sims` (rows=vids, cols=nids) appended to out."""
+        for i, vid in enumerate(vids):
+            s = sims[i].copy()
+            if self_mask:
+                s[nids == vid] = -np.inf  # exclude self on the diagonal block
+            kk = min(k, len(nids))
+            # candidate set = everything >= the k-th largest sim, so boundary
+            # TIES are all present before the id tie-break decides the cut
+            kth = np.partition(s, -kk)[-kk]
+            cand = np.nonzero(s >= kth)[0]
+            order = cand[np.lexsort((nids[cand], -s[cand]))][:kk]
+            for j in order:
+                out.append((vid, int(nids[j]), float(s[j])))
 
+    def block_knn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+            )
+        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
+        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
+        sims = (la @ rb.T).round(6)
+        lid = lpdf["l_id"].to_numpy()
+        rid = rpdf["r_id"].to_numpy()
+        diagonal = key[0] == key[1]
+        out: list[tuple] = []
+        local_topk(lid, rid, sims, out, self_mask=diagonal)
+        if not diagonal:  # off-diagonal: right rows see the left block too
+            local_topk(rid, lid, sims.T, out)
+        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"]).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+
+    candidates = _blocked_gemm(
+        spark, sf_dir, block_knn, "vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(block_knn, "vec_id long, neighbor_id long, rnk int, sim double")
+        candidates.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk", "sim")
     )
 
 
@@ -584,69 +646,15 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup via FULLY DISTRIBUTED block×block GEMM —
-    no driver collect, no broadcast of the corpus (contrast with
-    llm_embed_near_dup, whose broadcast matrix is the bounded-corpus
-    shortcut).
-
-    Rows are assigned to √N-ish blocks; the upper-triangular block-pair
-    list (P·(P+1)/2 pairs) is joined against both sides and cogrouped, so
-    each task multiplies one block against one block in numpy float64.
-    Data inflation is P× per side — the standard block-matrix trade; at
-    100 TB, block size is chosen so a block pair fits one executor's
-    memory, and the pair list shards the O(N²) work across the cluster."""
-    import numpy as np
-    import pandas as pd
-
-    BLOCK = 512
-
-    def blocked(side: str):
-        # fresh read per side — identical lineage on both cogroup sides
-        # trips Spark's ambiguous-self-join detection
-        return t(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias(f"{side}_id"),
-            F.col("embedding").alias(f"{side}_emb"),
-            F.expr(f"vec_id div {BLOCK}").alias(f"{side}_blk"),
-        )
-
-    n_blocks = (
-        blocked("x").agg(F.max("x_blk")).head()[0] + 1
-    )  # scalar plan parameter
-    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-
-    def pair_df():
-        return spark.createDataFrame(pair_rows, "bi long, bj long")
-
-    left = (
-        blocked("l")
-        .join(pair_df(), F.col("l_blk") == F.col("bi"))
-        .select("bi", "bj", "l_id", "l_emb")
-        .groupBy("bi", "bj")
-    )
-    right = (
-        blocked("r")
-        .join(pair_df(), F.col("r_blk") == F.col("bj"))
-        .select("bi", "bj", "r_id", "r_emb")
-        .groupBy("bi", "bj")
-    )
-
-    def block_gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
-            )
-        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
-        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
-        sims = (la @ rb.T).round(6)
-        lid = lpdf["l_id"].to_numpy()
-        rid = rpdf["r_id"].to_numpy()
-        ii, jj = np.nonzero((sims >= 0.35) & (lid[:, None] < rid[None, :]))
-        return pd.DataFrame(
-            {"vec_a": lid[ii], "vec_b": rid[jj], "sim": sims[ii, jj]}
-        ).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
-
-    return left.cogroup(right).applyInPandas(
-        block_gemm, "vec_a long, vec_b long, sim double"
+    """All-pairs cosine near-dup via the FULLY DISTRIBUTED block×block GEMM
+    layout (_blocked_gemm): rows → _SIM_BLOCK-row blocks, the
+    upper-triangular block-pair grid (enumerated with spark.range div/mod,
+    never a driver list) equi-joined against both sides and cogrouped, one
+    numpy float64 GEMM tile per task. No driver collect, no corpus
+    broadcast; block size bounds a task's memory and the grid shards the
+    O(N²) work across the cluster."""
+    return _blocked_gemm(
+        spark, sf_dir, _threshold_pair_kernel(0.35), "vec_a long, vec_b long, sim double"
     )
 
 
