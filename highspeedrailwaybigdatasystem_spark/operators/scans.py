@@ -118,8 +118,10 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         out = audit("lineitem", "l_orderkey").unionAll(audit("orders", "o_orderkey"))
-        out.collect()  # materialize under the scoped conf
-        return out
+        # materialize ONCE under the scoped conf and hand back the rows —
+        # returning the lazy frame would re-optimize (and re-execute) under
+        # the caller's restored confs, silently dropping the pushdown
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -227,36 +227,62 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA trailing lookback. A value L steps back carries weight (1-α)^L =
+#: 0.7^128 ≈ 1.6e-20 — twelve orders below the round(6) surface, so the
+#: trailing-window EWMA is numerically the full EWMA while bounding per-key
+#: state at O(L) instead of O(series length).
+EWMA_LOOKBACK = 128
+
+
 @register(
     "ts_ewma",
     oracle=f"""
-    WITH ordered AS (
-        SELECT user_id, list(value ORDER BY {EVENTS_TS_US}, event_id) AS vals
-        FROM events GROUP BY user_id)
+    WITH ranked AS (
+        SELECT user_id, value, {EVENTS_TS_US} AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY {EVENTS_TS_US} DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_all
+        FROM events),
+    ordered AS (
+        SELECT user_id, max(n_all) AS n_events,
+               list(value ORDER BY ts_us, event_id) AS vals
+        FROM ranked WHERE rn <= {EWMA_LOOKBACK} GROUP BY user_id)
     SELECT user_id,
-           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(n_events AS BIGINT) AS n_events,
            round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
     FROM ordered
     """,
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user (alpha=0.3), the
-    recursive smoother window functions can't express: fold the ordered
-    value list with a higher-order aggregate — seed = first value, then
-    acc' = alpha*x + (1-alpha)*acc. Left fold order is identical in Spark
-    and DuckDB, so float64 results match bit-for-bit. Scale: one shuffle
-    on user_id; per-key state is O(series length) — for unbounded series
-    the streaming twin (stream_custom_state) keeps O(1) state instead."""
-    e = t(spark, sf_dir, "events")
-    ordered = e.groupBy("user_id").agg(
+    recursive smoother window functions can't express, over the TRAILING
+    EWMA_LOOKBACK events: rank rows newest-first with a window (sort-based,
+    spillable), keep rn <= L, then fold the ordered bounded list — seed =
+    oldest retained value, acc' = alpha*x + (1-alpha)*acc. Left fold order
+    is identical in Spark and DuckDB, so float64 results match bit-for-bit.
+    Scale: shuffles on user_id only; per-key state is O(L) — a hot key with
+    10^8 events no longer materializes its whole series in one executor.
+    n_events still reports the FULL series length. The streaming twin
+    (stream_custom_state) keeps O(1) state instead."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        e.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_all", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .where(F.col("rn") <= EWMA_LOOKBACK)
+    )
+    ordered = recent.groupBy("user_id").agg(
+        F.max("n_all").alias("n_events"),
         F.transform(
             F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
             lambda s: s.value,
-        ).alias("vals")
+        ).alias("vals"),
     )
     return ordered.select(
         "user_id",
-        F.size("vals").cast("long").alias("n_events"),
+        F.col("n_events").cast("long").alias("n_events"),
         F.round(
             F.aggregate(
                 F.slice("vals", 2, F.size("vals") - 1),
