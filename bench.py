@@ -36,7 +36,7 @@ HEADLINE = {
     "q_window": "win_rownum_topk",           # row_number top-3 per customer
     "q_topk": "topk_global",                 # group+order+limit
     "q_json": "json_extract",                # json props → agg
-    "q_session_ish": "win_lag_lead",         # per-user ordered event walk
+    "q_session_ish": "ts_hourly_rollup",     # per-user hourly rollup, top 20
     "q_dedup": "llm_exact_dedup",            # content-hash dedup
     "q_sim_topk": "llm_sim_topk",            # cosine top-k over embeddings
     "q_text_stats": "llm_text_stats",        # tokenize+explode+agg

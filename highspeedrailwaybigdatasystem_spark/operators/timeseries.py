@@ -227,6 +227,34 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_hourly_rollup",
+    oracle=f"""
+    SELECT user_id, date_trunc('hour', {EVENTS_TS_US}) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    ORDER BY n_events DESC, user_id, hour_start LIMIT 20
+    """,
+)
+def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly activity rollup, top 20 busiest (user, hour) cells —
+    the BASELINE.md q_session_ish shape, now a first-class op so the bench
+    and the DuckDB baseline compare like-for-like. One partial-aggregated
+    shuffle on (user_id, hour) then a TakeOrderedAndProject frontier; ties
+    broken by (user_id, hour_start) so the cut is deterministic."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id", "hour_start")
+        .limit(20)
+    )
+
+
 #: EWMA trailing lookback. A value L steps back carries weight (1-α)^L =
 #: 0.7^128 ≈ 1.6e-20 — twelve orders below the round(6) surface, so the
 #: trailing-window EWMA is numerically the full EWMA while bounding per-key

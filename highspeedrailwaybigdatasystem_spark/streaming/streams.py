@@ -115,7 +115,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, {EVENTS_TS_US} AS ts_us,
+      SELECT user_id, {EVENTS_TS_US} AS ts_us, event_id,
              CASE WHEN {EVENTS_TS_US} - lag({EVENTS_TS_US})
                        OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id)
                        >= INTERVAL 30 MINUTE
@@ -124,8 +124,12 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     numbered AS (
+      -- ORDER BY must be the IDENTICAL total order as the lag() window above:
+      -- duplicate timestamps within a user would otherwise let the running
+      -- sum see the new_session flag in a different row order and split
+      -- sessions differently from Spark's session_window
       SELECT user_id, ts_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM ordered)
     SELECT user_id, min(ts_us) AS session_start, count(*) AS n_events
