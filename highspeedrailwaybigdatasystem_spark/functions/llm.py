@@ -1748,3 +1748,84 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+             CASE lang WHEN 'en' THEN '80'
+                       WHEN 'de' THEN 'c0'
+                       WHEN 'fr' THEN 'c0'
+                       WHEN 'es' THEN '40'
+                       ELSE 'ff' END AS cut
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE h < cut) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (WHERE h < cut) AS DOUBLE) / count(*), 6)
+               AS kept_frac
+    FROM tagged GROUP BY lang
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified downsampling — the corpus-
+    rebalancing step of a training-data pipeline (downweight the dominant
+    language, keep the rare ones whole). Selection is content-addressed:
+    keep a doc iff the md5(doc_id) hex prefix falls below the stratum's
+    cut (en 50%, de/fr 75%, es 25%, zh 100%) — reproducible across runs
+    and engines, no RNG, no shuffle beyond the one counting aggregate,
+    and trivially parallel at 100 TB (a map-side filter)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    cut = (
+        F.when(F.col("lang") == "en", "80")
+        .when(F.col("lang").isin("de", "fr"), "c0")
+        .when(F.col("lang") == "es", "40")
+        .otherwise("ff")
+    )
+    kept = F.count(F.when(h < cut, F.lit(1)))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        kept.alias("n_kept"),
+        ratio(kept.cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle="""
+    WITH scrubbed AS (
+      SELECT event_type,
+             len(regexp_extract_all(props, '[0-9]+\\.?[0-9]*')) AS n_nums,
+             regexp_replace(props, '[0-9]+\\.?[0-9]*', '<NUM>', 'g') AS red
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(n_nums) AS BIGINT) AS n_redactions,
+           CAST(sum(len(red)) AS BIGINT) AS redacted_len_sum
+    FROM scrubbed GROUP BY event_type
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII/numeric scrubbing over the raw props payload — the
+    redact-before-training step (here: every numeric literal → <NUM>;
+    production swaps in email/phone/ssn patterns, same plumbing). Count
+    and replace run as JVM-side regexp built-ins inside one codegen'd
+    projection — no Python in the hot path — then a per-type audit
+    aggregate reports redaction volume. DuckDB needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    e = t(spark, sf_dir, "events")
+    pat = r"[0-9]+\.?[0-9]*"
+    scrub = e.select(
+        "event_type",
+        F.size(F.regexp_extract_all("props", F.lit(pat), F.lit(0))).alias("n_nums"),
+        F.length(F.regexp_replace("props", pat, "<NUM>")).alias("red_len"),
+    )
+    return scrub.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_nums").cast("long").alias("n_redactions"),
+        F.sum("red_len").cast("long").alias("redacted_len_sum"),
+    )

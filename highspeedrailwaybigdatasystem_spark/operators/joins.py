@@ -589,3 +589,55 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHERE o_orderpriority = '1-URGENT')
         """
     )
+
+
+@register(
+    "join_bloom_filter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: a selective dimension
+    filter (urgent + high-value orders) is turned into a bloom_filter_agg
+    that prunes the FACT side during its scan, before the shuffle — at
+    100 TB this is the difference between shuffling the whole lineitem
+    table and shuffling only the ~0.1% that can match. Thresholds are
+    scoped so the optimizer injects the filter at this toy scale (and the
+    broadcast path is disabled — a broadcast join would subsume the bloom
+    filter); the injected `bloom_filter_agg`/`might_contain` pair is
+    asserted in test_plans. Materialized under the scoped confs (the lazy
+    frame would re-optimize without them)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = t(spark, sf_dir, "orders").where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+        )
+        l = t(spark, sf_dir, "lineitem")
+        out = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

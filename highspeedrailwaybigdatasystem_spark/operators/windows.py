@@ -332,15 +332,18 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_session_window_fn",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, value, ts_us,
+      SELECT user_id, value, ts_us, event_id,
              CASE WHEN lag(ts_us) OVER w IS NULL
                   OR ts_us - lag(ts_us) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM (SELECT user_id, event_id, value, {EVENTS_TS_US} AS ts_us FROM events) e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
     numbered AS (
+      -- running sum MUST use the identical total order as the lag window:
+      -- duplicate timestamps would otherwise order the flag row differently
+      -- and split sessions differently from session_window()
       SELECT user_id, value, ts_us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM flagged)

@@ -227,3 +227,34 @@ def test_parquet_aggregate_pushdown(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_bloom_filter_join_injection(spark):
+    """join_bloom_filter's selective dim filter must inject a runtime
+    bloom filter that prunes the fact scan: bloom_filter_agg on the
+    creation side, might_contain on the application side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000)
+        )
+        l = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
