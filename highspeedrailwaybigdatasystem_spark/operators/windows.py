@@ -188,6 +188,15 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment ntile/percent_rank/cume_dist. Scale bound
+    (SURVEY §4.3): the partition key has only 5 values, so each window
+    partition holds corpus/5 rows in ONE task — inherent to *exact*
+    rank-based quantile semantics (every row's rank depends on the whole
+    partition). At 100 TB, prefer the cutpoint pattern used by
+    ``llm_curriculum_buckets``: per-segment ``percentile``/
+    ``approx_percentile`` cutpoints (tiny agg, broadcast) + map-side
+    comparison — approximate ranks, no single-task sort. Kept exact here
+    because the op's contract IS the exact window-function battery."""
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return t(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -79,7 +79,7 @@ SCHEMAS: dict[str, StructType] = {
     ),
     "events": _st(
         ("event_id", LongType()),
-        ("ts", TimestampType()),  # ns in parquet; Spark truncates to µs (FIXTURES.md)
+        ("ts", TimestampType()),  # timestamp[us] in parquet since 2026-08-13 regen (FIXTURES.md)
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -103,14 +103,19 @@ TABLE_NAMES = tuple(SCHEMAS)
 
 EMBEDDING_DIM = 64
 
-#: events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4.x cannot read as
-#: a timestamp at all (PARQUET_TYPE_ILLEGAL). With
+#: Legacy read schema for ns-encoded events files. Historically the corpus
+#: stored ``ts`` as parquet TIMESTAMP(NANOS), which Spark 4.x cannot read as
+#: a timestamp at all (PARQUET_TYPE_ILLEGAL); with
 #: spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) the column
-#: arrives as a raw ns-since-epoch long; ``load`` converts it to a µs
+#: arrives as a raw ns-since-epoch long and is converted to a µs
 #: TimestampType with exact integer division (``div``, not ``/`` — ns epochs
-#: exceed double's 2^53 exact-integer range). The corpus has zero sub-µs
-#: components (FIXTURES.md), so the conversion is lossless and matches
-#: DuckDB's CAST(ts AS TIMESTAMP) µs view used in every oracle.
+#: exceed double's 2^53 exact-integer range). The corpus was regenerated on
+#: 2026-08-13 with ``ts`` as plain timestamp[us], which Spark reads natively
+#: — so ``load`` now sniffs the actual footer type per file (one driver-side
+#: metadata read, cached per path) and only falls back to this path for
+#: genuinely ns-encoded data. Applying the ns path to µs data silently
+#: shrinks every timestamp 1000× (the round-2 incident), hence the
+#: footer branch plus the statistics range guard below.
 EVENTS_READ_SCHEMA = _st(
     ("event_id", LongType()),
     ("ts", LongType()),
@@ -119,6 +124,68 @@ EVENTS_READ_SCHEMA = _st(
     ("value", DoubleType()),
     ("props", StringType()),
 )
+
+#: events.ts must land in this closed interval (FIXTURES.md: corpus spans
+#: 2024-01-01…2024-01-30). A unit drift (ns↔µs mixup = ×1000) blows far
+#: past this window, so the guard turns silent corruption into a loud error.
+_EVENTS_TS_MIN_US = 1_672_531_200_000_000  # 2023-01-01 UTC, generous lower bound
+_EVENTS_TS_MAX_US = 1_735_689_600_000_000  # 2025-01-01 UTC, generous upper bound
+
+#: Per-path cache of the sniffed ts encoding: "us"/"ns" timestamp or "int64-ns".
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def _sniff_events_ts_kind(path: str) -> str:
+    """Classify the physical encoding of ``ts`` from the parquet footer.
+
+    Driver-side metadata-only read (no data pages). Also validates the
+    footer's column statistics for ``ts`` against the documented corpus
+    range so a regenerated corpus with a different unit fails loudly here
+    instead of producing 1000×-off results downstream.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    t = pq.read_schema(files[0]).field("ts").type
+    ts_str = str(t)
+    if ts_str.startswith("timestamp["):
+        unit = t.unit  # 'us' or 'ns'
+        kind = unit
+    elif ts_str == "int64":
+        kind = "int64-ns"
+    else:
+        raise TypeError(f"events.ts has unsupported parquet type {ts_str} in {files[0]}")
+
+    # Range guard from footer row-group statistics (still metadata-only).
+    md = pq.ParquetFile(files[0]).metadata
+    arrow_schema = md.schema.to_arrow_schema()
+    ts_idx = arrow_schema.get_field_index("ts")
+    stats = md.row_group(0).column(ts_idx).statistics
+    if stats is not None and stats.has_min_max:
+        lo, hi = stats.min, stats.max
+        # Normalize to µs-since-epoch for the check.
+        import datetime as _dt
+
+        def _to_us(v: object) -> int:
+            if isinstance(v, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo or _dt.timezone.utc)
+                return int((v.replace(tzinfo=epoch.tzinfo) - epoch).total_seconds() * 1e6)
+            v = int(v)  # raw int64: ns for int64-ns files
+            return v // 1000 if kind in ("int64-ns", "ns") else v
+
+        lo_us, hi_us = _to_us(lo), _to_us(hi)
+        if not (_EVENTS_TS_MIN_US <= lo_us and hi_us <= _EVENTS_TS_MAX_US):
+            raise ValueError(
+                f"events.ts statistics out of documented corpus range "
+                f"(FIXTURES.md 2024-01-01…2024-01-30): min={lo} max={hi} "
+                f"kind={kind} file={files[0]} — possible unit drift; refusing to load"
+            )
+    return kind
 
 
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
@@ -134,11 +201,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sees identical types regardless of parquet footer details; column
     pruning and predicate pushdown still apply (schema is a projection
     contract, not a cast).
+
+    ``events`` is special-cased: the physical encoding of ``ts`` is sniffed
+    from the parquet footer (cached per path) and the reader branches —
+    native TimestampType for timestamp[us] data, the legacy
+    nanosAsLong + div-1000 conversion only for int64/timestamp[ns] data.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        raw = spark.read.schema(EVENTS_READ_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        kind = _EVENTS_TS_KIND.get(path)
+        if kind is None:
+            kind = _sniff_events_ts_kind(path)
+            _EVENTS_TS_KIND[path] = kind
+        if kind == "us":
+            return spark.read.schema(SCHEMAS["events"]).parquet(path)
+        raw = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
         return _events_ts_to_timestamp(raw)
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

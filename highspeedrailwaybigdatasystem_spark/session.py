@@ -32,8 +32,10 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.ts is TIMESTAMP(NANOS) parquet — unreadable by Spark 4.x as
-        # timestamp; read as raw ns long, converted in schemas.load.
+        # Legacy-corpus support: if events.ts is TIMESTAMP(NANOS) parquet
+        # (unreadable by Spark 4.x as timestamp), read it as a raw ns long,
+        # converted in schemas.load. Harmless for the current timestamp[us]
+        # corpus — schemas.load sniffs the footer and reads natively there.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

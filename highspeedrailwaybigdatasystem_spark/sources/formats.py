@@ -208,14 +208,16 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     End-of-stream state equals the batch aggregate, so the oracle is exact.
     The file source needs a directory, so the parquet is staged into
     scratch first."""
-    from ..schemas import EVENTS_READ_SCHEMA
+    from ..schemas import EVENTS_READ_SCHEMA, SCHEMAS, _sniff_events_ts_kind
 
+    kind = _sniff_events_ts_kind(f"{sf_dir}/events.parquet")
+    schema = SCHEMAS["events"] if kind == "us" else EVENTS_READ_SCHEMA
     src_dir = scratch_dir("stream_file_source_events")
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events_0.parquet"))
     stream = (
-        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(src_dir)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))

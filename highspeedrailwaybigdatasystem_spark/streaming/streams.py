@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..schemas import EVENTS_READ_SCHEMA, _events_ts_to_timestamp
+from ..schemas import (
+    EVENTS_READ_SCHEMA,
+    SCHEMAS,
+    _events_ts_to_timestamp,
+    _sniff_events_ts_kind,
+)
 from ..sources._scratch import scratch_dir
 from ..operators._util import EVENTS_TS_US, money
 
@@ -35,18 +40,23 @@ from ..operators._util import EVENTS_TS_US, money
 def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1, tag: str = "") -> DataFrame:
     """File-source stream over the events table. copies>1 stages duplicate
     files so the run spans multiple micro-batches (maxFilesPerTrigger=1).
-    ts arrives as raw ns long (Spark can't read TIMESTAMP(NANOS) parquet)
-    and is converted to a µs timestamp — see schemas.EVENTS_READ_SCHEMA."""
+
+    readStream requires an explicit schema, so the same footer sniff as the
+    batch loader (schemas.load) picks between native timestamp[us] reads and
+    the legacy ns-long + div-1000 conversion — see schemas._sniff_events_ts_kind."""
     src = f"{sf_dir}/events.parquet"
+    kind = _sniff_events_ts_kind(src)
     d = scratch_dir(f"stream_src_{tag}_{os.path.basename(sf_dir)}_{copies}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     for i in range(copies):
         shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
-    reader = spark.readStream.schema(EVENTS_READ_SCHEMA)
+    schema = SCHEMAS["events"] if kind == "us" else EVENTS_READ_SCHEMA
+    reader = spark.readStream.schema(schema)
     if copies > 1:
         reader = reader.option("maxFilesPerTrigger", 1)
-    return _events_ts_to_timestamp(reader.parquet(d))
+    out = reader.parquet(d)
+    return out if kind == "us" else _events_ts_to_timestamp(out)
 
 
 def _run_to_memory(df, name: str, mode: str) -> None:

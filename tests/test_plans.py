@@ -145,12 +145,28 @@ def test_full_surface_plan_hygiene(spark):
     """
     from highspeedrailwaybigdatasystem_spark.registry import all_queries
 
+    import re
+
     BNLJ_OK = {
         "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
         # 1-row aggregate crossJoins:
         "ts_funnel", "etl_dq_audit", "llm_source_mixture", "llm_perplexity_proxy",
+        "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python"}
+    # Unpartitioned windows single-task the whole input at scale; only OK
+    # when the window's input is already aggregated to a bounded grain:
+    GLOBALWIN_OK = {
+        "win_moving_avg",    # over daily rollup — |days| rows
+        "ts_seasonal_ma",    # over daily rollup — |days| rows
+        "tpch_q15",          # global max over per-supplier revenue (Q15 shape)
+        "llm_hash_split",    # share-of-total over a 3-row split aggregate
+    }
+    # windowspecdefinition(...) whose first argument is already a sort order
+    # (or the frame itself) has no partition columns => global window.
+    _global_win = re.compile(
+        r"windowspecdefinition\((?:[^(,]+ (?:ASC|DESC)|specifiedwindowframe)"
+    )
     failures = []
     for name, fn in sorted(all_queries().items()):
         if name.startswith("stream_"):
@@ -163,6 +179,8 @@ def test_full_surface_plan_hygiene(spark):
             failures.append(f"{name}: unexpected BNLJ")
         if "BatchEvalPython" in plan and name not in ROWPY_OK:
             failures.append(f"{name}: unexpected row-Python")
+        if _global_win.search(plan) and name not in GLOBALWIN_OK:
+            failures.append(f"{name}: unpartitioned window over unbounded input")
     assert not failures, failures
 
 

@@ -15,16 +15,26 @@ from pyspark.sql import functions as F
 
 from highspeedrailwaybigdatasystem_spark.schemas import (
     EVENTS_READ_SCHEMA,
+    SCHEMAS,
     _events_ts_to_timestamp,
+    _sniff_events_ts_kind,
 )
 from highspeedrailwaybigdatasystem_spark.sources._scratch import scratch_dir
 from tests.conftest import SF_ORACLE
 
 
-def _run_counting_query(spark, src, ckpt, sink_table):
-    stream = _events_ts_to_timestamp(
+def _read_events_stream(spark, src):
+    """Footer-aware events stream reader (mirrors streams._stream_events)."""
+    kind = _sniff_events_ts_kind(src)
+    if kind == "us":
+        return spark.readStream.schema(SCHEMAS["events"]).parquet(src)
+    return _events_ts_to_timestamp(
         spark.readStream.schema(EVENTS_READ_SCHEMA).parquet(src)
     )
+
+
+def _run_counting_query(spark, src, ckpt, sink_table):
+    stream = _read_events_stream(spark, src)
     q = (
         stream.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -47,8 +57,7 @@ def test_restart_resumes_from_checkpoint(spark):
 
     events = f"{SF_ORACLE}/events.parquet"
     base = (
-        spark.read.schema(EVENTS_READ_SCHEMA)
-        .parquet(events)
+        spark.read.parquet(events)
         .groupBy("event_type")
         .count()
         .collect()
@@ -113,9 +122,7 @@ def _run_custom_state_query(spark, src, ckpt) -> dict[int, int]:
         for r in batch_df.collect():
             latest[r["user_id"]] = r["n_events"]
 
-    stream = _events_ts_to_timestamp(
-        spark.readStream.schema(EVENTS_READ_SCHEMA).parquet(src)
-    )
+    stream = _read_events_stream(spark, src)
     q = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
@@ -149,8 +156,7 @@ def test_custom_state_recovers_under_rocksdb(spark):
     events = f"{SF_ORACLE}/events.parquet"
     expected_one = {
         r["user_id"]: r["count"]
-        for r in spark.read.schema(EVENTS_READ_SCHEMA)
-        .parquet(events)
+        for r in spark.read.parquet(events)
         .groupBy("user_id")
         .count()
         .collect()
