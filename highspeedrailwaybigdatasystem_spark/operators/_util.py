@@ -5,9 +5,10 @@ them identically:
 
 * ``money(col)``   — round(x, 2) for currency aggregates (double, not decimal).
 * ``ratio(col)``   — round(x, 6) for ratios / similarities / stats.
-* events.ts is nanosecond parquet; Spark truncates to µs on read. Oracle SQL
-  must therefore reference it as ``CAST(ts AS TIMESTAMP)`` (DuckDB µs) — the
-  ``EVENTS_TS_US`` snippet below is interpolated into oracles for that.
+* events.ts is timestamp[us] parquet (regen 2026-08-13; was ns through round
+  2). ``EVENTS_TS_US`` below is now an identity cast in DuckDB — kept so
+  every oracle stays unit-explicit and the legacy ns path (schemas.load
+  footer branch) still canonicalizes identically.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import load
 
-#: DuckDB-side µs-canonical view of events.ts (parquet is ns; Spark reads µs).
+#: DuckDB-side µs-canonical view of events.ts (identity on the µs corpus).
 EVENTS_TS_US = "CAST(ts AS TIMESTAMP)"
 
 
