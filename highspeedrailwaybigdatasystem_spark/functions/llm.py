@@ -104,14 +104,20 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(tk) - 2),
                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
       FROM toks),
+    hashed AS (
+      SELECT doc_id, sh,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+      FROM shingle),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
     sig AS (
-      SELECT doc_id, s.seed, min(md5(concat(CAST(s.seed AS VARCHAR), ':', sh))) AS mh
-      FROM shingle CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS seed) s
+      SELECT doc_id, s.seed,
+             min((CAST(1000003 AS BIGINT) * (s.seed + 1) * h
+                  + 7919 * s.seed + 271) % 4294967291) AS mh
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS seed) s
       GROUP BY doc_id, s.seed),
     band AS (
       SELECT doc_id, seed // 4 AS band_id,
-             md5(string_agg(mh, '|' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
       FROM sig GROUP BY doc_id, seed // 4),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -136,12 +142,17 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding built from pure DataFrame ops (the 100 TB
     near-dedup path, deterministic and exactly oracle-checkable):
 
-    distinct 3-token shingles → 20 md5 min-hashes (seed-prefixed) → 5 bands
-    of 4 → band-signature self-join for candidates → exact Jaccard verify
-    at ≥ 0.2. Banding makes candidate generation linear in corpus size; the
-    quadratic work happens only inside band-collision buckets. md5 stands in
-    for xxhash64 so DuckDB can replicate the signature bit-for-bit (at
-    production scale xxhash64 is the cheaper choice)."""
+    distinct 3-token shingles → ONE md5 per shingle, folded to a 32-bit
+    base hash → 20 min-hashes from an affine universal-hash family
+    ``(a_s·h + b_s) mod p`` (p = 4294967291, largest 32-bit prime; a_s, b_s
+    seed-indexed constants) → 5 bands of 4 → band-signature self-join for
+    candidates → exact Jaccard verify at ≥ 0.2. Banding makes candidate
+    generation linear in corpus size; the quadratic work happens only
+    inside band-collision buckets. The affine family replaces the previous
+    20-md5s-per-shingle scheme — hashing cost drops 20× (md5 once, then
+    integer ops that stay inside whole-stage codegen) and DuckDB replicates
+    the signature bit-for-bit (all arithmetic < 2^57, no 64-bit wrap).
+    At production scale xxhash64 would replace md5 as the base hash."""
     d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("tk"))
     shingle = (
         d.select(
@@ -155,12 +166,18 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cache()
     sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # all 20 min-hashes in ONE aggregation pass: per-row md5s fold into
-    # map-side partial mins, so the shuffle carries 20 columns × n_docs
-    # groups — not an exploded (shingle × seed) row set.
-    sig = shingle.groupBy("doc_id").agg(
+    hashed = shingle.withColumn(
+        "h", F.expr("cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)")
+    )
+    # all 20 min-hashes in ONE aggregation pass: per-row affine mixes fold
+    # into map-side partial mins, so the shuffle carries 20 columns ×
+    # n_docs groups — not an exploded (shingle × seed) row set.
+    P = 4294967291  # largest 32-bit prime; a*h+b < 2^57 so no overflow
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            F.min(
+                (F.lit(1000003 * (s + 1)) * F.col("h") + F.lit(7919 * s + 271)) % P
+            ).alias(f"mh{s}")
             for s in range(20)
         ]
     )
@@ -173,7 +190,11 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(j).alias("band_id"),
                         F.md5(
                             F.concat_ws(
-                                "|", *[f"mh{4 * j + i}" for i in range(4)]
+                                "|",
+                                *[
+                                    F.col(f"mh{4 * j + i}").cast("string")
+                                    for i in range(4)
+                                ],
                             )
                         ).alias("band_sig"),
                     )
