@@ -1874,3 +1874,88 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nums").cast("long").alias("n_redactions"),
         F.sum("red_len").cast("long").alias("redacted_len_sum"),
     )
+
+
+@register(
+    "llm_incremental_bloom_dedup",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 >= 8
+      AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 < 8)
+    """,
+)
+def llm_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch dedup with a hand-rolled distributed Bloom
+    prefilter: docs with ``doc_id % 10 < 8`` stand in for the already-
+    ingested corpus, the rest for today's batch; the op returns the batch
+    docs whose content is genuinely new.
+
+    The 100 TB shape this demonstrates: anti-joining a small daily batch
+    against the full corpus hash set shuffles the corpus every day. A
+    Bloom filter of the corpus hashes is a fixed-size bitmap (m bits,
+    built once with a bit_or aggregate — here m = 2^17 as 2048 64-bit
+    words) that routes the batch: positions not all set ⇒ DEFINITELY new,
+    emitted with no join at all; all k positions set ⇒ *maybe* duplicate,
+    and only that sliver takes the exact anti-join confirm. End result is
+    EXACT regardless of the filter's false-positive rate — the bitmap only
+    decides who pays for the join — so the plain NOT-IN oracle applies
+    verbatim. Spark's built-in bloom_filter_agg/might_contain pair is not
+    user-callable in this build (probed: UNRESOLVED_ROUTINE; Spark injects
+    it only as a runtime join filter, see join_bloom_filter), so the
+    bitmap is built from first principles in DataFrame algebra:
+    k=3 affine hash positions per doc -> (word = pos div 64,
+    mask = 1 << (pos mod 64)) -> groupBy word, bit_or(mask); membership is a
+    broadcast equi-join of batch positions against the <=2048-row word
+    table — corpus-size-independent traffic either way."""
+    M = 1 << 17          # bitmap bits
+    W = 64               # word width
+    P = 4294967291       # 32-bit prime, same family as llm_minhash_banding
+    docs = t(spark, sf_dir, "documents")
+    h32 = F.expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)")
+    corpus = docs.where(F.col("doc_id") % 10 < 8).select(
+        F.md5("text").alias("h"), h32.alias("h32")
+    )
+    batch = docs.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h"), h32.alias("h32")
+    )
+
+    def positions(df):
+        pos = F.explode(
+            F.array(
+                *[
+                    ((F.lit(1000003 * (k + 1)) * F.col("h32") + F.lit(7919 * k + 271)) % P) % M
+                    for k in range(3)
+                ]
+            )
+        ).alias("pos")
+        return df.select(df["*"], pos)
+
+    words = (
+        positions(corpus)
+        .select((F.col("pos") / W).cast("long").alias("word_idx"),
+                F.expr(f"shiftleft(cast(1 as bigint), int(pos % {W}))").alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    probed = (
+        positions(batch)
+        .withColumn("word_idx", (F.col("pos") / W).cast("long"))
+        .withColumn("mask", F.expr(f"shiftleft(cast(1 as bigint), int(pos % {W}))"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(F.col("word").bitwiseAND(F.col("mask")) != 0, F.lit(False)),
+        )
+        .groupBy("doc_id", "source", "n_chars", "h")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    definitely_new = probed.where(~F.col("all_hit")).select(
+        "doc_id", "source", "n_chars"
+    )
+    confirmed_new = (
+        probed.where(F.col("all_hit"))
+        .join(corpus.select("h").distinct(), "h", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+    return definitely_new.unionByName(confirmed_new)

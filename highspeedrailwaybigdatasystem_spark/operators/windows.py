@@ -388,3 +388,41 @@ def win_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+                 / 100, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing-1-hour event count and
+    value sum at every event — the time-based (not row-based) sliding
+    aggregate rate limiters and rolling-exposure monitors need. The frame
+    is expressed on ``unix_micros(ts)`` with a 3.6e9-µs lower bound, which
+    is exactly DuckDB's ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING``: range
+    frames bound the ORDER-BY *value*, so tied timestamps land in the same
+    frame on both engines (no tie-break key needed). One shuffle on
+    user_id; values are summed as integer cents inside the frame so
+    accumulation order can't produce half-cent float drift."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    e = t(spark, sf_dir, "events").withColumn(
+        "v_cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("v_cents").over(w).cast("double") / 100, 2).alias("sum_1h"),
+    )
