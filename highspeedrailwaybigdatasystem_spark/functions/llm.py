@@ -1959,3 +1959,186 @@ def llm_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
     )
     return definitely_new.unionByName(confirmed_new)
+
+
+@register(
+    "llm_chunk_overlap_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunk AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[i:i+19], ' ')) AS ch
+      FROM toks, UNNEST(generate_series(1, len(tk) - 19, 10)) AS t(i)
+      WHERE len(tk) >= 20)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM chunk a JOIN chunk b ON a.ch = b.ch AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring partial-duplicate detection: doc pairs sharing at
+    least one verbatim 20-token chunk (stride 10, so any >=30-token
+    verbatim overlap is guaranteed to align with some chunk) — the
+    substring-level dedup family that catches boilerplate and quoted
+    passages MinHash's whole-document Jaccard dilutes away. Chunks are
+    md5'd (20-token string -> 32 bytes) and pairs form ONLY inside
+    equal-hash buckets — a hash-partitioned equi-join, linear in corpus
+    size, never all-pairs. 100 TB skew note: chunks shared by thousands of
+    docs (licence headers, navigation boilerplate) make quadratic buckets;
+    production inserts a doc-frequency cap on chunks (drop ch with
+    count > N as "stop-chunks") before the self-join — omitted here so the
+    oracle stays the exact pair set."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 20)
+    )
+    chunk = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 19, 10),"
+                " i -> md5(array_join(slice(tk, i, 20), ' ')))"
+            )
+        ).alias("ch"),
+    ).distinct()
+    a, b = chunk.alias("a"), chunk.alias("b")
+    return (
+        a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
+    "llm_ann_recall_eval",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % 200 = 0),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6) DESC,
+                                c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+        WHERE rn = 1),
+    plists AS (
+        SELECT probe_id, cent_id FROM (
+            SELECT pr.probe_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY round({_DOT_ORACLE.format(a='c.cent', b='pr.p')}, 6) DESC,
+                                c.cent_id) AS rn
+            FROM cents c CROSS JOIN probes pr)
+        WHERE rn <= 4),
+    ivf AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='pr.p')}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e
+            JOIN assigned a ON e.vec_id = a.vec_id
+            JOIN plists l ON a.cent_id = l.cent_id
+            JOIN probes pr ON l.probe_id = pr.probe_id
+            WHERE e.vec_id <> pr.probe_id)
+        WHERE rn <= 10),
+    exact AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='pr.p')}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN probes pr
+            WHERE e.vec_id <> pr.probe_id)
+        WHERE rn <= 10)
+    SELECT x.probe_id,
+           round(CAST(count(i.vec_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM exact x
+    LEFT JOIN ivf i ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id
+    GROUP BY x.probe_id
+    """,
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation: recall@10 of the IVF search
+    (llm_ivf_ann's deterministic index: 16 centroids, nprobe=4) against
+    exact brute-force top-10, per probe vector — the measurement loop any
+    production similarity-search deployment runs before trusting an
+    approximate index. Probes are every 200th vector (held-out-query
+    pattern); both result lists use the same round-6 + vec_id
+    deterministic cut so recall is engine-exact. Scale shape: probes and
+    centroids broadcast (eval sets are small by construction); the exact
+    arm is the only corpus-wide scan — the same cost as one brute-force
+    query batch, paid once per index-quality audit, not per query."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 200 == 0)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
+    )
+    cents = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    rn_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
+    )
+    assigned = (
+        e.crossJoin(cents)
+        .withColumn("rn", F.row_number().over(rn_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    rn_plist = Window.partitionBy("probe_id").orderBy(
+        F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id"
+    )
+    plists = F.broadcast(
+        cents.crossJoin(probes)
+        .withColumn("rn", F.row_number().over(rn_plist))
+        .where(F.col("rn") <= 4)
+        .select("probe_id", "cent_id")
+    )
+    rn_probe = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    ivf = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(plists), "cent_id")
+        .join(probes, "probe_id")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("p")), 6))
+        .withColumn("rn", F.row_number().over(rn_probe))
+        .where(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    exact = (
+        e.crossJoin(probes)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("p")), 6))
+        .withColumn("rn", F.row_number().over(rn_probe))
+        .where(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    hit = ivf.select(
+        F.col("probe_id").alias("ivf_probe"), F.col("vec_id").alias("ivf_vec")
+    )
+    return (
+        exact.join(
+            hit,
+            (F.col("probe_id") == F.col("ivf_probe"))
+            & (F.col("vec_id") == F.col("ivf_vec")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(ratio(F.count("ivf_vec").cast("double") / 10).alias("recall_at_10"))
+    )
