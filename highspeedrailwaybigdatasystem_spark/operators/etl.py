@@ -364,3 +364,83 @@ def etl_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(frag, "small").unionAll(audit(compact, "compacted"))
+
+
+def _z_interleave(dialect: str) -> str:
+    """16-bit Z-order key from two 8-bit dims (u8, v8), bit-interleaved
+    u odd / v even — identical integer arithmetic in Spark SQL and DuckDB."""
+    if dialect == "spark":
+        terms = [
+            f"shiftleft(shiftright(u8, {b}) & 1, {2 * b + 1})"
+            f" + shiftleft(shiftright(v8, {b}) & 1, {2 * b})"
+            for b in range(8)
+        ]
+    else:
+        terms = [
+            f"(((u8 >> {b}) & 1) << {2 * b + 1}) + (((v8 >> {b}) & 1) << {2 * b})"
+            for b in range(8)
+        ]
+    return " + ".join(terms)
+
+
+@register(
+    "etl_zorder_layout",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(user_id % 256 AS INT) AS u8,
+               least(255, CAST(floor(value / 2.5) AS INT)) AS v8
+        FROM events),
+    z AS (SELECT u8, v8, {_z_interleave('duck')} AS zkey FROM q),
+    zb AS (
+        SELECT zkey // 256 AS b,
+               max(u8) - min(u8) AS su, max(v8) - min(v8) AS sv
+        FROM z GROUP BY 1),
+    vb AS (
+        SELECT v8 AS b,
+               max(u8) - min(u8) AS su, max(v8) - min(v8) AS sv
+        FROM z GROUP BY 1)
+    SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           round(avg(su), 6) AS avg_u_span, round(avg(sv), 6) AS avg_v_span
+    FROM zb
+    UNION ALL
+    SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           round(avg(su), 6) AS avg_u_span, round(avg(sv), 6) AS avg_v_span
+    FROM vb
+    """,
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional layout clustering — the
+    data-skipping pattern behind Delta OPTIMIZE ZORDER / Iceberg sort
+    orders, built from plain integer arithmetic. Two query dims (user,
+    value) are quantized to 8 bits and bit-interleaved into a 16-bit
+    Morton key; rows clustered into fixed-width key-range "files" (zkey
+    div 256 — the stand-in for 128 MB file boundaries). The audit compares
+    per-file min/max spans of BOTH dims for the Z layout vs a linear
+    single-dim sort: linear bounds only its own sort dim (the other dim's
+    span stays ~full-range, so file-level min/max stats prune nothing);
+    Z-order bounds both at once, which is exactly why footer-stats
+    skipping works for two-dimensional predicates at 100 TB. Map-side
+    expressions + one small agg per layout — no sort or shuffle of the
+    fact table is needed to *measure* the layouts."""
+    q = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).cast("int").alias("u8"),
+        F.least(F.lit(255), F.floor(F.col("value") / 2.5).cast("int")).alias("v8"),
+    )
+    z = q.withColumn("zkey", F.expr(_z_interleave("spark")))
+    zb = z.groupBy((F.col("zkey") / 256).cast("long").alias("b")).agg(
+        (F.max("u8") - F.min("u8")).alias("su"),
+        (F.max("v8") - F.min("v8")).alias("sv"),
+    )
+    vb = z.groupBy(F.col("v8").alias("b")).agg(
+        (F.max("u8") - F.min("u8")).alias("su"),
+        (F.max("v8") - F.min("v8")).alias("sv"),
+    )
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("su"), 6).alias("avg_u_span"),
+            F.round(F.avg("sv"), 6).alias("avg_v_span"),
+        ).select(F.lit(name).alias("layout"), "n_buckets", "avg_u_span", "avg_v_span")
+
+    return audit(zb, "zorder").unionByName(audit(vb, "linear"))
