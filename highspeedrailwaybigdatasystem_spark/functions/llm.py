@@ -2142,3 +2142,54 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id")
         .agg(ratio(F.count("ivf_vec").cast("double") / 10).alias("recall_at_10"))
     )
+
+
+@register(
+    "llm_bigram_lm",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)),
+    pair AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1, 2),
+    ctx AS (
+      SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx FROM pair GROUP BY 1)
+    SELECT p.w1, p.w2, p.n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / c.n_ctx, 6) AS p_cond
+    FROM pair p JOIN ctx c ON p.w1 = c.w1
+    ORDER BY p.n_pair DESC, p.w1, p.w2
+    LIMIT 50
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training over the corpus: count adjacent token
+    pairs, derive the conditional probability P(w2|w1) = c(w1,w2)/c(w1,·),
+    report the 50 highest-count bigrams (deterministic tie-break) — the
+    n-gram-LM estimation pass behind KenLM-style quality filtering and the
+    statistical prior llm_perplexity_proxy scores against. Scale shape:
+    explode to bigram rows → hash-partitioned count agg with map-side
+    combine (shuffle carries one row per DISTINCT bigram, not per token);
+    context totals come from a second agg over the already-collapsed pair
+    counts (vocabulary-sized, far smaller than the corpus) joined back on
+    w1. Final top-50 is TakeOrderedAndProject — no global sort
+    materialization."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("tk"))
+    bg = d.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = pair.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    return (
+        pair.join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            ratio(F.col("n_pair").cast("double") / F.col("n_ctx")).alias("p_cond"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -641,3 +641,33 @@ def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    SELECT event_id,
+           first_value(CASE WHEN event_type = 'purchase' THEN ts_us END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+    FROM (SELECT event_id, user_id, event_type, {EVENTS_TS_US} AS ts_us FROM events) e
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (direction='forward'): each event tagged with the
+    user's next STRICTLY LATER 'purchase' timestamp — the
+    time-to-conversion primitive. Same window-not-join lowering as
+    join_asof, mirrored: first(ignoreNulls) over an unbounded FOLLOWING
+    frame, one shuffle by user_id. Completes the as-of family
+    (backward = join_asof, nearest = join_asof_nearest)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id",
+        F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
