@@ -426,3 +426,35 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("v_cents").over(w).cast("double") / 100, 2).alias("sum_1h"),
     )
+
+
+@register(
+    "win_distinct_rolling",
+    oracle="""
+    SELECT event_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS n_types_10
+    FROM events
+    """,
+)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling COUNT(DISTINCT) over a window — behavioral-diversity signal
+    (how many distinct event types in the user's last 10 events). Spark has
+    no count(DISTINCT) window function; the idiomatic lowering is
+    size(array_distinct(collect_list() over frame)), which keeps the frame
+    buffer bounded by the ROWS width (10 here) — state is O(frame), not
+    O(partition), so it scales like any other bounded-frame window. The
+    oracle uses DuckDB's windowed list()/list_distinct pair, the same
+    lowering in its dialect."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_types_10"),
+    )
