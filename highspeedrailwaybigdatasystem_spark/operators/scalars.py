@@ -973,3 +973,41 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (c_name, c_acctbal) FROM cust_sx WHERE c_custkey < 20"
     )
+
+
+@register(
+    "sql_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) o
+    WHERE c.c_custkey < 500
+    """,
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL:1999 lateral derived table,
+    Spark 3.2+): per customer, the top-2 orders by price — the "for each
+    row, run this parameterized subquery" SQL surface. Catalyst
+    decorrelates it into the same join+window plan a hand-written
+    row_number top-k produces (DecorrelateInnerQuery), so the declarative
+    form costs nothing vs win_rownum_topk — worth pinning because naive
+    engines execute LATERAL as a per-row nested loop, which at 100 TB is
+    the difference between one shuffle and N subqueries. Identical syntax
+    runs on DuckDB as the oracle."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+        WHERE c.c_custkey < 500
+        """
+    )

@@ -593,3 +593,48 @@ def ts_seasonal_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.avg("residual"), 4).alias("seasonal_idx"),
     )
+
+
+@register(
+    "ts_week_over_week",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS wk,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    cmp AS (
+      SELECT wk, event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+      FROM weekly)
+    SELECT wk, event_type, n, prev_n,
+           round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS wow_change
+    FROM cmp WHERE prev_n IS NOT NULL
+    """,
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type: weekly rollup → lag(1) on the
+    calendar axis → relative delta. The standard KPI-trend op; the heavy
+    input collapses to |weeks|×|types| rows in the FIRST aggregate
+    (map-side partials), so the window runs over a tiny frame — the
+    rollup-then-window layering that keeps calendar comparisons cheap at
+    any corpus size. date_trunc('week') is ISO-Monday in both engines."""
+    weekly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", "ts").alias("wk"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    cmp = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return cmp.where(F.col("prev_n").isNotNull()).select(
+        "wk",
+        "event_type",
+        "n",
+        "prev_n",
+        ratio((F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n")).alias(
+            "wow_change"
+        ),
+    )

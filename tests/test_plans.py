@@ -277,3 +277,44 @@ def test_bloom_filter_join_injection(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """sql_lateral_join's correlated LATERAL LIMIT subquery must NOT
+    execute as a per-row nested loop: Catalyst decorrelates it into a
+    window (rank/row_number filter) over a single join-free pass or an
+    equi-join — never a CartesianProduct/BNLJ."""
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    df = all_queries()["sql_lateral_join"](spark, SF_ORACLE)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s, s[:2000]
+    assert "BroadcastNestedLoopJoin" not in s, s[:2000]
+    assert "Window" in s, s[:2000]
+
+
+def test_bloom_dedup_probe_is_broadcast(spark):
+    """llm_incremental_bloom_dedup's bitmap membership probe must be a
+    BroadcastHashJoin against the tiny word table (corpus-size-independent
+    traffic) — if the bitmap ever shuffles the batch side by word index
+    the design premise is gone."""
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    df = all_queries()["llm_incremental_bloom_dedup"](spark, SF_ORACLE)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in s, s[:2000]
+    assert "CartesianProduct" not in s, s[:2000]
+
+
+def test_zorder_layout_is_two_aggs_no_sort(spark):
+    """etl_zorder_layout measures layouts with bucket aggregations — the
+    plan must contain no global Sort of the fact table (the audit never
+    needs to physically re-order events)."""
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    df = all_queries()["etl_zorder_layout"](spark, SF_ORACLE)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # Sort may appear inside tiny final union ordering; forbid a sort that
+    # feeds an Exchange (the sort-the-world shape).
+    assert "SortExec" not in s.replace("SortMergeJoin", ""), s[:2000]
+    assert "HashAggregate" in s, s[:2000]
