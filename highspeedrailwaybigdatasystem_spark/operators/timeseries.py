@@ -638,3 +638,53 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_change"
         ),
     )
+
+
+@register(
+    "ts_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    flagged AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM flagged GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (calendar gaps-and-islands):
+    distinct active days → the classic day_number − row_number island key
+    (constant within a run of consecutive days) → per-streak lengths →
+    max streak + streak count per user. Complements ts_sessionize, which
+    islands on TIME GAPS within a day; this islands on the CALENDAR.
+    Scale shape: the distinct collapses events to user-days first (the
+    only corpus-sized shuffle), then every window/agg runs on at most
+    |users|×|days| rows."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = flagged.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -80,3 +80,100 @@ def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("reading"), 2).alias("reading_sum"),
     )
+
+
+class SyntheticSequenceStreamReader:
+    """SimpleDataSourceStreamReader: offset-tracked deterministic replay of
+    the same generator formula, 1000 rows per micro-batch, capped at
+    ``rows``. read(start) is a pure function of the offset, so checkpoint
+    recovery replays identical batches (exactly-once end state)."""
+
+    def __init__(self, options):
+        self.cap = int(options.get("rows", 5000))
+        self.batch = int(options.get("batchRows", 1000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.cap)
+        end = {"pos": hi}
+        return iter([self._row(i) for i in range(lo, hi)]), end
+
+    def readBetweenOffsets(self, start, end):
+        return iter([self._row(i) for i in range(start["pos"], end["pos"])])
+
+    def commit(self, end):
+        pass
+
+    @staticmethod
+    def _row(i: int):
+        return (i, i % 5, float((i * 7919) % 1000) / 10.0)
+
+
+class SyntheticSequenceStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthseqstream"
+
+    def schema(self) -> str:
+        return "seq_id long, bucket long, reading double"
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticSequenceStreamReader(self.options)
+
+
+@register(
+    "src_custom_stream_source",
+    oracle="""
+    SELECT bucket,
+           count(*) AS cnt,
+           round(sum(reading), 2) AS reading_sum
+    FROM (SELECT i AS seq_id, i % 5 AS bucket,
+                 CAST((i * 7919) % 1000 AS DOUBLE) / 10.0 AS reading
+          FROM (SELECT unnest(generate_series(0, 4999)) AS i))
+    GROUP BY bucket
+    """,
+)
+def src_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (Spark 4
+    ``simpleStreamReader``): the offset-based contract a real feed
+    connector implements — initialOffset / read(start)→(rows, end) /
+    readBetweenOffsets for checkpoint replay. The deterministic generator
+    emits 5 000 rows in 1 000-row micro-batches; the memory-sink end state
+    after the source reaches its cap equals the batch formula, so the SQL
+    oracle is exact. Complements src_custom_datasource (the batch half of
+    the same API)."""
+    import time
+
+    spark.dataSource.register(SyntheticSequenceStreamSource)
+    stream = (
+        spark.readStream.format("synthseqstream")
+        .option("rows", 5000)
+        .option("batchRows", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("custom_stream_sink")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM custom_stream_sink").first()["c"] >= 5000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.sql(
+        """
+        SELECT bucket,
+               count(*) AS cnt,
+               round(sum(reading), 2) AS reading_sum
+        FROM custom_stream_sink GROUP BY bucket
+        """
+    )
