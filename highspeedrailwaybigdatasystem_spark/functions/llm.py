@@ -2193,3 +2193,74 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "mm_embed_sim_stub",
+    oracle="""
+    WITH emb AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               (CAST(('0x' || substr(md5(concat(j, ':', text)), 1, 8)) AS BIGINT)
+                / 4294967296.0) * 2 - 1) AS e
+      FROM documents),
+    probe AS (SELECT e AS p FROM emb WHERE doc_id = 0)
+    SELECT doc_id,
+           round(list_aggregate(list_transform(list_zip(e, p),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)), 'sum'), 6) AS sim
+    FROM emb CROSS JOIN probe
+    WHERE doc_id <> 0
+    ORDER BY sim DESC, doc_id
+    LIMIT 5
+    """,
+)
+def mm_embed_sim_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal → similarity pipeline: opaque BINARY payloads
+    (stand-in for image bytes) run through an Arrow-batched "embedding
+    model" stub in mapInPandas, and the resulting vectors feed the same
+    broadcast-probe cosine top-k path the real ANN ops use. THE EMBEDDER
+    IS A DETERMINISTIC FAKE (seed-prefixed md5 of the payload folded to 8
+    dims in [-1, 1)) — no model runtimes in this environment — but every
+    piece of plumbing a CLIP-style encoder would need is real: binary
+    column in, array<double> out per Arrow batch, broadcast probe join,
+    deterministic round-6 + doc_id top-k cut. All dimension values are
+    dyadic rationals (int/2^32), so both engines compute bit-identical
+    vectors and the oracle replicates the whole pipeline in SQL."""
+    import hashlib
+
+    def embed(batches):
+        for pdf in batches:
+            embs = [
+                [
+                    (int(hashlib.md5(f"{j}:".encode() + p).hexdigest()[:8], 16)
+                     / 4294967296.0) * 2 - 1
+                    for j in range(8)
+                ]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "e": embs})
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    emb = d.mapInPandas(embed, "doc_id long, e array<double>")
+    probe = F.broadcast(
+        emb.where(F.col("doc_id") == 0).select(F.col("e").alias("p"))
+    )
+    return (
+        emb.crossJoin(probe)
+        .where(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("e", "p", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(5)
+    )

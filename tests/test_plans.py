@@ -153,6 +153,7 @@ def test_full_surface_plan_hygiene(spark):
         "ts_funnel", "etl_dq_audit", "llm_source_mixture", "llm_perplexity_proxy",
         "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
+        "mm_embed_sim_stub",       # 1-row probe-vector broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python"}
     # Unpartitioned windows single-task the whole input at scale; only OK
