@@ -310,3 +310,55 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_orderkey", money(apply_tax("o_totalprice")).alias("taxed")
     )
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id < 100)
+    SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3 FROM tk
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` static method): the
+    OUTPUT SCHEMA is computed at plan time from the literal argument — here
+    ``first_tokens(text, 3)`` resolves to columns w1..w3 before any data
+    moves, the mechanism behind variable-shape table functions
+    (CSV-splitters, pivots with literal column lists). The call site fixes
+    n=3, so the DuckDB oracle is the equivalent fixed projection. Spark
+    refuses non-literal n at analysis time — schema can't depend on data."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    except ImportError:  # pragma: no cover — API present in Spark 4.x env
+        raise
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: "AnalyzeArgument", n: "AnalyzeArgument"):
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"w{i + 1}", StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(int(n)))
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, u.w1, u.w2, u.w3
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100) d,
+             LATERAL first_tokens(d.text, 3) u
+        """
+    )

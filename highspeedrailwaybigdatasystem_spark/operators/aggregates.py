@@ -832,3 +832,87 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH hashed AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      FROM events),
+    pos AS (
+      SELECT user_id, h, d,
+             ((1000003 * (d + 1) * h + 7919 * d + 271) % 4294967291) % 256 AS bucket
+      FROM hashed, UNNEST(generate_series(0, 2)) AS t(d)),
+    sketch AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM pos GROUP BY d, bucket),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id),
+    top20 AS (
+      SELECT user_id, true_cnt FROM truth
+      ORDER BY true_cnt DESC, user_id LIMIT 20),
+    est AS (
+      SELECT p.user_id, CAST(min(s.cnt) AS BIGINT) AS est_cnt
+      FROM (SELECT DISTINCT user_id, d, bucket FROM pos) p
+      JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+      GROUP BY p.user_id)
+    SELECT t.user_id, t.true_cnt, e.est_cnt,
+           CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount
+    FROM top20 t JOIN est e ON t.user_id = e.user_id
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled Count-Min sketch (d=3 hash rows × w=256 buckets, same
+    affine universal-hash family as the MinHash/Bloom ops): frequency
+    estimation in FIXED memory regardless of key cardinality — the
+    heavy-hitter primitive when exact per-key counts don't fit. Build is
+    one explode(d)+groupBy over (row, bucket) — the shuffle carries at
+    most d×w = 768 counter rows; estimates are min over the d counters a
+    key hashes to (overestimates only, never under). The report joins the
+    top-20 true-count users against their estimates so the oracle checks
+    BOTH the sketch arithmetic and the overcount column exactly —
+    deterministic hashing makes an approximate-by-nature structure
+    exactly verifiable. Spark's own count_min_sketch() aggregate returns
+    an opaque binary blob; this formulation keeps the counters queryable
+    and engine-portable."""
+    P, W, D = 4294967291, 256, 3
+    ev = t(spark, sf_dir, "events").select("user_id")
+    hashed = ev.withColumn(
+        "h", F.expr("cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+    )
+    pos = hashed.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (((F.lit(1000003 * (d + 1)) * F.col("h") + F.lit(7919 * d + 271)) % P) % W).alias("bucket"),
+                    )
+                    for d in range(D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "p.d", "p.bucket")
+    sketch = pos.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top20 = truth.orderBy(F.col("true_cnt").desc(), "user_id").limit(20)
+    est = (
+        pos.select("user_id", "d", "bucket")
+        .distinct()
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        top20.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+    )

@@ -155,7 +155,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
     }
-    ROWPY_OK = {"udf_python_scalar", "udtf_python"}
+    ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
     # when the window's input is already aggregated to a bounded grain:
     GLOBALWIN_OK = {
