@@ -444,3 +444,61 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("layout"), "n_buckets", "avg_u_span", "avg_v_span")
 
     return audit(zb, "zorder").unionByName(audit(vb, "linear"))
+
+
+@register(
+    "join_temporal_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey AS user_key, o_orderdate AS valid_from, o_orderkey,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS valid_to,
+               round(o_totalprice, 2) AS attr_price
+        FROM orders WHERE o_custkey < 100),
+    fact AS (
+        SELECT event_id, user_id % 100 AS user_key, ts FROM events)
+    SELECT f.event_id, d.o_orderkey AS version_key, d.attr_price
+    FROM fact f JOIN dim d
+      ON f.user_key = d.user_key
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2 as-of) dimension join: each fact row picks the ONE
+    dimension version whose [valid_from, valid_to) interval contains its
+    event time — the canonical warehouse join against a slowly-changing
+    dimension. The dimension's intervals come from the same lead()-closed
+    history etl_scd2_history builds. Physical shape: an EQUI join on the
+    business key (hash-partitioned both sides — never a cartesian) with
+    the interval predicate applied as a post-join filter; because versions
+    of one key are disjoint, each fact row matches at most one version.
+    At 100 TB the dim history is orders of magnitude smaller than the
+    fact, so it broadcasts; if it doesn't fit, the equi key still gives a
+    standard shuffle join — the interval filter costs only |versions per
+    key| comparisons per row either way."""
+    dim_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select(
+            F.col("o_custkey").alias("user_key"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+            F.lead("o_orderdate").over(dim_w).alias("valid_to"),
+            money(F.col("o_totalprice")).alias("attr_price"),
+        )
+    )
+    fact = t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 100).alias("user_key"), "ts"
+    )
+    cond = (
+        (fact["user_key"] == dim["user_key"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]))
+    )
+    return fact.join(F.broadcast(dim), cond).select(
+        "event_id",
+        F.col("o_orderkey").alias("version_key"),
+        "attr_price",
+    )

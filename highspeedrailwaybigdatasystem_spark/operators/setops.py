@@ -104,3 +104,33 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     return urgent.exceptAll(high)
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 300)
+    UNION ALL BY NAME
+    (SELECT c_mktsegment, c_custkey, c_name
+     FROM customer WHERE c_custkey >= 300 AND c_custkey < 600)
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union: unionByName(allowMissingColumns=True) matches
+    columns BY NAME (not position) and null-fills the asymmetric ones —
+    the union you actually want when two pipelines emit the same logical
+    table with drifted column order/subsets (plain UNION ALL would silently
+    misalign positions). DuckDB's UNION ALL BY NAME is the exact oracle
+    counterpart. Map-side only — no shuffle; the nulls are manufactured,
+    which also exercises the driver's null-canonicalization."""
+    c = t(spark, sf_dir, "customer")
+    left = c.where(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    right = (
+        c.where((F.col("c_custkey") >= 300) & (F.col("c_custkey") < 600))
+        .select("c_mktsegment", "c_custkey", "c_name")
+    )
+    return left.unionByName(right, allowMissingColumns=True)
