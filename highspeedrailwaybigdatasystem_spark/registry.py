@@ -11,7 +11,8 @@ registered pair:
   * floating aggregates rounded identically on both sides:
     round(x, 2) for money, round(x, 6) for ratios/similarities;
   * DuckDB integer aggregates cast to BIGINT to match Spark's long;
-  * raw ``events.ts`` never returned un-truncated (ns vs µs drift);
+  * ``events.ts`` is µs on disk (post-2026-08-13 regen; the loader's footer
+    sniff still guards the legacy ns path — see schemas.py);
   * every LIMIT/top-k ordered with a unique key suffix;
   * every computed column aliased to the same name on both sides.
 """
