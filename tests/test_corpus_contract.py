@@ -146,3 +146,30 @@ def test_sniffer_classifies_events(sf_dir: str) -> None:
     if not os.path.exists(path):
         pytest.skip(f"{path} absent")
     assert _sniff_events_ts_kind(path) == "us"
+
+
+def test_driver_window_invariants():
+    """The external gate checks the FIRST 50 entries of all_queries().
+    Rotation mistakes here silently waste gated slots, so pin the rules:
+    every _WINDOW_PRIORITY name must exist and be oracle-backed, the
+    window must hold exactly 50 distinct oracle-backed ops, and rows-only
+    ops must sit strictly after every oracle-backed op."""
+    from highspeedrailwaybigdatasystem_spark import registry
+
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    names = list(queries)
+
+    missing = [n for n in registry._WINDOW_PRIORITY if n not in queries]
+    assert not missing, f"_WINDOW_PRIORITY names not in registry: {missing}"
+    unbacked = [n for n in registry._WINDOW_PRIORITY if n not in oracles]
+    assert not unbacked, f"_WINDOW_PRIORITY names without oracle: {unbacked}"
+
+    window = names[:50]
+    assert len(set(window)) == 50
+    assert all(n in oracles for n in window), [n for n in window if n not in oracles]
+
+    first_rows_only = next(i for i, n in enumerate(names) if n not in oracles)
+    assert all(n not in oracles for n in names[first_rows_only:]), (
+        "rows-only ops must form a contiguous tail"
+    )
