@@ -2264,3 +2264,47 @@ def mm_embed_sim_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "doc_id")
         .limit(5)
     )
+
+
+@register(
+    "llm_oversample_minority",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS mx FROM c),
+    f AS (SELECT lang, n, CAST(mx // n AS BIGINT) AS factor FROM c CROSS JOIN m),
+    up AS (
+      SELECT d.lang
+      FROM documents d JOIN f ON d.lang = f.lang,
+           UNNEST(generate_series(1, f.factor)) AS t(rep)),
+    g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after FROM up GROUP BY lang)
+    SELECT f.lang, f.n AS n_before, f.factor, g.n_after
+    FROM f JOIN g ON f.lang = g.lang
+    """,
+)
+def llm_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling for training-mix balancing (the upsample
+    complement to llm_stratified_sample's downsample): per-language repeat
+    factor = floor(majority_count / class_count), each minority doc
+    replicated factor times by exploding a sequence — deterministic, no
+    RNG, rerun-stable. The audit returns before/factor/after per language,
+    computed FROM the exploded data (proving the mechanism, not just the
+    arithmetic). Scale shape: class counts are a tiny agg; the explode is
+    map-side (each row fans out locally, no shuffle until the final
+    |langs|-row count), so oversampling 100 TB streams through executors
+    without materializing the upsampled corpus anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        "lang", "n", F.expr("mx div n").alias("factor")  # exact int division
+    )
+    up = (
+        docs.select("lang")
+        .join(F.broadcast(factors), "lang")
+        .select("lang", F.explode(F.expr("sequence(1, factor)")).alias("rep"))
+    )
+    after = up.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        factors.join(after, "lang")
+        .select("lang", F.col("n").alias("n_before"), "factor", "n_after")
+    )

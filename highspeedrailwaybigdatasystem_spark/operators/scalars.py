@@ -1011,3 +1011,38 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 500
         """
     )
+
+
+@register(
+    "sql_identifier_dynamic",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-injection-safe dynamic identifiers (Spark 3.4+ IDENTIFIER()
+    clause): table and column names arrive as *parameters*, not string
+    concatenation — the templating mechanism multi-tenant pipelines need
+    (per-tenant table, per-config group-by column) without eval-style SQL
+    injection. IDENTIFIER() binds at analysis time, so the resolved plan
+    is byte-identical to the static query the oracle runs."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_cust
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON IDENTIFIER(:fk) = IDENTIFIER(:pk)
+        GROUP BY IDENTIFIER(:label)
+        """,
+        args={
+            "fact": "customer",
+            "dim": "nation",
+            "fk": "c_nationkey",
+            "pk": "n_nationkey",
+            "label": "n_name",
+        },
+    )
