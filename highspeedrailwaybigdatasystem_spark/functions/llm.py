@@ -2308,3 +2308,71 @@ def llm_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
         factors.join(after, "lang")
         .select("lang", F.col("n").alias("n_before"), "factor", "n_after")
     )
+
+
+@register(
+    "llm_kl_divergence_split",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train' ELSE 'heldout' END AS split,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT split, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY split, tok),
+    wide AS (
+      SELECT tok,
+             CAST(coalesce(sum(c) FILTER (split = 'train'), 0) + 1 AS BIGINT) AS ctr,
+             CAST(coalesce(sum(c) FILTER (split = 'heldout'), 0) + 1 AS BIGINT) AS chd
+      FROM cnt GROUP BY tok),
+    tot AS (
+      SELECT CAST(sum(ctr) AS DOUBLE) AS ttr, CAST(sum(chd) AS DOUBLE) AS thd
+      FROM wide)
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(sum((ctr / ttr) * ln((ctr / ttr) / (chd / thd))), 6) AS kl_train_vs_heldout
+    FROM wide CROSS JOIN tot
+    """,
+)
+def llm_kl_divergence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL(P_train ‖ P_heldout) over the token
+    unigram distributions of a deterministic content-hash split (same
+    80/20 md5 cut as llm_hash_split), with add-1 smoothing so the
+    divergence is finite on asymmetric vocabulary. This is the drift gate
+    run before trusting a heldout set (or yesterday's corpus vs today's):
+    a KL spike means the split is not exchangeable. Scale shape: one
+    explode→(split, token) count agg (map-side partials; the shuffle
+    carries distinct tokens), a vocabulary-sized pivot, and a 1-row total
+    — the corpus is touched once. ln() differs across engines by ≤1 ulp
+    per term; the vocabulary-sum's accumulated error (~1e-12) vanishes in
+    the round-6 contract."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc", "train"
+        )
+        .otherwise("heldout")
+        .alias("split"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("split", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wide = cnt.groupBy("tok").agg(
+        (F.coalesce(F.sum(F.when(F.col("split") == "train", F.col("c"))), F.lit(0)) + 1)
+        .cast("long")
+        .alias("ctr"),
+        (F.coalesce(F.sum(F.when(F.col("split") == "heldout", F.col("c"))), F.lit(0)) + 1)
+        .cast("long")
+        .alias("chd"),
+    )
+    tot = wide.agg(
+        F.sum("ctr").cast("double").alias("ttr"),
+        F.sum("chd").cast("double").alias("thd"),
+    )
+    p = F.col("ctr") / F.col("ttr")
+    q = F.col("chd") / F.col("thd")
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            ratio(F.sum(p * F.log(p / q))).alias("kl_train_vs_heldout"),
+        )
+    )

@@ -155,6 +155,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
         "llm_oversample_minority", # 1-row majority-count broadcast
+        "llm_kl_divergence_split", # 1-row distribution-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
