@@ -502,3 +502,49 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("version_key"),
         "attr_price",
     )
+
+
+@register(
+    "etl_gdpr_delete_audit",
+    oracle="""
+    WITH del AS (
+      SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'),
+    kept AS (
+      SELECT e.* FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+      WHERE d.user_id IS NULL)
+    SELECT event_type,
+           CAST((SELECT count(*) FROM events WHERE event_type = k.event_type)
+                - count(*) AS BIGINT) AS purged,
+           CAST(count(*) AS BIGINT) AS retained
+    FROM kept k GROUP BY event_type
+    """,
+)
+def etl_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge with a compliance audit: a deletion
+    list of subjects (here: users whose id-hash starts with '0' — a
+    deterministic ~1/16 sample standing in for real erasure requests) is
+    anti-joined out of the fact table, and the audit reports purged vs
+    retained row counts per event type — the evidence record a deletion
+    job must emit. Scale shape: the deletion list is small by nature, so
+    the anti-join broadcasts it (no fact shuffle — each executor drops its
+    own rows on the map side); the audit is two partial-agg passes. On a
+    real lakehouse the kept-rows write is the partition/file rewrite step
+    (Delta DELETE); the dataflow above it is exactly this."""
+    ev = t(spark, sf_dir, "events")
+    del_list = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+    )
+    kept = ev.join(F.broadcast(del_list), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("retained"))
+    return (
+        before.join(after, "event_type")
+        .select(
+            "event_type",
+            (F.col("n_before") - F.col("retained")).cast("long").alias("purged"),
+            "retained",
+        )
+    )
