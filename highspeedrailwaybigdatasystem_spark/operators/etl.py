@@ -548,3 +548,52 @@ def etl_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained",
         )
     )
+
+
+@register(
+    "etl_missing_partition_detect",
+    oracle="""
+    WITH spine AS (
+      SELECT t.et AS event_type, CAST(d.d AS DATE) AS day
+      FROM (SELECT DISTINCT event_type AS et FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                DATE '2024-01-30',
+                                                INTERVAL 1 DAY)) AS d) d),
+    actual AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT s.event_type, s.day
+    FROM spine s LEFT JOIN actual a
+      ON s.event_type = a.event_type AND s.day = a.day
+    WHERE a.event_type IS NULL
+    """,
+)
+def etl_missing_partition_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness monitoring: which (event_type, day) partitions
+    that SHOULD exist (the expected calendar spine over the documented
+    corpus window) have no data? The daily freshness check every ingest
+    pipeline runs before publishing. Scale shape: the spine is
+    |types|×|days| rows built from literals (no corpus scan), the actual
+    side collapses the corpus to distinct type-days first, and the
+    anti-join is spine-sized — detection cost is independent of fact
+    volume beyond one distinct pass."""
+    types = t(spark, sf_dir, "events").select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            t(spark, sf_dir, "events")
+            .sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "sequence(DATE '2024-01-01', DATE '2024-01-30', interval 1 day)"
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    actual = (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    return spine.join(actual, ["event_type", "day"], "left_anti")

@@ -688,3 +688,38 @@ def ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("max_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "ts_percentile_rollup",
+    oracle="""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(max(value), 6) AS mx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-dashboard rollup: exact p50/p95/max of the value column per
+    (event_type, day) — the observability aggregation behind SLO panels.
+    Exact ``percentile`` is fine HERE because each group holds one
+    type-day of data (bounded by arrival rate, not corpus age); for
+    all-time percentiles over unbounded groups, switch to
+    ``approx_percentile`` (t-digest, mergeable) — the same rule
+    llm_curriculum_buckets' cutpoint pattern encodes. Spark's percentile
+    and DuckDB's quantile_cont share the linear-interpolation definition;
+    round-6 absorbs the ulp edge."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            ratio(F.expr("percentile(value, 0.5)")).alias("p50"),
+            ratio(F.expr("percentile(value, 0.95)")).alias("p95"),
+            ratio(F.max("value")).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -156,6 +156,7 @@ def test_full_surface_plan_hygiene(spark):
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
         "llm_oversample_minority", # 1-row majority-count broadcast
         "llm_kl_divergence_split", # 1-row distribution-total broadcast
+        "etl_missing_partition_detect",  # |types|×|days| literal spine build
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
