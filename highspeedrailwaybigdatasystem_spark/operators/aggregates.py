@@ -916,3 +916,31 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covs,
+           round(covar_pop(l_quantity, l_discount), 6) AS covp_qty_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics battery: Pearson correlation and sample/
+    population covariance per group — single-pass co-moment aggregates
+    (mergeable partials, same scale shape as avg/stddev: the shuffle
+    carries one moment tuple per group, never rows). Rounds follow the
+    §5.3 contract: correlation is a ratio (6 dp), covariance of
+    price-scaled values is money-like (2 dp)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ratio(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        money(F.covar_samp("l_quantity", "l_extendedprice")).alias("covs"),
+        ratio(F.covar_pop("l_quantity", "l_discount")).alias("covp_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
