@@ -597,3 +597,79 @@ def etl_missing_partition_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return spine.join(actual, ["event_type", "day"], "left_anti")
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, md5(concat_ws('|', user_id, event_type, round(value, 2))) AS row_hash
+      FROM events),
+    b AS (
+      SELECT event_id,
+             md5(concat_ws('|', user_id, event_type,
+                 round(CASE WHEN event_id % 41 = 0 THEN value + 1 ELSE value END, 2))) AS row_hash
+      FROM events WHERE user_id % 37 <> 0),
+    j AS (
+      SELECT a.event_id AS a_id, b.event_id AS b_id,
+             a.row_hash AS a_hash, b.row_hash AS b_hash
+      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+    SELECT CAST(count(*) FILTER (a_id IS NULL) AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (b_id IS NULL) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (a_id IS NOT NULL AND b_id IS NOT NULL
+                                 AND a_hash <> b_hash) AS BIGINT) AS n_changed,
+           CAST(count(*) FILTER (a_hash = b_hash) AS BIGINT) AS n_same
+    FROM j
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): yesterday's extract vs
+    today's, compared by key + full-row content hash — added / removed /
+    changed / unchanged counts, the audit every CDC backfill and
+    migration cutover runs. Snapshot B is derived deterministically from A
+    (drop users ≡0 mod 37, perturb value on event_id ≡0 mod 41) so the
+    diff is exactly oracle-checkable. Scale shape: row hashes are
+    map-side; the FULL OUTER join shuffles both sides once on the key
+    (bucketed snapshots would co-locate it shuffle-free, see
+    sink_bucketed); the audit is a single partial-agg pass. Hash compare
+    beats column-wise comparison at wide schemas — one string per row
+    crosses the shuffle, not every column."""
+    ev = t(spark, sf_dir, "events")
+    row_hash = F.md5(
+        F.concat_ws("|", "user_id", "event_type", F.round(F.col("value"), 2).cast("string"))
+    )
+    a = ev.select("event_id", row_hash.alias("row_hash"))
+    b_val = F.when(F.col("event_id") % 41 == 0, F.col("value") + 1).otherwise(
+        F.col("value")
+    )
+    b = (
+        ev.where(F.col("user_id") % 37 != 0)
+        .select(
+            "event_id",
+            F.md5(
+                F.concat_ws(
+                    "|", "user_id", "event_type", F.round(b_val, 2).cast("string")
+                )
+            ).alias("row_hash"),
+        )
+    )
+    j = a.select(
+        F.col("event_id").alias("a_id"), F.col("row_hash").alias("a_hash")
+    ).join(
+        b.select(F.col("event_id").alias("b_id"), F.col("row_hash").alias("b_hash")),
+        F.col("a_id") == F.col("b_id"),
+        "full_outer",
+    )
+    return j.agg(
+        F.count(F.when(F.col("a_id").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("b_id").isNull(), 1)).alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("a_id").isNotNull()
+                & F.col("b_id").isNotNull()
+                & (F.col("a_hash") != F.col("b_hash")),
+                1,
+            )
+        ).alias("n_changed"),
+        F.count(F.when(F.col("a_hash") == F.col("b_hash"), 1)).alias("n_same"),
+    )
