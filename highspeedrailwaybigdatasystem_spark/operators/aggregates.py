@@ -944,3 +944,76 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.covar_pop("l_quantity", "l_discount")).alias("covp_qty_disc"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_ols_multivariate",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity) AS sx, sum(l_discount) AS sy, sum(l_extendedprice) AS sz,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_quantity * l_discount) AS sxy,
+             sum(l_discount * l_discount) AS syy,
+             sum(l_quantity * l_extendedprice) AS sxz,
+             sum(l_discount * l_extendedprice) AS syz
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n,
+             sxx - sx * sx / n AS cxx,
+             sxy - sx * sy / n AS cxy,
+             syy - sy * sy / n AS cyy,
+             sxz - sx * sz / n AS cxz,
+             syz - sy * sz / n AS cyz,
+             sx / n AS mx, sy / n AS my, sz / n AS mz
+      FROM m)
+    SELECT l_returnflag,
+           round((cxz * cyy - cyz * cxy) / (cxx * cyy - cxy * cxy), 6) AS beta_qty,
+           round((cyz * cxx - cxz * cxy) / (cxx * cyy - cxy * cxy), 6) AS beta_disc,
+           round(mz - (cxz * cyy - cyz * cxy) / (cxx * cyy - cxy * cxy) * mx
+                    - (cyz * cxx - cxz * cxy) / (cxx * cyy - cxy * cxy) * my,
+                 2) AS intercept
+    FROM c
+    """,
+)
+def agg_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount per return flag) in
+    ONE distributed pass: accumulate the 9 raw co-moments with mergeable
+    sums, then solve the 2×2 normal equations in closed form (Cramer's
+    rule on the centered covariance matrix). This is how multivariate
+    regression actually runs at 100 TB — no iterative solver, no
+    driver-side matrix library, just moment aggregates (the shuffle
+    carries 10 doubles per group) and scalar arithmetic on the reduced
+    values. Extends agg_regression's built-in univariate regr_* family to
+    the multi-feature case Spark has no built-in for. Identical formula
+    order on both engines; round-6/round-2 absorbs ulp drift."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+    c = m.select(
+        "l_returnflag", "n",
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).alias("cxy"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sxz") - F.col("sx") * F.col("sz") / F.col("n")).alias("cxz"),
+        (F.col("syz") - F.col("sy") * F.col("sz") / F.col("n")).alias("cyz"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sz") / F.col("n")).alias("mz"),
+    )
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    b1 = (F.col("cxz") * F.col("cyy") - F.col("cyz") * F.col("cxy")) / det
+    b2 = (F.col("cyz") * F.col("cxx") - F.col("cxz") * F.col("cxy")) / det
+    return c.select(
+        "l_returnflag",
+        ratio(b1).alias("beta_qty"),
+        ratio(b2).alias("beta_disc"),
+        money(F.col("mz") - b1 * F.col("mx") - b2 * F.col("my")).alias("intercept"),
+    )
