@@ -1,0 +1,104 @@
+"""Graph operators (iterative superstep algorithms on DataFrames).
+
+Scale notes (100 TB): PageRank-style algorithms are repeated
+join + aggregate supersteps — each iteration shuffles the rank table on
+the edge key, exactly like llm_dedup_components' label propagation. The
+edge table is the big side and KEEPS its partitioning across iterations
+(co-partitioned joins); the rank table is vertices-sized. localCheckpoint
+truncates the growing lineage so iteration 10's plan doesn't replay
+iterations 1-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import ratio, t
+
+_D = 0.85
+_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE PageRank: 10 iterations as chained CTEs (DuckDB has no
+    iterative construct with per-step aggregation; unrolling keeps the
+    oracle a single exact SQL statement)."""
+    steps = []
+    for k in range(1, _ITERS + 1):
+        steps.append(
+            f"""pr{k} AS (
+      SELECT u.user_id,
+             0.15 / (SELECT n FROM nn)
+               + {_D} * coalesce(sum(p.pr / 2), 0) AS pr
+      FROM users u
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN pr{k - 1} p ON p.user_id = e.src
+      GROUP BY u.user_id)"""
+        )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM users),
+    edges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    pr0 AS (SELECT user_id, 1.0 / (SELECT n FROM nn) AS pr FROM users),
+    {",".join(steps)}
+    SELECT user_id, round(pr, 6) AS pagerank
+    FROM pr{_ITERS}
+    ORDER BY round(pr, 6) DESC, user_id
+    LIMIT 10
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 synchronous iterations) over a
+    deterministic out-degree-2 functional graph on the user-id domain
+    (edges u → (7u+13) mod N and u → (11u+5) mod N — a seeded stand-in
+    for a real follower/link graph, keeping the fixture exactly
+    oracle-checkable; the DuckDB oracle unrolls the 10 iterations as
+    chained CTEs). Superstep shape per iteration: ranks ⋈ edges on src
+    (contribution scatter) → groupBy dst sum (gather) → left join back to
+    the vertex set for dangling/in-degree-0 vertices. The edge table is
+    hash-partitioned once and reused; lineage is truncated with
+    localCheckpoint so the iteration-10 plan is one superstep deep, not
+    ten."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    n = users.count()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("user_id") * 7 + 13) % n,
+                (F.col("user_id") * 11 + 5) % n,
+            )
+        ).alias("dst"),
+    ).localCheckpoint()
+    ranks = users.select("user_id", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("user_id", "src"), "src")
+            .groupBy(F.col("dst").alias("user_id"))
+            .agg(F.sum(F.col("pr") / 2).alias("in_sum"))
+        )
+        ranks = (
+            users.join(contrib, "user_id", "left")
+            .select(
+                "user_id",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(_D) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("user_id", ratio(F.col("pr")).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "user_id")
+        .limit(10)
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import EVENTS_TS_US, ratio, t
+from ._util import EVENTS_TS_US, money, ratio, t
 
 
 @register(
@@ -722,4 +722,50 @@ def ts_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.max("value")).alias("mx"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, rev,
+             lag(rev, 1) OVER (PARTITION BY event_type ORDER BY d) AS rev_l1,
+             lag(rev, 7) OVER (PARTITION BY event_type ORDER BY d) AS rev_l7
+      FROM daily)
+    SELECT event_type,
+           round(corr(rev, rev_l1), 6) AS acf_1,
+           round(corr(rev, rev_l7), 6) AS acf_7,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM lagged GROUP BY event_type
+    """,
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics: ACF at lag 1 and lag 7 of the daily
+    value series per event type — the seasonality / persistence probe run
+    before choosing a forecasting or anomaly model (lag-7 spikes = weekly
+    cycle). Rollup-then-window layering again: the corpus collapses to
+    |types|×|days| rows first, so the lag windows and corr aggregates
+    touch only the tiny series. corr() ignores NULL pairs (the first k
+    rows per series) identically in both engines."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(money(F.sum("value")).alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_l1"),
+        F.lag("rev", 7).over(w).alias("rev_l7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        ratio(F.corr("rev", "rev_l1")).alias("acf_1"),
+        ratio(F.corr("rev", "rev_l7")).alias("acf_7"),
+        F.count(F.lit(1)).alias("n_days"),
     )

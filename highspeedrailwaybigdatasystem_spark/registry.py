@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.operators.setops",
     "highspeedrailwaybigdatasystem_spark.operators.scalars",
     "highspeedrailwaybigdatasystem_spark.operators.timeseries",
+    "highspeedrailwaybigdatasystem_spark.operators.graph",
     "highspeedrailwaybigdatasystem_spark.operators.etl",
     "highspeedrailwaybigdatasystem_spark.operators.tpch",
     "highspeedrailwaybigdatasystem_spark.sources.formats",
