@@ -1017,3 +1017,34 @@ def agg_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(b2).alias("beta_disc"),
         money(F.col("mz") - b1 * F.col("mx") - b2 * F.col("my")).alias("intercept"),
     )
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer WHERE c_custkey < 2000)
+    UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard UNPIVOT clause (wide→long in pure SQL, Spark 3.4+):
+    the syntax twin of the DataFrame-API agg_unpivot — both lower to the
+    same Expand node (each input row fans out to |columns| rows map-side,
+    no shuffle). Identical clause runs on DuckDB. UNPIVOT drops NULL
+    cells by default in both engines; the projected columns here are
+    non-null so the surfaces agree without INCLUDE NULLS."""
+    from ..schemas import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, metric, val
+        FROM (SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+                     CAST(c_nationkey AS DOUBLE) AS nationkey
+              FROM customer WHERE c_custkey < 2000)
+        UNPIVOT (val FOR metric IN (acctbal, nationkey))
+        """
+    )

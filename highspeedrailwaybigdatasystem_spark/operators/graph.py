@@ -102,3 +102,56 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    dedges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dedges WHERE src <> dst)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the same deterministic graph as
+    graph_pagerank, undirected: canonicalize each edge as (min, max),
+    dedupe, then the standard ordered two-hop join — e1=(a<b), e2=(b<c),
+    closing edge (a<c) — so every triangle is counted exactly once with
+    no orientation blow-up. Two hash equi-joins on vertex keys (the
+    classic distributed formulation; at scale the first join is the big
+    one and benefits from the usual high-degree-vertex mitigation:
+    degree-ordered edge direction, which the (min,max) canonical form
+    already approximates)."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    n = users.count()
+    dedges = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("user_id") * 7 + 13) % n,
+                (F.col("user_id") * 11 + 5) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    und = dedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
