@@ -769,3 +769,58 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.corr("rev", "rev_l7")).alias("acf_7"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "ts_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, avg(rev) AS mu FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT daily.event_type, d, rev - mu AS dev
+      FROM daily JOIN stats ON daily.event_type = stats.event_type),
+    cus AS (
+      SELECT event_type, d,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM dev)
+    SELECT event_type,
+           round(max(s), 2) AS cusum_max,
+           round(min(s), 2) AS cusum_min,
+           round(max(abs(s)), 2) AS cusum_range
+    FROM cus GROUP BY event_type
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic per series: cumulative sum of deviations from
+    the series mean, reported as max / min / max-abs — the changepoint
+    screen (a large |CUSUM| excursion means the level shifted somewhere;
+    Page's test thresholds this). Rollup-then-window again: deviations and
+    the running sum run over the |types|×|days| rollup, the mean is a tiny
+    per-type aggregate joined back. Exactly oracle-checkable because every
+    arithmetic step (mean join, cumsum window, extrema) is
+    order-identical in both engines on the rounded daily series."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(money(F.sum("value")).alias("rev"))
+    )
+    stats = daily.groupBy("event_type").agg(F.avg("rev").alias("mu"))
+    dev = daily.join(stats, "event_type").select(
+        "event_type", "d", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = dev.select("event_type", F.sum("dev").over(w).alias("s"))
+    return cus.groupBy("event_type").agg(
+        money(F.max("s")).alias("cusum_max"),
+        money(F.min("s")).alias("cusum_min"),
+        money(F.max(F.abs("s"))).alias("cusum_range"),
+    )

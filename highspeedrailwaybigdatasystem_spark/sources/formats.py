@@ -298,3 +298,39 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "src_text_lines",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+    FROM documents
+    """,
+)
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text round-trip (spark.read/write.text): the rawest corpus
+    interchange format — one document per line, id and body joined with a
+    tab (the corpus has no embedded newlines/tabs, asserted implicitly by
+    the count check). Write partitions in parallel, read back as a single
+    `value` column, split on the first tab, and re-derive the corpus
+    audit (docs / tokens / chars) — equal to computing it from the source
+    table directly, which is exactly what the oracle does. The text source
+    supports the same pushdown-free streaming-friendly line semantics
+    wholeTextFiles-era pipelines expect."""
+    d = scratch_dir("text_lines_docs")
+    shutil.rmtree(d, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
+    ).write.mode("overwrite").text(d)
+    back = spark.read.text(d).select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_sum"),
+    )
