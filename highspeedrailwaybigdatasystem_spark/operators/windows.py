@@ -458,3 +458,67 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_types_10"),
     )
+
+
+@register(
+    "win_pareto_abc",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+             sum(cents) OVER () AS tot_cents
+      FROM spend),
+    classed AS (
+      SELECT CASE WHEN run_cents * 100 <= tot_cents * 80 THEN 'A'
+                  WHEN run_cents * 100 <= tot_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: customers ranked by spend, cut at 80%
+    and 95% of CUMULATIVE revenue share — the inventory-analytics
+    classic ("which 20% of customers drive 80% of revenue"). Arithmetic
+    is integer cents with integer cross-multiplied thresholds
+    (run*100 <= tot*80), so the class boundaries are engine-exact — no
+    float share ever compared. Scale note: cumulative share inherently
+    needs a GLOBAL order over the classified entities; the windows here
+    run on the per-customer AGGREGATE — entity grain, orders of magnitude
+    smaller than the fact table (which is never globally sorted). At
+    extreme entity cardinality the production variant computes the 80/95
+    spend cutpoints from a quantile sketch of per-entity totals and
+    classifies map-side (llm_curriculum_buckets' cutpoint pattern)."""
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("cents"))
+    )
+    w_run = Window.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.sum("cents").over(w_run).alias("run_cents"),
+        F.sum("cents").over(w_all).alias("tot_cents"),
+    )
+    classed = ranked.select(
+        F.when(F.col("run_cents") * 100 <= F.col("tot_cents") * 80, "A")
+        .when(F.col("run_cents") * 100 <= F.col("tot_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("class_revenue"),
+    )

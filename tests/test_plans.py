@@ -166,6 +166,8 @@ def test_full_surface_plan_hygiene(spark):
         "ts_seasonal_ma",    # over daily rollup — |days| rows
         "tpch_q15",          # global max over per-supplier revenue (Q15 shape)
         "llm_hash_split",    # share-of-total over a 3-row split aggregate
+        "win_pareto_abc",    # cumulative share over the entity aggregate —
+                             # inherent to ABC semantics; fact never sorted
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
