@@ -1046,3 +1046,34 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label": "n_name",
         },
     )
+
+
+@register(
+    "join_array_membership",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) FILTER (
+             len(list_intersect(string_split(text, ' '),
+                                ['hash', 'join', 'index', 'query'])) > 0
+           ) AS BIGINT) AS n_matching,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-set tagging WITHOUT a join: does a doc's token array
+    intersect a (broadcastable) keyword list? Expressed as
+    arrays_overlap against a literal array — a pure map-side predicate
+    inside whole-stage codegen, where the naive formulation (explode +
+    semi-join against a keyword table) would shuffle the exploded corpus.
+    The rule of thumb this op pins: membership against a SMALL set is an
+    expression, not a join — at 100 TB that's the difference between zero
+    shuffle and a token-grain exchange."""
+    kw = F.array(*[F.lit(w) for w in ("hash", "join", "index", "query")])
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.arrays_overlap(F.split("text", " "), kw).alias("hit")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.when(F.col("hit"), 1)).alias("n_matching"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

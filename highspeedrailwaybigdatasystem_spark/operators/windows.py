@@ -522,3 +522,53 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("cents") / 100.0, 2).alias("class_revenue"),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM spend)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * cents) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration /
+    inequality KPI that quantifies what win_pareto_abc classifies, via
+    the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    totals. All mass terms stay integer cents (Σ i·xᵢ is an exact BIGINT
+    both engines agree on); only the final two divisions are float,
+    absorbed by round-6. Same entity-grain global window as
+    win_pareto_abc — inherent to rank-based concentration measures, never
+    applied to the raw fact table."""
+    spend = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("cents"))
+    )
+    w_rank = Window.orderBy("cents", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        ratio(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n")
+        ).alias("gini"),
+    )

@@ -168,6 +168,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_hash_split",    # share-of-total over a 3-row split aggregate
         "win_pareto_abc",    # cumulative share over the entity aggregate —
                              # inherent to ABC semantics; fact never sorted
+        "agg_gini_concentration",  # rank formula over the entity aggregate
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
