@@ -537,7 +537,8 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cents) OVER () AS tot
       FROM spend)
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
-           round(2.0 * sum(i * cents) / (max(n) * max(tot))
+           round(2.0 * sum(CAST(i AS DECIMAL(38,0)) * cents)
+                     / (max(n) * 1.0 * max(tot))
                  - (max(n) + 1.0) / max(n), 6) AS gini
     FROM ranked
     """,
@@ -546,11 +547,15 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend — the concentration /
     inequality KPI that quantifies what win_pareto_abc classifies, via
     the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
-    totals. All mass terms stay integer cents (Σ i·xᵢ is an exact BIGINT
-    both engines agree on); only the final two divisions are float,
-    absorbed by round-6. Same entity-grain global window as
-    win_pareto_abc — inherent to rank-based concentration measures, never
-    applied to the raw fact table."""
+    totals. All mass terms stay exact integers: cents is BIGINT and the
+    Σ i·xᵢ mass term is accumulated as DECIMAL(38,0) on both engines
+    (DuckDB would promote to HUGEINT while a Spark LongType sum passes
+    2^63 around ~1M customers — ANSI overflow or silent wrap), so the op
+    stays exact at any cardinality; only the final divisions are float,
+    absorbed by round-6 (the n·Σx denominator is evaluated in double on
+    both sides — ~1e-16 relative error, invisible at 6 decimals). Same
+    entity-grain global window as win_pareto_abc — inherent to rank-based
+    concentration measures, never applied to the raw fact table."""
     spend = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -567,8 +572,9 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.max("n").alias("n_customers"),
         ratio(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
-            / (F.max("n") * F.max("tot"))
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+            / (F.max("n").cast("double") * F.max("tot").cast("double"))
             - (F.max("n") + F.lit(1.0)) / F.max("n")
         ).alias("gini"),
     )

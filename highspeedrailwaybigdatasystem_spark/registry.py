@@ -77,28 +77,33 @@ def _ensure_loaded() -> None:
 
 #: The external gate samples the FIRST 50 entries of ``all_queries()`` each
 #: round. This tuple pins that window explicitly so coverage can rotate:
-#: round 3 leads with the 16 ops repaired after the events.ts unit incident
-#: (driver must re-document them green), then fills with ops that have never
-#: had a driver-green row (rounds 1–2 checked the scans/filters/joins/aggs
-#: prefix). Future rounds: swap driver-documented names out, rotate
-#: never-checked ones in. Names absent from the registry are ignored.
+#: rounds 1–2 gated the scans/filters/joins/aggs prefix, round 3 gated the
+#: 16 events.ts-repaired ops + 34 window/sort/setop/scalar ops (97 distinct
+#: names driver-green cumulatively). Round 4 rotates in 50 more
+#: never-driver-gated ops — the remaining joins, then the advanced-agg /
+#: scalar / timeseries / graph / etl blocks. ~89 never-gated names remain
+#: for rounds 5–6 (tpch, sources, udf, llm, stream blocks). Names absent
+#: from the registry are ignored.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # 16 repaired after the ns→µs testdata regeneration (round 2 VERDICT #1)
-    "join_self_interval", "join_asof", "join_asof_nearest",
-    "win_lag_lead", "win_first_last", "win_session_window_fn",
-    "ts_sessionize", "ts_gapfill", "ts_ohlc", "ts_hourly_rollup",
-    "ts_retention_cohort", "ts_interpolate_linear",
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_stream_join",
-    # never driver-checked before round 3
-    "agg_histogram", "agg_boolean", "sql_hints", "sql_distribute_sort_by",
-    "agg_bitmap_distinct", "agg_weighted_median", "agg_regression",
-    "agg_listagg", "win_rownum_topk", "topk_per_group", "win_rank_dense",
-    "win_running_sum", "win_moving_avg", "win_ntile_pctrank",
-    "win_named_window", "win_ignore_nulls", "win_moving_median",
-    "sort_multikey", "topk_global", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
-    "str_funcs", "str_split_regex", "dt_extract", "dt_arith", "math_funcs",
-    "arr_basic", "arr_higher_order", "arr_explode", "json_extract",
+    # round 4: never driver-gated before (mirror-green in round 3's sweep)
+    "join_asof_forward", "join_array_membership", "join_temporal_scd2",
+    "agg_count_min_sketch", "agg_corr_covar", "agg_ols_multivariate",
+    "agg_bitwise", "agg_gini_concentration",
+    "win_time_range_frame", "win_distinct_rolling", "win_pareto_abc",
+    "sql_unpivot_syntax", "sql_lateral_view", "sql_udf", "sql_tvf_range",
+    "sql_parameterized", "sql_values_inline", "sql_star_except",
+    "sql_lateral_join", "sql_identifier_dynamic",
+    "set_union_by_name",
+    "dt_format", "dt_timezone", "dt_interval_arith", "dt_business_days",
+    "str_levenshtein", "str_funcs2", "str_collate", "str_mask",
+    "str_regexp2",
+    "json_roundtrip", "json_variant", "xml_roundtrip",
+    "null_safe_math", "arr_setops", "arr_map_hof", "map_ops",
+    "ts_anomaly", "ts_ewma", "ts_funnel", "ts_transition_matrix",
+    "ts_seasonal_ma", "ts_week_over_week", "ts_activity_streaks",
+    "ts_percentile_rollup", "ts_autocorr_lag", "ts_cusum_drift",
+    "graph_pagerank", "graph_triangle_count",
+    "etl_scd1_upsert",
 )
 
 

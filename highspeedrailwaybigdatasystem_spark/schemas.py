@@ -131,18 +131,40 @@ EVENTS_READ_SCHEMA = _st(
 _EVENTS_TS_MIN_US = 1_672_531_200_000_000  # 2023-01-01 UTC, generous lower bound
 _EVENTS_TS_MAX_US = 1_735_689_600_000_000  # 2025-01-01 UTC, generous upper bound
 
-#: Per-path cache of the sniffed ts encoding: "us"/"ns" timestamp or "int64-ns".
-_EVENTS_TS_KIND: dict[str, str] = {}
+#: Cache of the sniffed ts encoding, keyed on (path, newest mtime_ns, total
+#: size) so a corpus regenerated in-place mid-process (the round-2 incident
+#: scenario) invalidates the entry and is re-sniffed instead of being read
+#: with a stale branch.
+_EVENTS_TS_KIND: dict[tuple[str, int, int], str] = {}
+
+
+def _events_fingerprint(path: str) -> tuple[str, int, int]:
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    mtime = 0
+    size = 0
+    for f in files:
+        st = os.stat(f)
+        mtime = max(mtime, st.st_mtime_ns)
+        size += st.st_size
+    return (path, mtime, size)
 
 
 def _sniff_events_ts_kind(path: str) -> str:
-    """Classify the physical encoding of ``ts`` from the parquet footer.
+    """Classify the physical encoding of ``ts`` from the parquet footers.
 
-    Driver-side metadata-only read (no data pages). Also validates the
-    footer's column statistics for ``ts`` against the documented corpus
-    range so a regenerated corpus with a different unit fails loudly here
-    instead of producing 1000×-off results downstream.
+    Driver-side metadata-only read (no data pages). EVERY file under the
+    path is sniffed — a multi-file dataset with mixed encodings raises
+    instead of silently reading some files with the wrong branch. Every
+    row group's footer statistics for ``ts`` are validated against the
+    documented corpus range so a regenerated corpus with a different unit
+    fails loudly here instead of producing 1000×-off results downstream.
+    The corpus is small (≤ a few dozen footers); this stays in the
+    low-millisecond range vs a ~10 s session startup.
     """
+    import datetime as _dt
     import glob
     import os
 
@@ -151,25 +173,23 @@ def _sniff_events_ts_kind(path: str) -> str:
     files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
-    t = pq.read_schema(files[0]).field("ts").type
-    ts_str = str(t)
-    if ts_str.startswith("timestamp["):
-        unit = t.unit  # 'us' or 'ns'
-        kind = unit
-    elif ts_str == "int64":
-        kind = "int64-ns"
-    else:
-        raise TypeError(f"events.ts has unsupported parquet type {ts_str} in {files[0]}")
 
-    # Range guard from footer row-group statistics (still metadata-only).
-    md = pq.ParquetFile(files[0]).metadata
-    arrow_schema = md.schema.to_arrow_schema()
-    ts_idx = arrow_schema.get_field_index("ts")
-    stats = md.row_group(0).column(ts_idx).statistics
-    if stats is not None and stats.has_min_max:
-        lo, hi = stats.min, stats.max
-        # Normalize to µs-since-epoch for the check.
-        import datetime as _dt
+    kinds: set[str] = set()
+    for fpath in files:
+        t = pq.read_schema(fpath).field("ts").type
+        ts_str = str(t)
+        if ts_str.startswith("timestamp["):
+            kind = t.unit  # 'us' or 'ns'
+        elif ts_str == "int64":
+            kind = "int64-ns"
+        else:
+            raise TypeError(f"events.ts has unsupported parquet type {ts_str} in {fpath}")
+        kinds.add(kind)
+        if len(kinds) > 1:
+            raise ValueError(
+                f"events dataset at {path} mixes ts encodings {sorted(kinds)} "
+                f"across files — refusing to load (would misread some files)"
+            )
 
         def _to_us(v: object) -> int:
             if isinstance(v, _dt.datetime):
@@ -178,14 +198,24 @@ def _sniff_events_ts_kind(path: str) -> str:
             v = int(v)  # raw int64: ns for int64-ns files
             return v // 1000 if kind in ("int64-ns", "ns") else v
 
-        lo_us, hi_us = _to_us(lo), _to_us(hi)
-        if not (_EVENTS_TS_MIN_US <= lo_us and hi_us <= _EVENTS_TS_MAX_US):
-            raise ValueError(
-                f"events.ts statistics out of documented corpus range "
-                f"(FIXTURES.md 2024-01-01…2024-01-30): min={lo} max={hi} "
-                f"kind={kind} file={files[0]} — possible unit drift; refusing to load"
-            )
-    return kind
+        # Range guard from footer row-group statistics (still metadata-only),
+        # checked for EVERY row group so drift in a later row group is caught.
+        md = pq.ParquetFile(fpath).metadata
+        arrow_schema = md.schema.to_arrow_schema()
+        ts_idx = arrow_schema.get_field_index("ts")
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ts_idx).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo_us, hi_us = _to_us(stats.min), _to_us(stats.max)
+            if not (_EVENTS_TS_MIN_US <= lo_us and hi_us <= _EVENTS_TS_MAX_US):
+                raise ValueError(
+                    f"events.ts statistics out of documented corpus range "
+                    f"(FIXTURES.md 2024-01-01…2024-01-30): min={stats.min} "
+                    f"max={stats.max} kind={kind} file={fpath} row_group={rg} "
+                    f"— possible unit drift; refusing to load"
+                )
+    return kinds.pop()
 
 
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
@@ -209,10 +239,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        kind = _EVENTS_TS_KIND.get(path)
+        fp = _events_fingerprint(path)
+        kind = _EVENTS_TS_KIND.get(fp)
         if kind is None:
             kind = _sniff_events_ts_kind(path)
-            _EVENTS_TS_KIND[path] = kind
+            _EVENTS_TS_KIND[fp] = kind
         if kind == "us":
             return spark.read.schema(SCHEMAS["events"]).parquet(path)
         raw = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)

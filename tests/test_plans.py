@@ -316,12 +316,30 @@ def test_bloom_dedup_probe_is_broadcast(spark):
 def test_zorder_layout_is_two_aggs_no_sort(spark):
     """etl_zorder_layout measures layouts with bucket aggregations — the
     plan must contain no global Sort of the fact table (the audit never
-    needs to physically re-order events)."""
+    needs to physically re-order events).
+
+    Physical plan toString prints sort nodes as ``Sort [keys], <global>, 0``
+    (no ``Exec`` suffix), where the boolean is the global flag — a global
+    sort-the-world shape is ``Sort [...], true, 0``; SortMergeJoin's local
+    child sorts print ``false`` and are allowed."""
+    import re
+
+    from highspeedrailwaybigdatasystem_spark.operators._util import t
     from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    global_sort = re.compile(r"\bSort \[[^\]]*\], true,")
+
+    # Control: prove the pattern CAN fire — a plan with an orderBy must match.
+    sorted_plan = (
+        t(spark, SF_ORACLE, "events")
+        .orderBy("ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert global_sort.search(sorted_plan), sorted_plan[:2000]
 
     df = all_queries()["etl_zorder_layout"](spark, SF_ORACLE)
     s = df._jdf.queryExecution().executedPlan().toString()
-    # Sort may appear inside tiny final union ordering; forbid a sort that
-    # feeds an Exchange (the sort-the-world shape).
-    assert "SortExec" not in s.replace("SortMergeJoin", ""), s[:2000]
+    assert not global_sort.search(s), s[:2000]
     assert "HashAggregate" in s, s[:2000]
