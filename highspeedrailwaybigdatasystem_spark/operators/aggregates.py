@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import money, ratio, t
+from ._util import money, ratio, sql_q, t
 
 
 @register(
@@ -34,19 +34,28 @@ from ._util import money, ratio, t
     """,
 )
 def agg_scan_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: filtered scan + multi-aggregate group-by."""
-    li = t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
-    )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        money(F.sum("l_quantity")).alias("sum_qty"),
-        money(F.sum("l_extendedprice")).alias("sum_base"),
-        money(F.sum(disc)).alias("sum_disc"),
-        money(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
-        ratio(F.avg("l_quantity")).alias("avg_qty"),
-        ratio(F.avg("l_extendedprice")).alias("avg_price"),
-        F.count(F.lit(1)).alias("count_order"),
+    """TPC-H Q1 shape: filtered scan + multi-aggregate group-by.
+
+    Bench headline op — built as one SQL text (see ``sql_q``); the plan is
+    the same filtered-scan + hash-aggregate Catalyst emits for the
+    equivalent groupBy/agg chain, with the shipdate predicate pushed to
+    the parquet scan."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        GROUP BY l_returnflag, l_linestatus
+        """,
     )
 
 
@@ -237,9 +246,9 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation filter with a scale-invariant threshold (above-average
     nations), expressed as a scalar subquery both sides."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT n_name, count(*) AS cust_cnt
@@ -305,9 +314,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (neither rollup nor cube) + grouping-id
     bitmask — both engines use the same bit convention (1 = aggregated)."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -365,9 +374,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
     decorrelates both into semi/anti joins (no per-row subquery execution)."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey FROM orders o
@@ -390,9 +399,9 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (orders 1.5× above the customer's own
     average) — decorrelated by Catalyst into an aggregate + join."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey FROM orders o
@@ -419,9 +428,9 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation keyspace joined back to the dimension — the iterate-until-fixed-
     point surface (org charts, BOM explosions) without resorting to driver
     loops."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         WITH RECURSIVE walk(nationkey, depth) AS (
@@ -526,9 +535,9 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB both): the engine infers grouping keys = all non-aggregate select
     items. Identical plan to the explicit form — this row pins the parser
     surface."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -554,9 +563,9 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explicit value list — no extra distinct-values job). DuckDB's PIVOT
     materializes differently, so the oracle uses the FILTER-agg expansion,
     which is exactly what both planners lower PIVOT to."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT * FROM (
@@ -657,9 +666,9 @@ def sql_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit knobs for overriding size estimates at 100 TB (e.g. a dim
     that is small but whose stats say otherwise). Hints are semantically
     neutral: the oracle is the plain join."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT /*+ BROADCAST(nation), REPARTITION(8, n_name) */
@@ -687,9 +696,9 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     the write-path idiom for producing clustered, per-file-sorted output.
     Content is unchanged, so the oracle is the plain aggregate over the
     distributed-sorted subquery."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_suppkey, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
@@ -819,9 +828,9 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY). The WITHIN GROUP sort is per-group and explicit, so the
     concatenation is deterministic — the requirement that makes listagg
     oracle-checkable at all."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c_mktsegment,
@@ -1036,9 +1045,9 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle). Identical clause runs on DuckDB. UNPIVOT drops NULL
     cells by default in both engines; the projected columns here are
     non-null so the surfaces agree without INCLUDE NULLS."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c_custkey, metric, val

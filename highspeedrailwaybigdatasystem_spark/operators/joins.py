@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import EVENTS_TS_US, money, t
+from ._util import EVENTS_TS_US, money, sql_q, t
 
 
 # --------------------------------------------------------------------------
@@ -51,27 +51,27 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: lineitem⋈orders is the only big shuffle; customer/
     nation/region are broadcast (dimension-side filters applied before the
-    join so the broadcast is as small as possible).
+    join so the broadcast is as small as possible). Bench headline op —
+    one SQL text (see ``sql_q``); the BROADCAST hints pin the same
+    physical plan the explicit ``F.broadcast`` DataFrame chain produced.
     """
-    lineitem = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    customer = t(spark, sf_dir, "customer")
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-
-    dim = F.broadcast(
-        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey", "n_name")
-    )
-    return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("n_name")
-        .agg(money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+               n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
     )
 
 

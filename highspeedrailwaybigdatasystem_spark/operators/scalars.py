@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import money, ratio, t
+from ._util import money, ratio, sql_q, t
 
 
 @register(
@@ -264,13 +264,19 @@ def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-in-string extraction (props = '{"k": <int>}') + aggregation."""
-    e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.sum(k).alias("k_sum"),
-        ratio(F.avg(k)).alias("k_avg"),
-        F.count(F.lit(1)).alias("cnt"),
+    """JSON-in-string extraction (props = '{"k": <int>}') + aggregation.
+    Bench headline op — one SQL text (see ``sql_q``), same plan as the
+    get_json_object/groupBy chain."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               sum(cast(get_json_object(props, '$.k') AS int)) AS k_sum,
+               round(avg(cast(get_json_object(props, '$.k') AS int)), 6) AS k_avg,
+               count(*) AS cnt
+        FROM events GROUP BY event_type
+        """,
     )
 
 
@@ -485,9 +491,9 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HiveQL-compat LATERAL VIEW explode through the SQL surface (the
     TVF-style row-generator syntax; same plan as DataFrame explode)."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT lang, token, count(*) AS cnt
@@ -546,9 +552,9 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python UDFs these inline into the plan as expressions — full codegen,
     zero serialization boundary; the right way to package reusable scalar
     logic for SQL users."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION tax_due(p DOUBLE)"
         " RETURNS DOUBLE RETURN p * 0.07"
@@ -746,9 +752,9 @@ def sql_tvf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-valued function surface: range() generating a dense spine in
     the FROM clause, left-joined so empty buckets survive — the TVF idiom
     behind calendar spines and bucket scaffolds."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT r.id AS bucket_id, count(o_orderkey) AS n_orders
@@ -774,9 +780,9 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL (Spark 3.4 named-parameter binding): values bind
     as literals server-side — no string interpolation, no injection, and
     Catalyst still constant-folds them into pushed filters."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
@@ -997,9 +1003,9 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines execute LATERAL as a per-row nested loop, which at 100 TB is
     the difference between one shuffle and N subqueries. Identical syntax
     runs on DuckDB as the oracle."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
@@ -1028,9 +1034,9 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-tenant table, per-config group-by column) without eval-style SQL
     injection. IDENTIFIER() binds at analysis time, so the resolved plan
     is byte-identical to the static query the oracle runs."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT n_name, count(*) AS n_cust

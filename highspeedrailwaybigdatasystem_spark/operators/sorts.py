@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import money, t
+from ._util import money, sql_q, t
 
 
 @register(
@@ -48,11 +48,16 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by spend. Ordering on the ROUNDED sum + key suffix so
-    the cut can't flip on float summation order across engines."""
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(money(F.sum("o_totalprice")).alias("total_spend"))
-        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-        .limit(10)
+    the cut can't flip on float summation order across engines. Bench
+    headline op — one SQL text (see ``sql_q``); same hash-aggregate +
+    TakeOrderedAndProject plan as the groupBy/orderBy/limit chain."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_spend DESC, o_custkey
+        LIMIT 10
+        """,
     )

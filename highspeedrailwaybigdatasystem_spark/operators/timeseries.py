@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import EVENTS_TS_US, money, ratio, t
+from ._util import EVENTS_TS_US, money, ratio, sql_q, t
 
 
 @register(
@@ -242,16 +242,18 @@ def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BASELINE.md q_session_ish shape, now a first-class op so the bench
     and the DuckDB baseline compare like-for-like. One partial-aggregated
     shuffle on (user_id, hour) then a TakeOrderedAndProject frontier; ties
-    broken by (user_id, hour_start) so the cut is deterministic."""
-    e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
-        )
-        .orderBy(F.col("n_events").desc(), "user_id", "hour_start")
-        .limit(20)
+    broken by (user_id, hour_start) so the cut is deterministic. Bench
+    headline op — one SQL text (see ``sql_q``), identical plan."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS value_sum
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ORDER BY n_events DESC, user_id, hour_start LIMIT 20
+        """,
     )
 
 

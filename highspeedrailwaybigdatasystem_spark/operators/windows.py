@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import EVENTS_TS_US, money, ratio, t
+from ._util import EVENTS_TS_US, money, ratio, sql_q, t
 
 
 @register(
@@ -30,19 +30,21 @@ from ._util import EVENTS_TS_US, money, ratio, t
     """,
 )
 def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price (canonical per-group top-k)."""
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        t(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") <= 3)
+    """Top-3 orders per customer by price (canonical per-group top-k).
+    Bench headline op — one SQL text (see ``sql_q``); same single
+    shuffle-on-o_custkey + in-partition sort + rank-filter plan as the
+    Window-API formulation."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) x
+        WHERE rn <= 3
+        """,
     )
 
 
@@ -253,9 +255,9 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     several functions — parser surface for reusing a window definition.
     Both specs share the o_custkey partitioning, so Catalyst plans a
     single exchange for the two Window nodes."""
-    from ..schemas import register_views
+    from ..schemas import ensure_views
 
-    register_views(spark, sf_dir)
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey,
