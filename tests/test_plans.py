@@ -166,9 +166,9 @@ def test_full_surface_plan_hygiene(spark):
         "ts_seasonal_ma",    # over daily rollup — |days| rows
         "tpch_q15",          # global max over per-supplier revenue (Q15 shape)
         "llm_hash_split",    # share-of-total over a 3-row split aggregate
-        "win_pareto_abc",    # cumulative share over the entity aggregate —
-                             # inherent to ABC semantics; fact never sorted
-        "agg_gini_concentration",  # rank formula over the entity aggregate
+        # win_pareto_abc / agg_gini_concentration left this list in round 4:
+        # both now reconstruct exact global ranks/prefix sums via the
+        # _range_prefix offsets pattern (windows partitioned by _pid only).
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
