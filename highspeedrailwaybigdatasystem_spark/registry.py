@@ -3,8 +3,10 @@
   * a PySpark query callable ``(spark, sf_dir) -> DataFrame``  (→ ``queries()``)
   * an equivalent DuckDB-runnable ANSI SQL string               (→ ``oracle_sql()``)
 
-Oracle-less registrations (``oracle=None``) are the 8 rows-only operators
-(SURVEY.md §2: approximate/randomized/streaming-arrival-dependent results).
+Oracle-less registrations (``oracle=None``) are the rows-only operators
+(SURVEY.md §2 inventory line: approximate/randomized results — 3 as of
+round 4, after llm_near_dedup_minhash and stream_watermark_late gained
+exact oracles).
 
 Canonicalization contract (SURVEY.md §5.3) — enforced by convention in every
 registered pair:

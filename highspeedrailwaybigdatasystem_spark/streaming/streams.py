@@ -5,7 +5,8 @@ events parquet through ``readStream`` (file source), runs the stateful
 transformation, collects end-of-stream state via a memory sink
 (availableNow trigger), and returns it as a batch DataFrame. Where the
 end-of-stream answer provably equals the batch answer, the DuckDB oracle is
-exact; arrival-order-dependent results (watermark drops) are rows-only.
+exact — including the watermark op, whose deterministic two-batch replay
+fixes the emitted window set exactly (see stream_watermark_late).
 
 Determinism notes: the file source replays files in listing order; operators
 that need multiple micro-batches (dedup, foreachBatch) stage N file copies
@@ -167,11 +168,39 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late")  # rows-only: emission depends on watermark advance
+@register(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH e AS (SELECT {EVENTS_TS_US} AS ts_us, event_type FROM events),
+    mx AS (SELECT max(ts_us) AS m FROM e),
+    w AS (
+      SELECT date_trunc('hour', ts_us) AS win_start, event_type,
+             2 * count(*) AS cnt
+      FROM e GROUP BY 1, 2)
+    SELECT w.win_start, w.event_type, w.cnt
+    FROM w, mx
+    WHERE w.win_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 10 MINUTE
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode tumbling count under a 10-minute watermark: only windows
     the watermark has passed are finalized and emitted; trailing windows stay
-    open at end-of-stream. Inherently arrival-order-dependent → rows-only."""
+    open at end-of-stream.
+
+    Exact oracle (promoted from rows-only in round 4): the replay IS
+    deterministic — two identical file copies, ``maxFilesPerTrigger=1``,
+    listing-ordered, and Spark's dual-watermark design (late-events
+    filter = PREVIOUS batch's watermark; state eviction = the freshly
+    advanced one) fixes the emitted set exactly. Batch 1 builds state at
+    watermark 0; batch 2 runs with late-filter still 0 (so its duplicate
+    rows are ADMITTED and merge into state — probed via
+    ``StreamingQuery.recentProgress``) while eviction advances to
+    W1 = max(ts) − 10 min, emitting every window with end ≤ W1 at
+    TWO-copy counts; the trailing ≤ 70 min of windows stays open forever.
+    The oracle states precisely that (2·count per closed window). Window
+    ends sit on hour boundaries while W1 sits 10 min off one, so
+    ms-truncation of the watermark can never flip the boundary
+    comparison."""
     agg = (
         _stream_events(spark, sf_dir, copies=2, tag="late")
         .withWatermark("ts", "10 minutes")
