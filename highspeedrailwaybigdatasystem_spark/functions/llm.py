@@ -1970,8 +1970,15 @@ def llm_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=3 affine hash positions per doc -> (word = pos div 64,
     mask = 1 << (pos mod 64)) -> groupBy word, bit_or(mask); membership is a
     broadcast equi-join of batch positions against the <=2048-row word
-    table — corpus-size-independent traffic either way."""
-    M = 1 << 17          # bitmap bits
+    table — corpus-size-independent traffic either way.
+    ``tests/test_properties.py::test_bloom_dedup_result_independent_of_fp_rate``
+    pins the exactness claim metamorphically: shrinking the bitmap 512x
+    (FP rate ~1.0) must not change the result set."""
+    return _bloom_dedup_impl(spark, sf_dir, m_bits=1 << 17)
+
+
+def _bloom_dedup_impl(spark: SparkSession, sf_dir: str, m_bits: int) -> DataFrame:
+    M = m_bits           # bitmap bits
     W = 64               # word width
     P = 4294967291       # 32-bit prime, same family as llm_minhash_banding
     docs = t(spark, sf_dir, "documents")
