@@ -7,23 +7,38 @@ The corpus tables are TPC-H-shaped but carry a reduced column set (no
 therefore re-parameterized onto the available columns, keeping each query's
 *shape* (its join graph, aggregation pattern, and plan stressor) intact:
 
+All 22 queries are runnable as of round 4 (`tpch_q01` … `tpch_q22`):
+the partsupp-/column-dependent ones run as documented adaptations that
+preserve each query's join graph, aggregation pattern, and plan stressor:
+
 ===========  ==========================================================
 query        adaptation
 ===========  ==========================================================
-Q1           already on the surface as ``agg_scan_group``
+Q1           full 10-column form (agg_scan_group is the 8-column twin)
+Q2           part↔supplier relation + "supply cost" =
+             min(l_extendedprice/l_quantity) from shipped lineitems
 Q3           drops ``o_shippriority`` from the projection
 Q4           "late" = shipped > 90 days after order date
              (no commit/receipt dates)
-Q5           already on the surface as ``join_multiway``
+Q5           full local-supplier form (c_nationkey = s_nationkey);
+             join_multiway is the no-supplier-leg bench twin
 Q7/Q8        nation/region names from the corpus (NATION_n)
+Q9           supply cost surrogate = 60% of p_retailprice; p_type
+             equality for the p_name LIKE color filter
+Q11          part "stock value" = discounted revenue shipped by the
+             nation's suppliers; same 1%-of-total scalar-subquery HAVING
 Q12          groups by ``l_returnflag`` (no ``l_shipmode``)
 Q13          order-exclusion filter on ``o_orderpriority``
              (no ``o_comment``)
+Q16          part↔supplier relation from lineitem; "complaints" =
+             negative supplier balance
 Q19          drops the ``p_container`` conjunct from each OR arm
-Q2,Q9,Q11,   need ``partsupp`` / ``ps_supplycost`` — not expressible on
-Q16,Q20      this corpus, omitted
-Q21          needs commit/receipt dates — omitted
-Q22          needs ``c_phone`` country codes — omitted
+Q20          "excess availqty" = 1997 SMALL-part quantity > 18% of the
+             supplier's all-time SMALL-part quantity
+Q21          "kept waiting" = q04's 90-day lateness surrogate; the
+             EXISTS/NOT-EXISTS double correlation is intact
+Q22          country code = c_nationkey; "never ordered" = dormant
+             since 2000-01-01 (every corpus customer has ordered)
 ===========  ==========================================================
 
 Scale notes (100 TB design intent):
@@ -620,3 +635,375 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(arm)
         .agg(_rev_money().alias("revenue"))
     )
+
+
+# ==========================================================================
+# Round-4 completion block: the 9 remaining classic queries, adapted onto
+# the reduced column set so the FULL 22-query workload is runnable (the
+# adaptation of each is documented in its docstring and the module header).
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report (full 10-column form; agg_scan_group is the
+# 8-column bench twin)
+# --------------------------------------------------------------------------
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q01", oracle=_Q01_SQL)
+def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 proper — the full pricing-summary aggregate battery
+    (classic cutoff re-parameterized to max(l_shipdate) − 90 days on this
+    corpus). Pure filtered scan + 8-aggregate hash group-by: predicate
+    pushed to the parquet scan, map-side partial aggregation, 4-group
+    output. The bench headline op agg_scan_group is the same shape minus
+    avg_disc/sum_base split."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q01_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (no partsupp: the part↔supplier
+# relation and its cost come from shipped lineitems)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q02",
+    oracle="""
+    WITH euro_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN euro_supp ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    best AS (SELECT partkey, min(unit_cost) AS best_cost FROM cost GROUP BY 1)
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, s.n_name,
+           p.p_partkey, p.p_brand, round(c.unit_cost, 6) AS unit_cost
+    FROM cost c
+    JOIN best b ON b.partkey = c.partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.partkey
+     AND p.p_type = 'LARGE' AND p.p_size <= 10
+    JOIN euro_supp s ON s.s_suppkey = c.suppkey
+    ORDER BY CAST(round(s.s_acctbal * 100, 0) AS BIGINT) DESC,
+             s.s_name, p.p_partkey
+    LIMIT 10
+    """,
+)
+def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without ``partsupp``: the part↔supplier relation is
+    recovered from shipped lineitems and "supply cost" is the minimum
+    observed unit price ``min(l_extendedprice / l_quantity)`` per
+    (part, supplier). The correlated min-cost subquery is decorrelated
+    into a per-part min aggregate (broadcast — |parts| rows) exactly like
+    q17's threshold join; region-filtered suppliers broadcast too, so the
+    only corpus-wide work is one lineitem aggregation. Equality on the
+    min double is engine-safe: both engines compare the identical IEEE
+    value produced by the same division."""
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("partkey").agg(F.min("unit_cost").alias("best_cost"))
+    parts = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (cost.partkey == best.partkey) & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .drop(best.partkey)
+        .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            money("s_acctbal").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            ratio("unit_cost").alias("unit_cost"),
+            F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("_bal_cents"),
+        )
+        .orderBy(F.col("_bal_cents").desc(), "s_name", "p_partkey")
+        .limit(10)
+        .drop("_bal_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local-supplier volume (the FULL form: join_multiway is Q5 minus the
+# supplier leg and the c_nationkey = s_nationkey locality constraint)
+# --------------------------------------------------------------------------
+_Q05_SQL = """
+SELECT {hint}n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q05", oracle=_Q05_SQL.format(hint=""))
+def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: revenue by nation where the CUSTOMER's nation
+    equals the SUPPLIER's nation (the locality constraint join_multiway
+    omits — it adds a second join condition on a non-key column, the
+    planner stressor Q5 exists to test). supplier/nation/region broadcast;
+    customer broadcasts at this corpus scale (at 100 TB customer⋈orders
+    becomes the second fact shuffle and the hint drops away)."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        _Q05_SQL.format(
+            hint="/*+ BROADCAST(customer), BROADCAST(supplier), "
+            "BROADCAST(nation), BROADCAST(region) */\n       "
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit measure (supply cost surrogate: 60% of retail)
+# --------------------------------------------------------------------------
+_Q09_SQL = """
+SELECT {hint}n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+@register("tpch_q09", oracle=_Q09_SQL.format(hint=""))
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape without ``ps_supplycost``: cost is surrogated as
+    60% of the part's retail price (fixed-margin assumption, documented;
+    the classic p_name LIKE filter becomes a p_type equality — the corpus
+    p_name carries no color words). Join graph and plan stressor intact:
+    lineitem⋈orders is the one fact-fact shuffle, part/supplier/nation
+    broadcast, profit aggregated per supplier-nation × order-year."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        _Q09_SQL.format(
+            hint="/*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */\n       "
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (inventory value from lineitems)
+# --------------------------------------------------------------------------
+_Q11_SQL = """
+SELECT l_partkey AS partkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_7'
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       (SELECT 0.01 * sum(l_extendedprice * (1 - l_discount))
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7')
+"""
+
+
+@register("tpch_q11", oracle=_Q11_SQL)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape without ``partsupp``: a part's "stock value" for
+    one nation is the discounted revenue its suppliers shipped; parts
+    above 1% of the nation's total are "important". The share-of-total
+    HAVING keeps Q11's defining feature — an uncorrelated scalar subquery
+    over the same aggregate — which Spark plans as a one-row subquery
+    stage injected as a literal (no per-row recompute, no BNLJ)."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q11_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q16 — part/supplier relationship count (relation recovered from lineitem)
+# --------------------------------------------------------------------------
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", oracle=_Q16_SQL)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape without ``partsupp``: the part↔supplier relation
+    comes from shipped lineitems; "customer complaints" suppliers are
+    surrogated as negative account balance. Keeps Q16's stressors: a
+    NOT IN subquery (null-aware anti join against a broadcast 6-row
+    exclusion set) and count(DISTINCT) per 3-column group (two-phase
+    distinct aggregate — partial distinct map-side, exact merge)."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q16_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess recent shipments (availqty surrogate)
+# --------------------------------------------------------------------------
+_Q20_SQL = """
+WITH small_qty AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS q97,
+         sum(l_quantity) AS qall
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY l_suppkey)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM small_qty WHERE q97 > 0.18 * qall)
+"""
+
+
+@register("tpch_q20", oracle=_Q20_SQL)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape without ``ps_availqty``: a supplier shipped
+    "excess" volume if their 1997 SMALL-part quantity exceeds 18% of
+    their all-time SMALL-part quantity (the threshold-vs-own-aggregate
+    comparison that defines Q20, at supplier grain since the partsupp
+    inventory row doesn't exist). Keeps the nested-aggregate → IN
+    semi-join → dimension join chain; the inner aggregate is
+    |suppliers|-rows and broadcasts into the semi join."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q20_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (lateness = ship >90d after order)
+# --------------------------------------------------------------------------
+_Q21_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {interval}
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late w
+JOIN supplier ON s_suppkey = w.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = w.l_orderkey
+                AND l2.l_suppkey <> w.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = w.l_orderkey
+                    AND l3.l_suppkey <> w.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("tpch_q21", oracle=_Q21_SQL.format(interval="90 DAY"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape without commit/receipt dates: "kept the order
+    waiting" = shipped more than 90 days after the order date (the q04
+    lateness surrogate). Q21's defining stressor survives intact — the
+    EXISTS (another supplier participated) + NOT EXISTS (no OTHER
+    supplier was late) double correlation on the same fact, which Spark
+    plans as a left-semi and a left-anti join keyed on l_orderkey with
+    the supplier-inequality residual. Top-20 blockers by sole-blocked
+    order count."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q21_SQL.format(interval="90 DAYS"))
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (country code = nation key; dormancy window)
+# --------------------------------------------------------------------------
+_Q22_SQL = """
+SELECT CAST(c_nationkey AS {strty}) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (SELECT round(avg(c_acctbal), 6)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@register("tpch_q22", oracle=_Q22_SQL.format(strty="VARCHAR"))
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape without ``c_phone``: the "country code" is the
+    nation key itself (7 codes), and "no orders" — impossible verbatim on
+    a corpus where every customer has ordered — becomes "dormant since
+    2000-01-01". Q22's stressors survive: an uncorrelated scalar
+    subquery (positive-balance average, rounded to 6 dp on both engines
+    so summation-order ulps can't flip a boundary) and a correlated
+    NOT EXISTS anti join against orders."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _Q22_SQL.format(strty="STRING"))
