@@ -2446,3 +2446,122 @@ def llm_kl_divergence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.sum(p * F.log(p / q))).alias("kl_train_vs_heldout"),
         )
     )
+
+
+@register(
+    "llm_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(log10(CAST(r AS DOUBLE))) AS sx,
+             sum(log10(CAST(f AS DOUBLE))) AS sy,
+             sum(log10(CAST(r AS DOUBLE)) * log10(CAST(f AS DOUBLE))) AS sxy,
+             sum(log10(CAST(r AS DOUBLE)) * log10(CAST(r AS DOUBLE))) AS sxx
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM mom
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: log10(freq) vs
+    log10(rank) OLS slope/intercept — the standard sanity probe that a
+    text corpus is natural-language-shaped (slope ≈ −1) rather than
+    degenerate. Scale shape: term frequencies are one explode+agg shuffle
+    at VOCABULARY grain; the global frequency rank is built with the
+    ``_range_prefix`` offsets machinery (range-partition + broadcast
+    count offsets + per-partition row_number — no single-task sort even
+    at 10⁸-term vocabularies), and the fit itself is a one-row co-moment
+    aggregate — the same closed-form OLS as agg_regression."""
+    from ..operators.windows import _range_prefix
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    order = [F.col("f").desc(), F.col("w").asc()]
+    part, _n, _tot = _range_prefix(freq, order, "f")
+    w_rank = Window.partitionBy("_pid").orderBy(*order)
+    ranked = part.select(
+        "f", (F.col("_cnt_off") + F.row_number().over(w_rank)).alias("r")
+    )
+    lx = F.log10(F.col("r").cast("double"))
+    ly = F.log10(F.col("f").cast("double"))
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        ratio(slope).alias("zipf_slope"),
+        ratio((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "mm_audio_chunk_stub",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+    framed AS (
+      SELECT doc_id, blen,
+             CAST(ceil(blen / 128.0) AS BIGINT) AS n_frames
+      FROM sized)
+    SELECT doc_id, CAST(blen AS BIGINT) AS byte_len, n_frames,
+           CAST(blen - (n_frames - 1) * 128 AS BIGINT) AS last_frame_bytes,
+           round(blen / (n_frames * 128.0), 6) AS fill_ratio
+    FROM framed
+    """,
+)
+def mm_audio_chunk_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO plumbing: treat an opaque binary payload as a PCM
+    byte stream and chunk it into fixed 128-byte frames inside an
+    Arrow-batched ``mapInPandas`` "framer" — the exact pipeline shape a
+    real resample/spectrogram stage plugs into (payloads never leave the
+    executor; the frame math is per-batch numpy). THE DECODE IS A
+    DETERMINISTIC FAKE (frame counts / fill ratios over utf-8 bytes — no
+    audio libs in this environment, like mm_decode_stub); the schema,
+    batching, and UDF signature are real and tested."""
+    import numpy as np
+
+    def frame(batches):
+        for pdf in batches:
+            blen = pdf["payload"].map(len).astype("int64")
+            n_frames = np.ceil(blen / 128.0).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blen,
+                    "n_frames": n_frames,
+                    # real impl: len(payload) - (n-1)*hop tail samples
+                    "last_frame_bytes": blen - (n_frames - 1) * 128,
+                    # rounded Spark-side: numpy .round is half-even,
+                    # Spark/DuckDB round is half-up — 101/128 lands on the
+                    # exact 6-dp midpoint and flips
+                    "fill_ratio": blen / (n_frames * 128.0),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    framed = d.mapInPandas(
+        frame,
+        "doc_id long, byte_len long, n_frames long,"
+        " last_frame_bytes long, fill_ratio double",
+    )
+    return framed.withColumn("fill_ratio", ratio(F.col("fill_ratio")))

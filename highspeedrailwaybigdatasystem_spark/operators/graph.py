@@ -155,3 +155,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    edges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) x
+      GROUP BY v)
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the same deterministic interaction graph
+    pagerank/triangle-count run on (two affine follow maps per user,
+    deduped undirected). THE fan-out/skew diagnostic read before any
+    iterative graph job: a heavy-tailed histogram says salt the hot
+    vertices first. One edge-dedup shuffle + one vertex-grain count +
+    one |degrees|-row histogram agg — no iteration, no global sort."""
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    n = ev.count()  # vertex count: one tiny job, literal into the edge map
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 13) % F.lit(n)).alias("dst"),
+    ).unionAll(
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 11 + 5) % F.lit(n)).alias("dst"),
+        )
+    )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    verts = und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b")))
+    deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

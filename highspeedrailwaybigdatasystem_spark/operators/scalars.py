@@ -1083,3 +1083,36 @@ def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("hit"), 1)).alias("n_matching"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN (l_quantity % 2) = 0 THEN NULL
+                           ELSE l_extendedprice END) AS BIGINT) AS n_div_ok,
+           round(sum(l_extendedprice / nullif(l_quantity % 2, 0)), 2)
+             AS odd_qty_price_sum,
+           CAST(count(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_cast_ok,
+           CAST(count(list_extract([l_linenumber], 3)) AS BIGINT)
+             AS n_elem_ok
+    FROM lineitem
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-tolerant scalar battery: ``try_divide`` (NULL on
+    divide-by-zero instead of ANSI exception), ``try_cast`` (NULL on
+    malformed input), ``try_element_at`` (NULL past the end of an
+    array) — the functions that keep a 100 TB job from dying on one bad
+    row while ANSI mode stays on. DuckDB mirrors each via its native
+    NULL-propagating forms (nullif-guarded division, TRY_CAST,
+    out-of-bounds list_extract)."""
+    li = t(spark, sf_dir, "lineitem")
+    div = F.expr("try_divide(l_extendedprice, l_quantity % 2)")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(div).alias("n_div_ok"),
+        money(F.sum(div)).alias("odd_qty_price_sum"),
+        F.count(F.expr("try_cast(l_returnflag AS INT)")).alias("n_cast_ok"),
+        F.count(F.expr("try_element_at(array(l_linenumber), 3)")).alias("n_elem_ok"),
+    )

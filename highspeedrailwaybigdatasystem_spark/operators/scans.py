@@ -125,3 +125,34 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+@register(
+    "api_observe_metrics",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def api_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` / ``Observation``: named metrics collected as
+    a side effect of the SAME action that computes the query — the
+    production pattern for row-count / checksum telemetry without paying
+    a second scan (a ``CollectMetrics`` node in the plan accumulates
+    map-side, costing ~nothing). The returned result is the ordinary
+    per-status aggregate (exact-oracle-checked); the observed metrics
+    (global count + value checksum) materialize driver-side when the
+    caller acts on it."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_telemetry")
+    o = t(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("o_totalprice"), 2).alias("value_checksum"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum("o_totalprice")).alias("total_value"),
+    )

@@ -778,22 +778,23 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS d,
-             round(sum(value), 2) AS rev
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2),
     stats AS (
-      SELECT event_type, avg(rev) AS mu FROM daily GROUP BY event_type),
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(cents) AS tot
+      FROM daily GROUP BY event_type),
     dev AS (
-      SELECT daily.event_type, d, rev - mu AS dev
+      SELECT daily.event_type, d, n, n * cents - tot AS dev_scaled
       FROM daily JOIN stats ON daily.event_type = stats.event_type),
     cus AS (
-      SELECT event_type, d,
-             sum(dev) OVER (PARTITION BY event_type ORDER BY d
+      SELECT event_type, n,
+             sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY d
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
       FROM dev)
     SELECT event_type,
-           round(max(s), 2) AS cusum_max,
-           round(min(s), 2) AS cusum_min,
-           round(max(abs(s)), 2) AS cusum_range
+           round(max(s) / (100.0 * max(n)), 2) AS cusum_max,
+           round(min(s) / (100.0 * max(n)), 2) AS cusum_min,
+           round(max(abs(s)) / (100.0 * max(n)), 2) AS cusum_range
     FROM cus GROUP BY event_type
     """,
 )
@@ -803,26 +804,43 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen (a large |CUSUM| excursion means the level shifted somewhere;
     Page's test thresholds this). Rollup-then-window again: deviations and
     the running sum run over the |types|×|days| rollup, the mean is a tiny
-    per-type aggregate joined back. Exactly oracle-checkable because every
-    arithmetic step (mean join, cumsum window, extrema) is
-    order-identical in both engines on the rounded daily series."""
+    per-type aggregate joined back.
+
+    Arithmetic is EXACT integers until the final division (r4 hardening):
+    values snap to cents per ROW, the deviation from the mean is kept
+    scaled by n (``n·cents − Σcents`` — an exact bigint, no float mean),
+    and the cumulative sum runs over bigints; only the last
+    ``/ (100·n)`` is float, absorbed by round-2. The previous float
+    formulation flaked once in ~50 suite runs: double partial-agg merge
+    order shifted ``avg(rev)`` by ulps and a cusum extremum sat on an
+    exact half-cent."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
-        .agg(money(F.sum("value")).alias("rev"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+        )
     )
-    stats = daily.groupBy("event_type").agg(F.avg("rev").alias("mu"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    )
     dev = daily.join(stats, "event_type").select(
-        "event_type", "d", (F.col("rev") - F.col("mu")).alias("dev")
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("tot")).alias("dev_scaled"),
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cus = dev.select("event_type", F.sum("dev").over(w).alias("s"))
+    cus = dev.select(
+        "event_type", "n", F.sum("dev_scaled").over(w).alias("s")
+    )
+    denom = 100.0 * F.max("n")
     return cus.groupBy("event_type").agg(
-        money(F.max("s")).alias("cusum_max"),
-        money(F.min("s")).alias("cusum_min"),
-        money(F.max(F.abs("s"))).alias("cusum_range"),
+        money(F.max("s") / denom).alias("cusum_max"),
+        money(F.min("s") / denom).alias("cusum_min"),
+        money(F.max(F.abs("s")) / denom).alias("cusum_range"),
     )

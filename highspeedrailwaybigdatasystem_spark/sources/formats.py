@@ -334,3 +334,40 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
         F.sum(F.length("text")).cast("long").alias("n_chars_sum"),
     )
+
+
+@register(
+    "sink_compression_codecs",
+    oracle="""
+    SELECT codec, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS value_checksum
+    FROM (SELECT 'snappy' AS codec, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'zstd' AS codec, o_totalprice FROM orders) t
+    GROUP BY codec
+    """,
+)
+def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec round-trip: write orders under snappy
+    (the splittable low-CPU default) AND zstd (the better-ratio choice
+    for cold 100 TB tiers), read both back, and prove content equality
+    via per-codec row counts + value checksums. Codec choice is a pure
+    storage concern — the oracle asserts the data is bit-identical either
+    way. Writes go to process-namespaced scratch (\\_scratch.scratch_dir)
+    so concurrent harnesses don't collide."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    outs = []
+    for codec in ("snappy", "zstd"):
+        d = scratch_dir(f"codec_{codec}_{os.path.basename(sf_dir)}")
+        shutil.rmtree(d, ignore_errors=True)
+        orders.write.mode("overwrite").option("compression", codec).parquet(d)
+        outs.append(
+            spark.read.parquet(d).select(
+                F.lit(codec).alias("codec"), "o_totalprice"
+            )
+        )
+    both = outs[0].unionByName(outs[1])
+    return both.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money(F.sum("o_totalprice")).alias("value_checksum"),
+    )
