@@ -2565,3 +2565,146 @@ def mm_audio_chunk_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         " last_frame_bytes long, fill_ratio double",
     )
     return framed.withColumn("fill_ratio", ratio(F.col("fill_ratio")))
+
+
+@register(
+    "llm_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS ttr
+      FROM documents)
+    SELECT source,
+           max_by(doc_id, CAST(round(ttr * 1e6, 0) AS BIGINT) * 10000000000
+                          - doc_id) AS chosen_doc,
+           min_by(doc_id, CAST(round(ttr * 1e6, 0) AS BIGINT) * 10000000000
+                          + doc_id) AS rejected_doc,
+           round(max(ttr) - min(ttr), 6) AS score_margin,
+           CAST(count(*) AS BIGINT) AS n_candidates
+    FROM scored GROUP BY source
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for RLHF/DPO-style training: within each
+    candidate group (source stands in for the prompt id) pick the
+    highest- and lowest-quality response by a deterministic score
+    (type-token ratio), emit (chosen, rejected) with the score margin.
+    One hash-shuffle on the group key; ``max_by``/``min_by`` on a single
+    int64 composite key (6-dp score scaled to an exact integer, doc-id
+    tie-break folded into the low digits — DuckDB 1.0's arg-min takes
+    only scalar keys) keep the pair selection engine-exact. At 100 TB the
+    same plan shape mines pairs per prompt over billions of candidates —
+    no sort, no window, pure single-pass aggregate."""
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ratio(
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+        ).alias("ttr"),
+    )
+    key = "cast(round(ttr * 1e6, 0) as bigint) * 10000000000"
+    return scored.groupBy("source").agg(
+        F.expr(f"max_by(doc_id, {key} - doc_id)").alias("chosen_doc"),
+        F.expr(f"min_by(doc_id, {key} + doc_id)").alias("rejected_doc"),
+        ratio(F.max("ttr") - F.min("ttr")).alias("score_margin"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    ranked AS (
+      SELECT f,
+             row_number() OVER (ORDER BY f DESC, w) AS r,
+             sum(f) OVER (ORDER BY f DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_f,
+             sum(f) OVER () AS tot_f
+      FROM freq),
+    marks AS (SELECT unnest([8, 16, 32, 48]) AS vocab_k)
+    SELECT m.vocab_k,
+           round(CAST(max(CASE WHEN ranked.r <= m.vocab_k THEN run_f END)
+                      AS DOUBLE) / max(tot_f), 6) AS coverage
+    FROM marks m, ranked
+    GROUP BY m.vocab_k
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning: what fraction of corpus tokens does a
+    top-K frequency vocabulary cover? Reports coverage at K ∈ {8, 16,
+    32, 48} (sized to this corpus's ~60-word synthetic vocabulary; real
+    runs probe 32k/50k/100k/256k). The frequency rank AND the cumulative
+    token mass are built with the ``_range_prefix`` offsets machinery —
+    exact global rank and running sum, windows partitioned by ``_pid``
+    only, scalable to 10⁸-term vocabularies. The tiny K-marks frame is
+    broadcast; coverage is a 4-row aggregate."""
+    from ..operators.windows import _range_prefix
+
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    order = [F.col("f").desc(), F.col("w").asc()]
+    part, _n, tot_f = _range_prefix(freq, order, "f")
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = part.select(
+        (F.col("_cnt_off") + F.row_number().over(w_run)).alias("r"),
+        (F.col("_sum_off") + F.sum("f").over(w_run)).alias("run_f"),
+    )
+    marks = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(48))).alias("vocab_k")
+    )
+    return (
+        ranked.join(F.broadcast(marks), F.col("r") <= F.col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(
+            ratio(
+                F.max("run_f").cast("double") / F.lit(float(tot_f))
+            ).alias("coverage")
+        )
+    )
+
+
+@register(
+    "llm_context_length_histogram",
+    oracle="""
+    WITH sized AS (
+      SELECT CAST(pow(2, ceil(log2(len(string_split(text, ' '))))) AS BIGINT)
+               AS ctx_bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT ctx_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bucket_tokens,
+           CAST(sum(ctx_bucket - n_tok) AS BIGINT) AS padding_waste
+    FROM sized GROUP BY ctx_bucket
+    """,
+)
+def llm_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget histogram: documents bucketed to the
+    next power-of-two sequence length, with per-bucket token mass and
+    the padding waste a naive pad-to-bucket batching would pay — the
+    numbers that motivate llm_seq_packing. Pure map-side bucket
+    arithmetic + one tiny aggregate; log2/pow on exact integer token
+    counts is boundary-safe (powers of two are exact doubles)."""
+    sized = t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    ).select(
+        "n_tok",
+        F.pow(F.lit(2), F.ceil(F.log2("n_tok"))).cast("bigint").alias("ctx_bucket"),
+    )
+    return sized.groupBy("ctx_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bucket_tokens"),
+        F.sum(F.col("ctx_bucket") - F.col("n_tok")).alias("padding_waste"),
+    )

@@ -718,3 +718,75 @@ def etl_watermark_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ts > (SELECT bm FROM bookmark)
         """,
     )
+
+
+@register(
+    "etl_merge_cdc_apply",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    changes AS (
+      SELECT o_orderkey, cents, 1 AS seq, 'I' AS op FROM snap
+      UNION ALL
+      SELECT o_orderkey, cents + cents // 10, 2, 'U'
+      FROM snap WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, 3, 'D'
+      FROM snap WHERE o_orderkey % 7 = 0),
+    latest AS (
+      SELECT o_orderkey, cents, op,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+      FROM changes)
+    SELECT CAST(count(*) AS BIGINT) AS n_live_rows,
+           round(sum(cents) / 100.0, 2) AS total_value,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated_rows
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def etl_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE application — the Delta/Iceberg ``MERGE INTO`` semantics
+    emulated on plain DataFrames (this environment ships neither): a
+    change stream of ordered I/U/D operations (synthesized
+    deterministically from orders: every 3rd key updated +10%, every 7th
+    deleted — the 10% bump is integer-cents ``cents + cents div 10`` so
+    no per-row float round can drift between engines — sequence I<U<D)
+    collapses to the LAST operation per key —
+    one row_number window over the key — and deletes drop out. Unlike
+    etl_scd1_upsert (one upsert batch) this handles multiple competing
+    ops per key with explicit ordering, the shape a streaming CDC apply
+    job has. One hash-shuffle on the merge key; the verification agg
+    proves row liveness and value state after the merge."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH snap AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders),
+        changes AS (
+          SELECT o_orderkey, cents, 1 AS seq, 'I' AS op FROM snap
+          UNION ALL
+          SELECT o_orderkey, cents + cents DIV 10, 2, 'U'
+          FROM snap WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, 3, 'D'
+          FROM snap WHERE o_orderkey % 7 = 0),
+        latest AS (
+          SELECT o_orderkey, cents, op,
+                 row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+          FROM changes)
+        SELECT CAST(count(*) AS BIGINT) AS n_live_rows,
+               -- double(100), not the literal 100.0: Spark SQL types that
+               -- literal DECIMAL(4,1) and the division would come back decimal
+               round(sum(cents) / double(100), 2) AS total_value,
+               CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_updated_rows
+        FROM latest WHERE rn = 1 AND op <> 'D'
+        """,
+    )
