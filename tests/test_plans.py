@@ -157,6 +157,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_oversample_minority", # 1-row majority-count broadcast
         "llm_kl_divergence_split", # 1-row distribution-total broadcast
         "etl_missing_partition_detect",  # |types|×|days| literal spine build
+        "llm_vocab_coverage",      # 4-row K-marks theta join, broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
