@@ -319,3 +319,41 @@ def test_bloom_dedup_result_independent_of_fp_rate(spark):
     tiny = key(_bloom_dedup_impl(spark, SF_ORACLE, m_bits=1 << 8))
     assert full == tiny
     assert len(full) > 0  # the batch does contain genuinely new docs
+
+
+@given(rows=ROWS)
+@settings(max_examples=5, deadline=None)
+def test_range_prefix_reconstructs_global_order(spark, rows):
+    """_range_prefix (the r4 machinery under pareto/gini/zipf/vocab ops):
+    broadcast offsets + per-partition window must reconstruct EXACTLY the
+    global rank and running sum a single-task Window.orderBy would give,
+    for any data and any partition count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from highspeedrailwaybigdatasystem_spark.operators.windows import _range_prefix
+
+    indexed = [(i, k) for i, (k, _v, _s) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "i int, k long")
+    order = [F.col("k").desc(), F.col("i").asc()]
+    part, n_all, tot = _range_prefix(df, order, "k")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["i"]: (r["rank"], r["run"])
+        for r in part.select(
+            "i",
+            (F.col("_cnt_off") + F.row_number().over(w)).alias("rank"),
+            (F.col("_sum_off") + F.sum("k").over(w)).alias("run"),
+        ).collect()
+    }
+    assert n_all == len(rows)
+    assert tot == sum(k for k, _v, _s in rows)
+    expect_order = sorted(indexed, key=lambda t: (-t[1], t[0]))
+    run = 0
+    for rank, (i, k) in enumerate(expect_order, start=1):
+        run += k
+        assert got[i] == (rank, run), (i, got[i], (rank, run))
