@@ -1057,3 +1057,62 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (acctbal, nationkey))
         """
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_disc(o_totalprice, 0.5) AS median_disc,
+           quantile_disc(o_totalprice, 0.9) AS p90_disc,
+           mode(o_orderpriority ORDER BY o_orderpriority) AS priority_mode
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 ordered-set aggregates, DISCRETE flavor:
+    ``percentile_disc`` returns an actual data value (no interpolation —
+    the variant regulators usually require for reporting) plus the modal
+    order priority. UNROUNDED like agg_percentile: both engines pick the
+    same member value, so floats match bit-for-bit. One shuffle; at
+    100 TB the scale path swaps in approx_percentile/t-digest."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT c_mktsegment,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS median_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p90_disc,
+               mode(o_orderpriority) AS priority_mode
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """,
+    )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrameStatFunctions.crosstab``: the contingency-table one-liner
+    (pair frequency matrix of two categoricals). Spark lowers it to the
+    same groupBy+pivot plan written out in the oracle — one shuffle on
+    the row key, counts combined map-side; column names are the distinct
+    values of the second column (bounded cardinality by contract)."""
+    ct = t(spark, sf_dir, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+    cols = [c for c in ct.columns if c != "l_returnflag_l_linestatus"]
+    return ct.select(
+        "l_returnflag_l_linestatus",
+        *[F.col(f"`{c}`").alias(c) for c in sorted(cols)],
+    )

@@ -671,3 +671,55 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH marked AS (
+      SELECT event_id, event_type, {EVENTS_TS_US} AS ts_us,
+             last_value(CASE WHEN event_type = 'signup' THEN {EVENTS_TS_US} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup
+      FROM events)
+    SELECT event_id,
+           CASE WHEN prev_signup IS NOT NULL
+                 AND epoch_us(ts_us) - epoch_us(prev_signup) <= 86400000000
+                THEN prev_signup END AS signup_within_1d,
+           CAST(CASE WHEN prev_signup IS NOT NULL
+                      AND epoch_us(ts_us) - epoch_us(prev_signup) <= 86400000000
+                     THEN epoch_us(ts_us) - epoch_us(prev_signup) END AS BIGINT)
+             AS gap_us
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of join — pandas ``merge_asof(tolerance=...)`` semantics:
+    each purchase matched to the user's most recent strictly-prior signup
+    ONLY if it happened within 24 h, else NULL (a stale match is worse
+    than none for attribution). Same window-not-join lowering as
+    join_asof — one shuffle on user_id, the tolerance is a map-side
+    post-filter on the navigated timestamp — completing the as-of family
+    (backward / forward / nearest / bounded)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    marked = e.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.last(sig, ignorenulls=True).over(w)).alias("prev_us"),
+    )
+    within = F.col("prev_us").isNotNull() & (
+        (F.col("ts_us") - F.col("prev_us")) <= 86_400_000_000
+    )
+    return marked.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.when(within, F.timestamp_micros(F.col("prev_us"))).alias("signup_within_1d"),
+        F.when(within, F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
+    )

@@ -1116,3 +1116,50 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.expr("try_cast(l_returnflag AS INT)")).alias("n_cast_ok"),
         F.count(F.expr("try_element_at(array(l_linenumber), 3)")).alias("n_elem_ok"),
     )
+
+
+@register(
+    "arr_posexplode_outer",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE string_split(text, ' ')[1:3] END AS head_toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(head_toks) AS tok
+      FROM docs WHERE head_toks IS NOT NULL)
+    SELECT CAST((SELECT count(*) FROM tok)
+                + (SELECT count(*) FROM docs WHERE head_toks IS NULL)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_positions,
+           CAST((SELECT count(DISTINCT tok) FROM tok) AS BIGINT)
+             AS n_distinct_toks,
+           CAST((SELECT count(*) FROM docs WHERE head_toks IS NULL)
+                AS BIGINT) AS n_null_rows
+    """,
+)
+def arr_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``posexplode_outer``: ordinal-preserving explode that KEEPS rows
+    whose array is NULL (every 10th doc here) as a single null row —
+    the off-by-default semantics that silently drop data when plain
+    ``explode`` meets nullable arrays. The verification agg counts total
+    rows (docs with arrays explode 3×, null docs survive 1×), positions,
+    and null passthroughs. DuckDB mirrors with an inner unnest plus
+    null-doc counts added back (its LATERAL LEFT JOIN can't carry the
+    outer-explode shape directly)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 != 0, F.slice(F.split("text", " "), 1, 3)
+        ).alias("head_toks"),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode_outer("head_toks").alias("pos", "tok")
+    )
+    return exploded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pos").alias("n_positions"),
+        F.countDistinct("tok").alias("n_distinct_toks"),
+        F.sum(F.col("pos").isNull().cast("int")).alias("n_null_rows"),
+    )
