@@ -1163,3 +1163,46 @@ def arr_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("n_distinct_toks"),
         F.sum(F.col("pos").isNull().cast("int")).alias("n_null_rows"),
     )
+
+
+@register(
+    "dt_constructors",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN make_date(CAST(year(od) AS INT),
+                                        CAST(month(od) AS INT),
+                                        CAST(day(od) AS INT)) = od
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+           CAST(sum(CASE WHEN od = last_day(od) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_month_end,
+           CAST(min(CAST(od + INTERVAL 1 MONTH AS DATE)) AS TIMESTAMP)
+             AS min_next_month,
+           CAST(max(CAST(od + INTERVAL 1 MONTH AS DATE)) AS TIMESTAMP)
+             AS max_next_month
+    FROM d
+    """,
+)
+def dt_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime constructor battery: ``make_date`` from extracted parts
+    must round-trip every order date (proving extract/construct agree on
+    the proleptic Gregorian calendar), ``last_day`` flags month-ends, and
+    ``add_months`` shows the end-of-month CLAMP rule (Jan 31 + 1 month =
+    Feb 29, not Mar 2 — the off-by-default trap of naive day arithmetic;
+    DuckDB's ``+ INTERVAL 1 MONTH`` clamps identically). All map-side
+    expressions + one aggregate."""
+    d = t(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("od"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                F.make_date(F.year("od"), F.month("od"), F.dayofmonth("od"))
+                == F.col("od")
+            ).cast("int")
+        ).cast("bigint").alias("n_roundtrip"),
+        F.sum((F.col("od") == F.last_day("od")).cast("int"))
+        .cast("bigint")
+        .alias("n_month_end"),
+        F.min(F.add_months("od", 1)).cast("timestamp").alias("min_next_month"),
+        F.max(F.add_months("od", 1)).cast("timestamp").alias("max_next_month"),
+    )
