@@ -1206,3 +1206,101 @@ def dt_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.add_months("od", 1)).cast("timestamp").alias("min_next_month"),
         F.max(F.add_months("od", 1)).cast("timestamp").alias("max_next_month"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SQL:2023-adjacent ``|>`` chaining):
+    the same scan→filter→aggregate expressed as a top-down pipeline —
+    parses to the IDENTICAL logical plan as the nested form (verified:
+    same filter pushdown, same partial/final hash aggregate), so the
+    oracle is the classic formulation. Surface-parity row for users
+    migrating pipelines written in the new syntax."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE count(*) AS n_lines,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, CAST(n_lines AS BIGINT) AS n_lines, revenue
+        """,
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_totalprice > 250000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4.0 ``DECLARE`` / ``SET VAR``): query
+    parameters bound server-side by name — the SQL-native alternative to
+    string interpolation (injection-safe like ``sql_parameterized``, but
+    stateful across statements). The variables resolve to literals at
+    analysis time, so pushdown and constant folding see them exactly as
+    hard-coded constants; the oracle is the inlined form."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE cutoff_date TIMESTAMP")
+    spark.sql("SET VAR cutoff_date = TIMESTAMP '1997-01-01'")
+    spark.sql("DECLARE OR REPLACE min_value DOUBLE")
+    spark.sql("SET VAR min_value = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        WHERE o_orderdate >= cutoff_date AND o_totalprice > min_value
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_acctbal > 5000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE ... USING`` (Spark 4.0): dynamic SQL with
+    positional parameter binding — the pattern for templated statements
+    built at run time (a query string from a config/metastore) without
+    string-concatenation injection risk. The parameter arrives as a typed
+    literal, so the plan is identical to the inlined oracle."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+           FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment'
+          USING 5000.0
+        """
+    )
