@@ -2708,3 +2708,158 @@ def llm_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("bucket_tokens"),
         F.sum(F.col("ctx_bucket") - F.col("n_tok")).alias("padding_waste"),
     )
+
+
+_BM25_QUERY_TERMS = ("spark", "join", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "llm_bm25_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             (SELECT avg(dlen) FROM dl) AS avg_len
+      FROM documents),
+    qterms AS (SELECT unnest(['spark', 'join', 'stream']) AS w),
+    df AS (
+      SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE w IN (SELECT w FROM qterms) GROUP BY w),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE w IN (SELECT w FROM qterms) GROUP BY doc_id, w),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dlen / corpus.avg_len))) AS score
+      FROM tf
+      JOIN df ON df.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): score every document
+    against a fixed 3-term query and return the top-10 — the sparse
+    counterpart to the embedding-cosine family (llm_sim_topk) and the
+    first-stage retriever in most RAG stacks. Scale shape: term
+    frequencies for the QUERY TERMS only (the IN filter prunes the
+    exploded stream before the shuffle), document lengths one agg,
+    df/N/avgdl are tiny broadcast aggregates — per query the cost is one
+    pruned explode + a |matching docs| aggregation, never a corpus-wide
+    score sort (TakeOrderedAndProject top-k). Ranking compares scores
+    ROUNDED to 6 dp with a doc-id tie-break so a 1-ulp ln()/division
+    difference between engines cannot reorder the frontier."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen
+               FROM tok GROUP BY doc_id),
+        corpus AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 (SELECT avg(dlen) FROM dl) AS avg_len
+          FROM documents),
+        df AS (
+          SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM tok WHERE w IN ({terms}) GROUP BY w),
+        tf AS (
+          SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+          FROM tok WHERE w IN ({terms}) GROUP BY doc_id, w),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * ({_BM25_K1} + 1.0)
+                     / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl.dlen / corpus.avg_len))) AS score
+          FROM tf
+          JOIN df ON df.w = tf.w
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN corpus
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(score, 6) AS bm25
+        FROM scored
+        ORDER BY round(score, 6) DESC, doc_id
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    ranged AS (
+      SELECT vec_id, e,
+             list_min(e) AS mn,
+             greatest(list_max(e) - list_min(e), 1e-12) / 255.0 AS scale
+      FROM v),
+    quant AS (
+      SELECT vec_id, mn, scale,
+             list_transform(e, x -> round((x - mn) / scale, 0)) AS q,
+             e
+      FROM ranged)
+    SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_checksum,
+           round(list_sum(list_transform(list_zip(e, q),
+                 p -> pow(CAST(p[1] AS DOUBLE) - (mn + CAST(p[2] AS DOUBLE) * scale), 2)))
+                 / len(e), 8) AS mse
+    FROM quant
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-style) embedding quantization — the storage/ANN-recall
+    trade every vector store makes at 100 TB: per-vector min/max range,
+    255-level uniform codes, and the reconstruction MSE that predicts
+    recall loss. Entirely JVM higher-order array functions (transform /
+    aggregate fold — sequential over list order, so float summation is
+    order-identical in both engines); one map-side pass, no shuffle, no
+    UDF. q-codes are exact small integers (round() of well-separated
+    doubles), MSE rounds to 8 dp."""
+    e_dbl = F.expr("transform(embedding, x -> cast(x as double))")
+    v = t(spark, sf_dir, "embeddings").select("vec_id", e_dbl.alias("e"))
+    ranged = v.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        (F.greatest(F.array_max("e") - F.array_min("e"), F.lit(1e-12)) / 255.0).alias(
+            "scale"
+        ),
+    )
+    quant = ranged.select(
+        "vec_id",
+        "mn",
+        "scale",
+        "e",
+        F.expr("transform(e, x -> round((x - mn) / scale, 0))").alias("q"),
+    )
+    return quant.select(
+        "vec_id",
+        F.expr("cast(aggregate(q, 0.0D, (acc, x) -> acc + x) as bigint)").alias(
+            "q_checksum"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(e, q, (x, c) -> pow(x - (mn + c * scale), 2)),"
+                " 0.0D, (acc, x) -> acc + x) / size(e)"
+            ),
+            8,
+        ).alias("mse"),
+    )

@@ -158,6 +158,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_kl_divergence_split", # 1-row distribution-total broadcast
         "etl_missing_partition_detect",  # |types|×|days| literal spine build
         "llm_vocab_coverage",      # 4-row K-marks theta join, broadcast
+        "llm_bm25_retrieval",      # 1-row corpus-stats (N, avgdl) broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
