@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.operators.scalars",
     "highspeedrailwaybigdatasystem_spark.operators.timeseries",
     "highspeedrailwaybigdatasystem_spark.operators.graph",
+    "highspeedrailwaybigdatasystem_spark.operators.ml",
     "highspeedrailwaybigdatasystem_spark.operators.etl",
     "highspeedrailwaybigdatasystem_spark.operators.tpch",
     "highspeedrailwaybigdatasystem_spark.sources.formats",
