@@ -204,3 +204,94 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b")))
     deg = verts.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_BFS_ITERS = 5
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS relaxation (the pagerank-oracle pattern): d0 = 0 at
+    the source, then 5 rounds of dist-via-any-in-edge minimization."""
+    steps = []
+    for k in range(1, _BFS_ITERS + 1):
+        steps.append(
+            f"""d{k} AS (
+      SELECT u.user_id,
+             least(coalesce(min(p.dist + 1), 999), coalesce(min(s.dist), 999))
+               AS dist
+      FROM users u
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN d{k - 1} p ON p.user_id = e.src AND p.dist < 999
+      LEFT JOIN d{k - 1} s ON s.user_id = u.user_id
+      GROUP BY u.user_id)"""
+        )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT count(*) AS n FROM users),
+    edges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT n FROM nn) AS dst FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT n FROM nn) FROM users),
+    d0 AS (
+      SELECT user_id, CASE WHEN user_id = 0 THEN 0 ELSE 999 END AS dist
+      FROM users),
+    {",".join(steps)}
+    SELECT CAST(dist AS INT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d{_BFS_ITERS}
+    WHERE dist < 999
+    GROUP BY dist
+    """
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from user 0 over the deterministic interaction
+    graph (5 synchronous relaxation supersteps — the Pregel shortest-path
+    primitive; dist is exact integers so the oracle unrolls bit-identical
+    like graph_pagerank). Each superstep is one edge⋈dist hash join + a
+    per-vertex min aggregate; ``localCheckpoint`` truncates the growing
+    lineage exactly as in pagerank. Output: reachable-user count per hop
+    ring (≤ 5 hops)."""
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    n = ev.count()
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 13) % F.lit(n)).alias("dst"),
+    ).unionAll(
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 11 + 5) % F.lit(n)).alias("dst"),
+        )
+    )
+    edges = edges.localCheckpoint()
+    dist = ev.select(
+        "user_id",
+        F.when(F.col("user_id") == 0, F.lit(0)).otherwise(F.lit(999)).alias("dist"),
+    )
+    for _ in range(_BFS_ITERS):
+        via = (
+            edges.join(
+                dist.where(F.col("dist") < 999).withColumnRenamed("user_id", "src_id"),
+                F.col("src") == F.col("src_id"),
+            )
+            .groupBy(F.col("dst").alias("user_id"))
+            .agg((F.min("dist") + 1).alias("via_dist"))
+        )
+        dist = (
+            dist.join(via, "user_id", "left")
+            .select(
+                "user_id",
+                F.least(F.col("dist"), F.coalesce("via_dist", F.lit(999))).alias(
+                    "dist"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return (
+        dist.where(F.col("dist") < 999)
+        .groupBy(F.col("dist").cast("int").alias("hops"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
