@@ -844,3 +844,134 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.min("s") / denom).alias("cusum_min"),
         money(F.max(F.abs("s")) / denom).alias("cusum_range"),
     )
+
+
+@register(
+    "ts_attribution_touch",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      {EVENTS_TS_US} AS ts_us FROM events),
+    marked AS (
+      SELECT user_id, event_id, event_type, value, ts_us,
+             last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+               OVER w AS last_click,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS last_click_id
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    attributed AS (
+      SELECT CASE
+               WHEN last_click IS NOT NULL
+                AND epoch_us(ts_us) - epoch_us(last_click) <= 604800000000
+               THEN 'last_click' ELSE 'unattributed' END AS model_bucket,
+             value
+      FROM marked WHERE event_type = 'purchase')
+    SELECT model_bucket,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM attributed GROUP BY model_bucket
+    """,
+)
+def ts_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent strictly-prior click IF it happened within a 7-day
+    lookback, else falls to 'unattributed' — the revenue-attribution
+    primitive of every growth dashboard. Same window-not-join as-of
+    lowering as join_asof (one shuffle on user_id, map-side lookback
+    test), then a 2-group rollup of purchase counts and value."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    marked = e.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.last(click_ts, ignorenulls=True).over(w)).alias("last_click"),
+    )
+    attributed = marked.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click").isNotNull()
+            & ((F.col("ts_us") - F.col("last_click")) <= 604_800_000_000),
+            F.lit("last_click"),
+        )
+        .otherwise("unattributed")
+        .alias("model_bucket"),
+        "value",
+    )
+    return attributed.groupBy("model_bucket").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        money(F.sum("value")).alias("attributed_value"),
+    )
+
+
+@register(
+    "ts_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '2001-08-01')
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    cuts AS (
+      SELECT round(quantile_cont(recency_days, 0.5), 9) AS r_med,
+             round(quantile_cont(frequency, 0.5), 9) AS f_med,
+             round(quantile_cont(monetary_cents, 0.5), 9) AS m_med
+      FROM rfm),
+    scored AS (
+      SELECT CAST(CAST(recency_days <= r_med AS INT) AS VARCHAR)
+             || CAST(CAST(frequency > f_med AS INT) AS VARCHAR)
+             || CAST(CAST(monetary_cents > m_med AS INT) AS VARCHAR) AS rfm_code,
+             monetary_cents
+      FROM rfm CROSS JOIN cuts)
+    SELECT rfm_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary_cents) / 100.0, 2) AS segment_value
+    FROM scored GROUP BY rfm_code
+    """,
+)
+def ts_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    retention-marketing classic, built scale-correct with the CUTPOINT
+    pattern: per-customer RFM triple (one shuffle), exact medians as a
+    1-row broadcast aggregate, map-side binary scoring into the 8 RFM
+    cells. No global sort, no ntile; medians round to 9 dp on both
+    engines so interpolation ulps can't flip a comparison (the inputs are
+    integer-grain). Monetary stays integer cents until the final report
+    division."""
+    rfm = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-08-01").cast("timestamp"), F.max("o_orderdate")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    cuts = rfm.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 9).alias("r_med"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 9).alias("f_med"),
+        F.round(F.expr("percentile(monetary_cents, 0.5)"), 9).alias("m_med"),
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        F.concat(
+            (F.col("recency_days") <= F.col("r_med")).cast("int").cast("string"),
+            (F.col("frequency") > F.col("f_med")).cast("int").cast("string"),
+            (F.col("monetary_cents") > F.col("m_med")).cast("int").cast("string"),
+        ).alias("rfm_code"),
+        "monetary_cents",
+    )
+    return scored.groupBy("rfm_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary_cents") / 100.0, 2).alias("segment_value"),
+    )

@@ -159,6 +159,7 @@ def test_full_surface_plan_hygiene(spark):
         "etl_missing_partition_detect",  # |types|×|days| literal spine build
         "llm_vocab_coverage",      # 4-row K-marks theta join, broadcast
         "llm_bm25_retrieval",      # 1-row corpus-stats (N, avgdl) broadcast
+        "ts_rfm_segmentation",     # 1-row median-cutpoint broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
