@@ -790,3 +790,64 @@ def etl_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM latest WHERE rn = 1 AND op <> 'D'
         """,
     )
+
+
+@register(
+    "etl_time_travel_snapshots",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN cents + cents // 20
+                  ELSE cents END AS cents
+      FROM v0 WHERE o_orderkey % 9 <> 0),
+    both_v AS (
+      SELECT 0 AS version, o_orderkey, cents FROM v0
+      UNION ALL
+      SELECT 1, o_orderkey, cents FROM v1)
+    SELECT version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(cents) / 100.0, 2) AS total_value
+    FROM both_v GROUP BY version
+    """,
+)
+def etl_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on plain parquet — the Delta/Iceberg ``VERSION AS OF``
+    pattern emulated with versioned snapshot directories (neither table
+    format ships in this environment): v0 = the base table, v1 = v0 with
+    every 4th key price-bumped (+5% in integer cents) and every 9th key
+    deleted, each version written to its own scratch dir. "AS OF"
+    reads are then plain directory reads — the physical layout Delta's
+    log resolves to. The verification agg reads BOTH versions back and
+    proves row counts and value totals per version; at 100 TB the same
+    layout gives O(1) version resolution plus ordinary pruned scans."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    v1 = base.where(F.col("o_orderkey") % 9 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.col("cents") + F.expr("cents div 20"),
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    tag = os.path.basename(sf_dir)
+    reads = []
+    for version, df in ((0, base), (1, v1)):
+        d = scratch_dir(f"tt_v{version}_{tag}")
+        shutil.rmtree(d, ignore_errors=True)
+        df.write.mode("overwrite").parquet(d)
+        reads.append(
+            spark.read.parquet(d).select(F.lit(version).alias("version"), "cents")
+        )
+    both = reads[0].unionByName(reads[1])
+    return both.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("cents") / F.expr("double(100)"), 2).alias("total_value"),
+    )
