@@ -60,3 +60,17 @@ def test_gate_window_is_50_oracle_backed_registered_names():
     assert not oracle_less, f"rows-only ops can never gate green: {oracle_less}"
     # the gate samples the first 50 entries of all_queries() in insertion order
     assert list(qs)[:50] == list(win)
+
+
+def test_shuffles_md_covers_every_batch_op():
+    """SHUFFLES.md is the global plan-accounting artifact; regenerate it
+    (tools/shuffle_audit.py) whenever the batch surface grows."""
+    with open(os.path.join(REPO, "SHUFFLES.md")) as f:
+        text = f.read()
+    missing = [
+        n
+        for n in registry.all_queries()
+        if not n.startswith("stream_") and f"`{n}`" not in text
+    ]
+    assert not missing, f"SHUFFLES.md stale; rerun tools/shuffle_audit.py: {missing[:8]}"
+    assert "| YES |" not in text, "a CartesianProduct appeared in the audit"

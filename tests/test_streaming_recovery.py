@@ -184,3 +184,30 @@ def test_custom_state_recovers_under_rocksdb(spark):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", prev_provider
         )
+
+
+def test_watermark_late_replay_is_deterministic(spark):
+    """stream_watermark_late was promoted to an exact oracle in round 4 on
+    the argument that its two-batch availableNow replay is fully
+    deterministic; this pins that claim: two independent replays produce
+    the identical emitted window set."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE
+
+    q = entrymod.queries()["stream_watermark_late"]
+    a = (
+        q(spark, SF_ORACLE)
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q(spark, SF_ORACLE)
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
