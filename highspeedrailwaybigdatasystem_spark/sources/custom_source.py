@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from ..registry import register
@@ -176,4 +182,84 @@ def src_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(reading), 2) AS reading_sum
         FROM custom_stream_sink GROUP BY bucket
         """
+    )
+
+
+class _WroteRows(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class CsvDirWriter(DataSourceWriter):
+    """Per-partition writer: each task writes its rows to one CSV file
+    named by its partition id (deterministic layout), returns a commit
+    message with its row count — the two-phase commit shape every real
+    sink implements (tasks write, driver commits)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, f"part-{pid:05d}.csv"), "w") as f:
+            for row in iterator:
+                f.write(f"{row[0]},{row[1]}\n")
+                n += 1
+        return _WroteRows(n)
+
+
+class CsvDirSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "csvdirsink"
+
+    def schema(self) -> str:
+        return "k long, cents long"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return CsvDirWriter(self.options)
+
+
+@register(
+    "src_custom_datasink",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM orders
+    """,
+)
+def src_custom_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path of the Python DataSource API (Spark 4.x
+    ``DataSourceWriter``): orders are pushed through a custom per-
+    partition CSV sink (task-writes + commit messages — the two-phase
+    protocol real connectors implement), then read back with the builtin
+    CSV reader and checksummed against the source table. Completes the
+    custom-connector story: src_custom_datasource covers batch read,
+    src_custom_stream_source streaming read, this the write leg."""
+    import os
+    import shutil
+
+    from ._scratch import scratch_dir
+
+    spark.dataSource.register(CsvDirSinkDataSource)
+    d = scratch_dir(f"csvsink_{os.path.basename(sf_dir)}")
+    shutil.rmtree(d, ignore_errors=True)
+    from ..schemas import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    orders.write.format("csvdirsink").option("path", d).mode("append").save()
+    back = spark.read.schema("k long, cents long").csv(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("cents") / F.expr("double(100)"), 2).alias("total_value"),
     )

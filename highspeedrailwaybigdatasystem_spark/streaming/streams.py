@@ -413,3 +413,14 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT event_type, count(*) AS cnt FROM stream_dedup_ttl_sink GROUP BY event_type"
     )
+
+
+# NOTE (round-4 probe): ``transformWithStateInPandas`` — Spark 4's
+# arbitrary-stateful successor to applyInPandasWithState (typed ValueState/
+# ListState/MapState handles, timers, state TTL) — is API-present in this
+# build but ENVIRONMENT-BLOCKED at runtime: its driver↔worker state protocol
+# imports google.protobuf, which is not installed and cannot be (no pip).
+# Probed 2026-08-14: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+# "ImportError: cannot import name 'descriptor' from 'google.protobuf'".
+# The legacy applyInPandasWithState path (stream_custom_state above) covers
+# the arbitrary-stateful surface with an exact oracle.
