@@ -1304,3 +1304,64 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 5000.0
         """
     )
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1999
+      GROUP BY year(o_orderdate))
+    SELECT CAST(count(*) AS BIGINT) AS n_years,
+           round(sum(cents) / 100.0, 2) AS total_value,
+           CAST(max(cents) AS BIGINT) AS best_year_cents
+    FROM yearly
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0, SQL/PSM-style): a BEGIN…END block with
+    DECLAREd variables and a WHILE loop that iterates the 1995–1999 order
+    years, accumulating per-year revenue via scalar-subquery assignments —
+    the stored-procedure-migration surface. Each loop body statement
+    compiles to an ordinary Catalyst plan (the year filter is pushed down
+    per iteration); the script's final SELECT is the result. The oracle
+    computes the same rollup set-wise — proving the procedural and
+    declarative forms agree."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE yr INT DEFAULT 1995;
+              DECLARE n_years INT DEFAULT 0;
+              DECLARE total_cents BIGINT DEFAULT 0;
+              DECLARE best_cents BIGINT DEFAULT 0;
+              DECLARE this_cents BIGINT;
+              WHILE yr <= 1999 DO
+                SET this_cents = (
+                  SELECT coalesce(cast(round(sum(o_totalprice) * 100, 0)
+                                       AS BIGINT), 0)
+                  FROM orders WHERE year(o_orderdate) = yr);
+                IF this_cents > 0 THEN
+                  SET n_years = n_years + 1;
+                  SET total_cents = total_cents + this_cents;
+                  IF this_cents > best_cents THEN
+                    SET best_cents = this_cents;
+                  END IF;
+                END IF;
+                SET yr = yr + 1;
+              END WHILE;
+              SELECT CAST(n_years AS BIGINT) AS n_years,
+                     round(total_cents / double(100), 2) AS total_value,
+                     best_cents AS best_year_cents;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
