@@ -84,9 +84,18 @@ def _ensure_loaded() -> None:
 #: 16 events.ts-repaired ops + 34 window/sort/setop/scalar ops (97 distinct
 #: names driver-green cumulatively). Round 4 rotates in 50 more
 #: never-driver-gated ops — the remaining joins, then the advanced-agg /
-#: scalar / timeseries / graph / etl blocks. ~89 never-gated names remain
-#: for rounds 5–6 (tpch, sources, udf, llm, stream blocks). Names absent
-#: from the registry are ignored.
+#: scalar / timeseries / graph / etl blocks. Names absent from the
+#: registry are ignored.
+#:
+#: ROUND-5 ROTATION PLAN (execute at round-5 start; the never-gated pool
+#: after r4 is 226 oracle-backed names): replace this tuple with 50 from,
+#: in order, (1) the full tpch_q01–q22 block (22 — incl. the 9 new r4
+#: adaptations), (2) the etl block (scd1/scd2/cdc/time-travel/zorder/
+#: compaction/dq/gdpr/watermark-ingest…, ~14), (3) sources/formats
+#: (csv/json/orc/text/binary/bucketed/codecs/custom source+sink, ~12),
+#: (4) top up from the oldest llm_* names. Rounds 6–8 then cover the llm,
+#: udf and remaining scan/filter/agg blocks; keep rows-only names out of
+#: the window (they can never hash-green).
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # round 4: never driver-gated before (mirror-green in round 3's sweep)
     "join_asof_forward", "join_array_membership", "join_temporal_scd2",
