@@ -362,3 +362,62 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL first_tokens(d.text, 3) u
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy sibling of mapInPandas — the UDF
+    receives raw ``pyarrow.RecordBatch`` objects (no pandas conversion,
+    no index materialization), the right call for batch transforms whose
+    logic is already Arrow-compute. Here each batch is reduced to
+    per-flag partial (count, cents) pairs with pyarrow compute kernels;
+    Spark's ordinary aggregate merges the partials — the same
+    partial-then-merge shape a JVM aggregate has, demonstrated across
+    the Arrow boundary."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partials(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "l_returnflag": batch.column(0),
+                    "cents": pc.cast(
+                        pc.round(
+                            pc.multiply(
+                                pc.cast(batch.column(1), pa.float64()), 100.0
+                            )
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            grouped = tbl.group_by("l_returnflag").aggregate(
+                [("cents", "sum"), ("cents", "count")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    grouped["l_returnflag"].combine_chunks(),
+                    grouped["cents_count"].combine_chunks(),
+                    grouped["cents_sum"].combine_chunks(),
+                ],
+                names=["l_returnflag", "n_rows", "price_cents"],
+            )
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    part = li.mapInArrow(
+        partials, "l_returnflag string, n_rows long, price_cents long"
+    )
+    return part.groupBy("l_returnflag").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("price_cents").alias("price_cents"),
+    )
