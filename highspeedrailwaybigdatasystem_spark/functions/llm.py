@@ -2863,3 +2863,204 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mse"),
     )
+
+
+@register(
+    "llm_importance_resample",
+    oracle="""
+    WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT min(c) AS mc FROM lc),
+    w AS (SELECT lang, c, CAST(mc AS DOUBLE) / c AS keep_p FROM lc CROSS JOIN m),
+    dec AS (
+      SELECT d.lang, w.c, w.keep_p,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) / 4294967296.0 < w.keep_p
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN w ON d.lang = w.lang)
+    SELECT lang, CAST(max(c) AS BIGINT) AS n_before,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(max(keep_p), 6) AS keep_p
+    FROM dec GROUP BY lang
+    """,
+)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to a uniform language mixture — the data-mixing
+    primitive for rebalancing a skewed pre-training corpus WITHOUT RNG
+    state: per-language acceptance probability = min_lang_count / count,
+    and each document's accept/reject draw is the content-stable md5
+    uniform u(doc_id) ∈ [0,1) (same convention as llm_hash_split), so the
+    decision is a map-side expression that reproduces row-for-row on
+    re-runs and on tomorrow's corpus. Scale shape: one bounded-cardinality
+    lang aggregate broadcast back to the stream (the 1-row min() cross
+    join is a plan-hygiene-allowlisted bounded broadcast); the corpus
+    itself never shuffles — at 100 TB the decision is embarrassingly
+    parallel and the output is the audit table (kept counts converge to
+    n_langs × min count)."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        m AS (SELECT min(c) AS mc FROM lc),
+        w AS (SELECT /*+ BROADCAST(m) */ lang, c,
+                     CAST(mc AS DOUBLE) / c AS keep_p FROM lc CROSS JOIN m),
+        dec AS (
+          SELECT /*+ BROADCAST(w) */ d.lang, w.c, w.keep_p,
+                 CASE WHEN CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8),
+                                     16, 10) AS BIGINT) / 4294967296.0 < w.keep_p
+                      THEN 1 ELSE 0 END AS kept
+          FROM documents d JOIN w ON d.lang = w.lang)
+        SELECT lang, CAST(max(c) AS BIGINT) AS n_before,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               round(max(keep_p), 6) AS keep_p
+        FROM dec GROUP BY lang
+        """,
+    )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    shingle AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM toks WHERE len(tk) >= 3),
+    first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM shingle GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id, s.source,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS novelty
+      FROM shingle s JOIN first_seen f ON s.sh = f.sh
+      GROUP BY s.doc_id, s.source)
+    SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty,
+           round(min(novelty), 6) AS min_novelty
+    FROM per_doc GROUP BY source
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty scoring (the dedup-adjacent freshness
+    metric used to spot boilerplate-heavy sources): a document's novelty
+    is the fraction of its distinct 3-gram shingles whose FIRST occurrence
+    (min doc_id — ingestion order) is this document. Aggregated per
+    source, low avg novelty flags template/mirror-dominated feeds before
+    any pairwise dedup runs. Scale shape: the global first-occurrence
+    table is one min() aggregate keyed by shingle — the same gram-keyed
+    shuffle every dedup op here pays, with map-side partial mins; the
+    rejoin is shingle-keyed and colocated with that aggregate under AQE.
+    Nothing is ever pairwise."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH shingle AS (
+          SELECT DISTINCT doc_id, source, sh
+          FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+          LATERAL VIEW explode(transform(
+            sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          WHERE size(tk) >= 3),
+        first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM shingle GROUP BY sh),
+        per_doc AS (
+          SELECT s.doc_id, s.source,
+                 CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) AS novelty
+          FROM shingle s JOIN first_seen f ON s.sh = f.sh
+          GROUP BY s.doc_id, s.source)
+        SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty,
+               round(min(novelty), 6) AS min_novelty
+        FROM per_doc GROUP BY source
+        """,
+    )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "llm_semdedup_centroid",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6)
+                          DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.cent_id, b.vec_id AS dup_id
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round({_DOT_ORACLE.format(a='ea.embedding', b='eb.embedding')}, 6)
+            >= {_SEMDEDUP_TAU}),
+    tot AS (SELECT cent_id, count(*) AS n_total FROM assigned GROUP BY cent_id),
+    rem AS (
+      SELECT cent_id, count(DISTINCT dup_id) AS n_removed FROM pairs
+      GROUP BY cent_id)
+    SELECT t.cent_id, t.n_total,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(t.n_total - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+    FROM tot t LEFT JOIN rem r ON r.cent_id = t.cent_id
+    """,
+)
+def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster the embedding space with a coarse
+    quantizer, then search for near-duplicate pairs ONLY within each
+    cluster — the cluster assignment turns the global O(N²) cosine
+    comparison into per-cluster blocks, which is what makes semantic
+    dedup tractable at 100 TB (with k ≈ √N clusters the pair work drops
+    by ~k×). Determinism: centroids are the vec_id<16 convention shared
+    with llm_ivf_ann (stand-ins for trained means, keeping the op
+    exactly oracle-checkable); keep-lowest-vec_id dedup rule. Spark
+    plan: 16-centroid broadcast + map-side argmax (bounded BNLJ,
+    allowlisted), then a cent_id-keyed equi self-join — the quadratic
+    work is sharded per cluster, never global."""
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+          WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT /*+ BROADCAST(cents) */ e.vec_id, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(aggregate(
+                                zip_with(e.embedding, c.cent,
+                                         (x, y) -> cast(x AS double) * cast(y AS double)),
+                                cast(0.0 AS double), (acc, v) -> acc + v), 6)
+                              DESC, c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT a.cent_id, b.vec_id AS dup_id
+          FROM assigned a
+          JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE round(aggregate(
+                  zip_with(ea.embedding, eb.embedding,
+                           (x, y) -> cast(x AS double) * cast(y AS double)),
+                  cast(0.0 AS double), (acc, v) -> acc + v), 6) >= {_SEMDEDUP_TAU}),
+        tot AS (SELECT cent_id, count(*) AS n_total FROM assigned GROUP BY cent_id),
+        rem AS (
+          SELECT cent_id, count(DISTINCT dup_id) AS n_removed FROM pairs
+          GROUP BY cent_id)
+        SELECT t.cent_id, t.n_total,
+               CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(t.n_total - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN rem r ON r.cent_id = t.cent_id
+        """,
+    )

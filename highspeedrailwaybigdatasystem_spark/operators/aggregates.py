@@ -1116,3 +1116,126 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag_l_linestatus",
         *[F.col(f"`{c}`").alias(c) for c in sorted(cols)],
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             avg(value) AS m1,
+             avg(value * value) AS m2r,
+             avg(value * value * value) AS m3r,
+             avg(value * value * value * value) AS m4r
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(m1, 6) AS mean_v,
+           round(m2r - m1 * m1, 6) AS var_pop,
+           round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / power(m2r - m1 * m1, 1.5), 6) AS skewness,
+           round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+                 / power(m2r - m1 * m1, 2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution shape per group: population variance,
+    skewness and excess kurtosis derived from raw power sums (one pass,
+    four avg() aggregates) rather than Spark's built-in skewness/kurtosis
+    — the raw-moment formulation is engine-portable (identical algebra on
+    the DuckDB side) and is the one-pass map-side-combinable shape that
+    scales: the shuffle carries 4 doubles + a count per group, never rows.
+    At 100 TB this is the same cost as a plain avg()."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH m AS (
+          SELECT event_type, count(*) AS n,
+                 avg(value) AS m1,
+                 avg(value * value) AS m2r,
+                 avg(value * value * value) AS m3r,
+                 avg(value * value * value * value) AS m4r
+          FROM events GROUP BY event_type)
+        SELECT event_type, n,
+               round(m1, 6) AS mean_v,
+               round(m2r - m1 * m1, 6) AS var_pop,
+               round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                     / power(m2r - m1 * m1, 1.5), 6) AS skewness,
+               round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+                     / power(m2r - m1 * m1, 2) - 3, 6) AS excess_kurtosis
+        FROM m
+        """,
+    )
+
+
+@register(
+    "agg_entropy_impurity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+    tot AS (SELECT source, sum(n) AS tn FROM c GROUP BY source)
+    SELECT c.source, CAST(tot.tn AS BIGINT) AS n_docs, count(*) AS n_langs,
+           round(-sum((CAST(n AS DOUBLE) / tn) * log2(CAST(n AS DOUBLE) / tn)), 6)
+             AS shannon_entropy,
+           round(1 - sum((CAST(n AS DOUBLE) / tn) * (CAST(n AS DOUBLE) / tn)), 6)
+             AS gini_impurity
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY c.source, tot.tn
+    """,
+)
+def agg_entropy_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-distribution diagnostics per source: Shannon entropy and
+    Gini impurity of the language mix. Two chained hash aggregates (the
+    inner one already map-side-combined) + a join that Catalyst turns into
+    a broadcast once the per-source grain is small — the class-probability
+    terms are exact integer ratios, so the only float ops are the final
+    log2/square, stable under round-6 canonicalization. A 100 TB corpus
+    shuffles |source × lang| rows here, not documents."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH c AS (
+          SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+        tot AS (SELECT source, sum(n) AS tn FROM c GROUP BY source)
+        SELECT c.source, CAST(tot.tn AS BIGINT) AS n_docs, count(*) AS n_langs,
+               round(-sum((CAST(n AS DOUBLE) / tn) * log2(CAST(n AS DOUBLE) / tn)), 6)
+                 AS shannon_entropy,
+               round(1 - sum((CAST(n AS DOUBLE) / tn) * (CAST(n AS DOUBLE) / tn)), 6)
+                 AS gini_impurity
+        FROM c JOIN tot ON c.source = tot.source
+        GROUP BY c.source, tot.tn
+        """,
+    )
+
+
+@register(
+    "agg_geo_harmonic_mean",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geo_mean,
+           round(count(*) / sum(1.0 / l_extendedprice), 2) AS harmonic_mean,
+           round(avg(l_extendedprice), 2) AS arith_mean
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per group via the log-sum / reciprocal-sum
+    identities — both are plain one-pass sums (map-side combinable), unlike a
+    naive product() which over/underflows immediately at scale. The
+    arithmetic ≥ geometric ≥ harmonic ordering doubles as a built-in sanity
+    invariant (asserted in tests)."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(exp(avg(ln(l_extendedprice))), 2) AS geo_mean,
+               round(count(*) / sum(1.0 / l_extendedprice), 2) AS harmonic_mean,
+               round(avg(l_extendedprice), 2) AS arith_mean
+        FROM lineitem WHERE l_extendedprice > 0
+        GROUP BY l_returnflag
+        """,
+    )

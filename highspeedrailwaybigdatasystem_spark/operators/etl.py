@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..sources._scratch import scratch_dir
-from ._util import money, t
+from ._util import money, sql_q, t
 
 
 @register(
@@ -850,4 +850,97 @@ def etl_time_travel_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy("version").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("cents") / F.expr("double(100)"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "etl_partition_checksum_manifest",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS part_year,
+           count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                    o_orderstatus)), 1, 15)) AS BIGINT)) AS membership_xor,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY year(o_orderdate)
+    """,
+)
+def etl_partition_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition replication/audit manifest: row count, an
+    order-independent XOR fold of a per-row content hash, and a control
+    total — the artifact two sides of a cross-cluster copy exchange to
+    prove a partition replicated exactly without moving data twice.
+    bit_xor is commutative/associative, so the checksum is partial-agg
+    combinable and independent of scan order (sum-of-hash would need
+    wraparound bounds; XOR is closed in int64 at any row count — the 100
+    TB property). The hash covers stable key columns only (never
+    float-to-string formatting, which differs across engines/locales);
+    15 hex chars keep the value under 2^60, inside int64 on both
+    engines."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS part_year,
+               count(*) AS n_rows,
+               bit_xor(CAST(conv(substr(md5(concat_ws('|',
+                        CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+                        o_orderstatus)), 1, 15), 16, 10) AS BIGINT)) AS membership_xor,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders GROUP BY year(o_orderdate)
+        """,
+    )
+
+
+@register(
+    "etl_late_arriving_dim",
+    oracle="""
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+    fact AS (SELECT o_custkey, o_totalprice FROM orders),
+    inferred AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_value
+      FROM fact WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+      GROUP BY o_custkey)
+    SELECT 'inferred' AS member_kind, count(*) AS n_members,
+           CAST(COALESCE(sum(n_orders), 0) AS BIGINT) AS n_orders,
+           round(COALESCE(sum(total_value), 0), 2) AS total_value
+    FROM inferred
+    UNION ALL
+    SELECT 'real' AS member_kind, count(DISTINCT d.c_custkey) AS n_members,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+    FROM fact JOIN dim d ON o_custkey = d.c_custkey
+    """,
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling (the warehouse-loading pattern):
+    facts referencing a dimension member that has not landed yet get an
+    INFERRED member (key + accumulated measures) so the fact load never
+    blocks or drops rows; the inferred rows are reconciled when the real
+    dimension arrives. The corpus has full referential integrity, so a
+    deterministic holdout (c_custkey % 97 = 0) emulates the late keys —
+    documented emulation, same plan shape as production. Spark plan: the
+    NOT IN over a non-null key column lowers to a left-anti hash join
+    against the (broadcastable) dim; both branches share one fact scan
+    under AQE reuse. The audit output is the 2-row kind summary."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+        fact AS (SELECT o_custkey, o_totalprice FROM orders),
+        inferred AS (
+          SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total_value
+          FROM fact WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+          GROUP BY o_custkey)
+        SELECT 'inferred' AS member_kind, count(*) AS n_members,
+               CAST(COALESCE(sum(n_orders), 0) AS BIGINT) AS n_orders,
+               round(COALESCE(sum(total_value), 0), 2) AS total_value
+        FROM inferred
+        UNION ALL
+        SELECT 'real' AS member_kind, count(DISTINCT d.c_custkey) AS n_members,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
+        FROM fact JOIN dim d ON o_custkey = d.c_custkey
+        """,
     )

@@ -723,3 +723,44 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.timestamp_micros(F.col("prev_us"))).alias("signup_within_1d"),
         F.when(within, F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY name_a, name_b LIMIT 100
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity-resolution primitive): candidate
+    pairs come from an EQUI-join on a blocking key (here a 7-char name
+    prefix window), and only within-block pairs pay the edit-distance
+    evaluation — the classic record-linkage shape that keeps fuzzy
+    matching off the O(N²) cliff. Scale: the block key is the shuffle
+    key; block sizes are bounded (≤100 here), so per-task work is
+    |block|² × levenshtein on short strings, embarrassingly parallel
+    across blocks. Production variants swap the prefix for phonetic or
+    q-gram blocking; the plan shape is identical. Both engines compute
+    byte-identical Levenshtein, so the pair set is exactly
+    oracle-checkable."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH blocked AS (
+          SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk FROM customer)
+        SELECT a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY name_a, name_b LIMIT 100
+        """,
+    )

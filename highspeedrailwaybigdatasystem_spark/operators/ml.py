@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import sql_q, t
 
 _K = 4
 _ITERS = 5
@@ -164,4 +164,191 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inertia"),
             F.max(ck).cast("bigint").alias("centroid_checksum"),
         )
+    )
+
+
+_LLQ = 1_000_000  # fixed-point grid for log-likelihood quantization
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 1 ELSE 0 END AS is_train,
+             t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''),
+    cnt AS (
+      SELECT lang, token, count(*) AS c FROM tok WHERE is_train = 1
+      GROUP BY lang, token),
+    tot AS (SELECT lang, count(*) AS tt FROM tok WHERE is_train = 1 GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok WHERE is_train = 1),
+    prior AS (
+      SELECT lang, count(DISTINCT doc_id) AS d FROM tok WHERE is_train = 1
+      GROUP BY lang),
+    dtot AS (SELECT sum(d) AS dt FROM prior),
+    evaltok AS (
+      SELECT doc_id, lang AS actual_lang, token FROM tok WHERE is_train = 0),
+    scored AS (
+      SELECT e.doc_id, e.actual_lang, t.lang AS cand_lang,
+             sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v)) * {_LLQ})
+                      AS BIGINT)) AS ll
+      FROM evaltok e
+      CROSS JOIN tot t
+      CROSS JOIN vocab v
+      LEFT JOIN cnt c ON c.lang = t.lang AND c.token = e.token
+      GROUP BY e.doc_id, e.actual_lang, t.lang),
+    final AS (
+      SELECT s.doc_id, s.actual_lang, s.cand_lang,
+             s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * {_LLQ}) AS BIGINT)
+               AS score
+      FROM scored s JOIN prior p ON p.lang = s.cand_lang CROSS JOIN dtot dt),
+    pred AS (
+      SELECT doc_id, actual_lang, cand_lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM final)
+    SELECT actual_lang, pred_lang, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language-ID, trained and scored in one SQL
+    plan, exactly oracle-checkable via the module's fixed-point trick:
+    every per-token log-likelihood ln((c+1)/(tot+V)) is quantized to a
+    1e-6 integer grid BEFORE summation, so document scores are exact
+    int64 sums and the argmax (row_number with a lang tiebreak) cannot
+    drift between engines. Train/eval split reuses the content-stable md5
+    bucket convention (llm_hash_split). Scale shape: the model (lang ×
+    vocab counts) is a bounded-cardinality aggregate that Catalyst
+    broadcasts to the eval-token stream — scoring is map-side; only the
+    per-document score aggregation shuffles, keyed by doc_id. The 5-row
+    `tot` / 1-row `vocab` cross joins are bounded broadcasts (plan-hygiene
+    allowlisted)."""
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                      THEN 1 ELSE 0 END AS is_train,
+                 token
+          FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
+          WHERE token <> ''),
+        cnt AS (
+          SELECT lang, token, count(*) AS c FROM tok WHERE is_train = 1
+          GROUP BY lang, token),
+        tot AS (SELECT lang, count(*) AS tt FROM tok WHERE is_train = 1 GROUP BY lang),
+        vocab AS (SELECT count(DISTINCT token) AS v FROM tok WHERE is_train = 1),
+        prior AS (
+          SELECT lang, count(DISTINCT doc_id) AS d FROM tok WHERE is_train = 1
+          GROUP BY lang),
+        dtot AS (SELECT sum(d) AS dt FROM prior),
+        evaltok AS (
+          SELECT doc_id, lang AS actual_lang, token FROM tok WHERE is_train = 0),
+        scored AS (
+          SELECT e.doc_id, e.actual_lang, t.lang AS cand_lang,
+                 sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v)) * {_LLQ})
+                          AS BIGINT)) AS ll
+          FROM evaltok e
+          CROSS JOIN tot t
+          CROSS JOIN vocab v
+          LEFT JOIN cnt c ON c.lang = t.lang AND c.token = e.token
+          GROUP BY e.doc_id, e.actual_lang, t.lang),
+        final AS (
+          SELECT s.doc_id, s.actual_lang, s.cand_lang,
+                 s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * {_LLQ}) AS BIGINT)
+                   AS score
+          FROM scored s JOIN prior p ON p.lang = s.cand_lang CROSS JOIN dtot dt),
+        pred AS (
+          SELECT doc_id, actual_lang, cand_lang AS pred_lang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, cand_lang) AS rn
+          FROM final)
+        SELECT actual_lang, pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY actual_lang, pred_lang
+        """,
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH lab AS (
+      SELECT value,
+             CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
+      FROM events),
+    grid AS (SELECT CAST(i AS DOUBLE) * 50 AS thr FROM range(1, 10) t(i)),
+    s AS (
+      SELECT g.thr,
+             sum(CASE WHEN value < g.thr THEN 1 ELSE 0 END) AS nl,
+             sum(CASE WHEN value < g.thr THEN y ELSE 0 END) AS pl,
+             count(*) AS n, sum(y) AS p
+      FROM lab CROSS JOIN grid g GROUP BY g.thr),
+    gini AS (
+      SELECT thr, nl, n - nl AS nr,
+             round(
+               (CAST(nl AS DOUBLE) / n)
+                 * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                      - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+               + (CAST(n - nl AS DOUBLE) / n)
+                 * (1 - (CAST(p - pl AS DOUBLE) / (n - nl)) * (CAST(p - pl AS DOUBLE) / (n - nl))
+                      - (CAST(n - nl - (p - pl) AS DOUBLE) / (n - nl))
+                        * (CAST(n - nl - (p - pl) AS DOUBLE) / (n - nl))), 6)
+               AS weighted_gini
+      FROM s WHERE nl > 0 AND n - nl > 0)
+    SELECT thr AS best_threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right, weighted_gini
+    FROM gini ORDER BY weighted_gini ASC, thr ASC LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump induction (the LightGBM/XGBoost
+    split-finding primitive): evaluate a FIXED candidate-threshold grid in
+    one conditional-aggregation pass and pick the split minimizing
+    weighted Gini impurity. All split statistics are exact integer counts;
+    the impurity arithmetic is IEEE-exact division of those integers, so
+    the argmin is engine-stable (ties broken by threshold). Scale shape:
+    the grid is a 9-row broadcast (bounded BNLJ, allowlisted), the scan is
+    one map-side pass producing 9 partial-agg rows — no per-threshold
+    rescan, no sort, no shuffle of raw data. Candidate grids from exact
+    percentiles would shuffle; fixed/histogram grids are the 100 TB
+    pattern."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH lab AS (
+          SELECT value,
+                 CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
+          FROM events),
+        grid AS (SELECT CAST(i AS DOUBLE) * 50 AS thr
+                 FROM (SELECT explode(sequence(1, 9)) AS i)),
+        s AS (
+          SELECT g.thr,
+                 sum(CASE WHEN value < g.thr THEN 1 ELSE 0 END) AS nl,
+                 sum(CASE WHEN value < g.thr THEN y ELSE 0 END) AS pl,
+                 count(*) AS n, sum(y) AS p
+          FROM lab CROSS JOIN grid g GROUP BY g.thr),
+        gini AS (
+          SELECT thr, nl, n - nl AS nr,
+                 round(
+                   (CAST(nl AS DOUBLE) / n)
+                     * (1 - (CAST(pl AS DOUBLE) / nl) * (CAST(pl AS DOUBLE) / nl)
+                          - (CAST(nl - pl AS DOUBLE) / nl) * (CAST(nl - pl AS DOUBLE) / nl))
+                   + (CAST(n - nl AS DOUBLE) / n)
+                     * (1 - (CAST(p - pl AS DOUBLE) / (n - nl)) * (CAST(p - pl AS DOUBLE) / (n - nl))
+                          - (CAST(n - nl - (p - pl) AS DOUBLE) / (n - nl))
+                            * (CAST(n - nl - (p - pl) AS DOUBLE) / (n - nl))), 6)
+                   AS weighted_gini
+          FROM s WHERE nl > 0 AND n - nl > 0)
+        SELECT thr AS best_threshold, CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right, weighted_gini
+        FROM gini ORDER BY weighted_gini ASC, thr ASC LIMIT 1
+        """,
     )

@@ -975,3 +975,49 @@ def ts_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary_cents") / 100.0, 2).alias("segment_value"),
     )
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    pairs AS (
+      SELECT a.user_id,
+             (b.v - a.v) / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.d < b.d)
+    SELECT user_id, count(*) AS n_pairs,
+           round(median(slope), 6) AS theil_sen_slope
+    FROM pairs GROUP BY user_id
+    ORDER BY user_id LIMIT 30
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimation per user: the slope estimate is
+    the MEDIAN of all pairwise day-over-day slopes of the user's daily
+    activity series — breakdown point 29%, immune to the outlier days
+    that wreck an OLS fit. Scale shape: the pairwise join is strictly
+    per-entity and per-DAY-grain (an entity's series is bounded —
+    |days|² pairs over a 30-day window is ≤435 rows), so the quadratic
+    never touches raw events: events aggregate to (user, day) first
+    [one shuffle], and the pair join + median re-shuffle only the tiny
+    daily grain, partitioned by user_id. The per-pair slope arithmetic
+    is IEEE-exact on round-2 inputs, making the median oracle-stable."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        pairs AS (
+          SELECT a.user_id,
+                 (b.v - a.v) / datediff(b.d, a.d) AS slope
+          FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.d < b.d)
+        SELECT user_id, count(*) AS n_pairs,
+               round(median(slope), 6) AS theil_sen_slope
+        FROM pairs GROUP BY user_id
+        ORDER BY user_id LIMIT 30
+        """,
+    )

@@ -160,6 +160,10 @@ def test_full_surface_plan_hygiene(spark):
         "llm_vocab_coverage",      # 4-row K-marks theta join, broadcast
         "llm_bm25_retrieval",      # 1-row corpus-stats (N, avgdl) broadcast
         "ts_rfm_segmentation",     # 1-row median-cutpoint broadcast
+        "llm_importance_resample", # 1-row min-lang-count broadcast
+        "llm_semdedup_centroid",   # 16-row centroid broadcast (IVF pattern)
+        "ml_naive_bayes_langid",   # 5-row lang-totals + 1-row vocab broadcast
+        "ml_decision_stump",       # 9-row threshold-grid broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
