@@ -357,3 +357,82 @@ def test_range_prefix_reconstructs_global_order(spark, rows):
     for rank, (i, k) in enumerate(expect_order, start=1):
         run += k
         assert got[i] == (rank, run), (i, got[i], (rank, run))
+
+
+def test_mean_inequality_chain(spark):
+    """agg_geo_harmonic_mean's docstring invariant: for positive data,
+    arithmetic mean >= geometric mean >= harmonic mean, per group."""
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.operators.aggregates import (
+        agg_geo_harmonic_mean,
+    )
+
+    for r in agg_geo_harmonic_mean(spark, SF_ORACLE).collect():
+        assert r["arith_mean"] >= r["geo_mean"] >= r["harmonic_mean"], dict(r)
+        assert r["harmonic_mean"] > 0
+
+
+def test_importance_resample_bounds_and_floor(spark):
+    """llm_importance_resample: kept counts never exceed originals, the
+    minority language keeps everything (keep_p = 1), and every language's
+    kept count is positive (the md5 uniform is unbiased enough at corpus
+    scale that a 100% zero-kept language would mean a broken decision)."""
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        llm_importance_resample,
+    )
+
+    rows = llm_importance_resample(spark, SF_ORACLE).collect()
+    mn = min(r["n_before"] for r in rows)
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_before"]
+        if r["n_before"] == mn:
+            assert r["keep_p"] == 1.0 and r["n_kept"] == r["n_before"]
+
+
+def test_semdedup_counts_partition_clusters(spark):
+    """llm_semdedup_centroid: per-cluster kept + removed == total, cluster
+    totals sum to the corpus size, and removal never empties a cluster
+    (the keep-lowest rule always retains at least one member)."""
+    import duckdb as _dd
+
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        llm_semdedup_centroid,
+    )
+
+    rows = llm_semdedup_centroid(spark, SF_ORACLE).collect()
+    n_corpus = _dd.sql(
+        f"SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_total"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["n_kept"] + r["n_removed"] == r["n_total"]
+        assert r["n_kept"] >= 1
+
+
+def test_theil_sen_is_outlier_robust(spark):
+    """Brute-force Theil-Sen on a synthetic series: the median-of-slopes
+    estimate for a clean linear series with ONE wild outlier day must
+    recover the true slope exactly (the estimator's whole point), where
+    the OLS slope on the same data does not."""
+    import statistics
+
+    pts = [(d, 2.0 * d + 5.0) for d in range(1, 12)]
+    pts[9] = (10, 1000.0)  # one corrupted day (off-center, so OLS tilts)
+    slopes = [
+        (v2 - v1) / (d2 - d1)
+        for i, (d1, v1) in enumerate(pts)
+        for (d2, v2) in pts[i + 1 :]
+    ]
+    assert statistics.median(slopes) == 2.0
+    n = len(pts)
+    mx = sum(d for d, _ in pts) / n
+    my = sum(v for _, v in pts) / n
+    ols = sum((d - mx) * (v - my) for d, v in pts) / sum(
+        (d - mx) ** 2 for d, _ in pts
+    )
+    assert abs(ols - 2.0) > 1.0
