@@ -3064,3 +3064,114 @@ def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tot t LEFT JOIN rem r ON r.cent_id = t.cent_id
         """,
     )
+
+
+@register(
+    "llm_epoch_repetition_plan",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS ns FROM src)
+    SELECT source, n_tokens,
+           CAST(ceil(CAST(t AS DOUBLE) / ns) AS BIGINT) AS target_tokens,
+           CAST(least(4, greatest(1,
+                CAST(ceil((CAST(t AS DOUBLE) / ns) / n_tokens) AS BIGINT)))
+             AS BIGINT) AS epochs,
+           CAST(n_tokens * least(4, greatest(1,
+                CAST(ceil((CAST(t AS DOUBLE) / ns) / n_tokens) AS BIGINT)))
+             AS BIGINT) AS planned_tokens
+    FROM src CROSS JOIN tot
+    """,
+)
+def llm_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training mixture planning (Muennighoff et al. 2023,
+    arXiv 2305.16264: repeating data beats nothing up to ~4 epochs): give
+    every source an equal token budget, and plan per-source repetition
+    epochs = ceil(target / actual) clamped to [1, 4] — small high-quality
+    sources repeat, large sources train single-epoch. All arithmetic is
+    exact integer token counts against a 1-row corpus-total broadcast
+    (plan-hygiene allowlisted); at 100 TB this is one bounded source-grain
+    aggregate, the same shape as llm_source_mixture."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH src AS (
+          SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS t, count(*) AS ns FROM src)
+        SELECT source, n_tokens,
+               CAST(ceil(CAST(t AS DOUBLE) / ns) AS BIGINT) AS target_tokens,
+               CAST(least(4, greatest(1,
+                    CAST(ceil((CAST(t AS DOUBLE) / ns) / n_tokens) AS BIGINT)))
+                 AS BIGINT) AS epochs,
+               CAST(n_tokens * least(4, greatest(1,
+                    CAST(ceil((CAST(t AS DOUBLE) / ns) / n_tokens) AS BIGINT)))
+                 AS BIGINT) AS planned_tokens
+        FROM src CROSS JOIN tot
+        """,
+    )
+
+
+@register(
+    "llm_containment_dedup",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)
+      WHERE len(tk) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.2
+    ORDER BY containment DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dedup: shared 3-gram shingles over the
+    SMALLER document's shingle count — the asymmetric measure that
+    catches quote/sub-document/expansion relationships Jaccard misses
+    (a 50-token doc fully embedded in a 5000-token doc has Jaccard ≈
+    0.01 but containment 1.0; the Broder resemblance-vs-containment
+    distinction). Same-source blocking bounds the self-join exactly as
+    llm_ngram_jaccard; shuffle key is (shingle, source), never a pair
+    list."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, source, sh
+          FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+          LATERAL VIEW explode(transform(
+            sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          WHERE size(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.2
+        ORDER BY containment DESC, doc_a, doc_b
+        LIMIT 100
+        """,
+    )

@@ -1239,3 +1239,37 @@ def agg_geo_harmonic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """,
     )
+
+
+@register(
+    "agg_approx_percentile_exact_regime",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(quantile_disc(value, 0.25), 2) AS p25,
+           round(quantile_disc(value, 0.5), 2) AS p50,
+           round(quantile_disc(value, 0.9), 2) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile-SKETCH path (approx_percentile, Greenwald–Khanna
+    variant) exercised in its exactness regime: the sketch's rank error
+    is bounded by n/accuracy, so with accuracy ≥ group cardinality it
+    degenerates to the exact discrete quantile — which is what makes the
+    sketch output oracle-checkable against DuckDB's quantile_disc
+    (verified element-equal, not just close). At 100 TB the SAME plan
+    holds with accuracy fixed: memory stays O(accuracy) per group while
+    the error bound relaxes gracefully — the scale story agg_percentile's
+    exact sort-based variant cannot offer. Partial sketches merge
+    map-side like any algebraic aggregate."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type, count(*) AS n,
+               round(approx_percentile(value, 0.25, 1000000), 2) AS p25,
+               round(approx_percentile(value, 0.5, 1000000), 2) AS p50,
+               round(approx_percentile(value, 0.9, 1000000), 2) AS p90
+        FROM events GROUP BY event_type
+        """,
+    )

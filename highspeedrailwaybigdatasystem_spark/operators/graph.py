@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import ratio, t
+from ._util import ratio, sql_q, t
 
 _D = 0.85
 _ITERS = 10
@@ -294,4 +294,94 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.where(F.col("dist") < 999)
         .groupBy(F.col("dist").cast("int").alias("hops"))
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT count(*) AS n FROM users),
+    edges0 AS (
+      SELECT user_id AS src, (user_id * 7 + 13) % (SELECT n FROM nn) AS dst
+      FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 11 + 5) % (SELECT n FROM nn) FROM users),
+    und AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM edges0 WHERE src <> dst)),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    cn AS (
+      SELECT a.u AS u, b.u AS v, count(*) AS common_cnt
+      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u),
+    nonadj AS (
+      SELECT c.u, c.v, c.common_cnt FROM cn c
+      WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = c.u AND e.v = c.v))
+    SELECT n2.u, n2.v, n2.common_cnt,
+           round(CAST(n2.common_cnt AS DOUBLE) / (da.d + db.d - n2.common_cnt), 6)
+             AS jaccard
+    FROM nonadj n2 JOIN deg da ON da.u = n2.u JOIN deg db ON db.u = n2.v
+    ORDER BY n2.common_cnt DESC, n2.u, n2.v LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting (the classic
+    similarity heuristic): for every NON-adjacent vertex pair reached by
+    a two-hop path, count shared neighbors and score neighborhood
+    Jaccard; top-20 predicted links. Same deterministic out-degree-2
+    graph as graph_pagerank. Scale shape: the undirected adjacency list
+    is STAGED ONCE (cached temp view — a WITH-CTE formulation inlines
+    the events-distinct subtree into every one of its 5 references and
+    the plan exploded to 88 shuffles; staging cuts it to ~7). The two-hop
+    self-join is keyed on the shared middle vertex — the canonical
+    wedge shuffle (cost ∑ deg(v)², the quantity graph_degree_stats
+    diagnoses); the adjacency check lowers to a left-anti hash join, and
+    degrees broadcast."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    # vertex count resolved to a literal first: a scalar subquery inside the
+    # staged plan defeats CacheManager's canonicalized-plan matching, which
+    # re-inlined the whole events-distinct subtree at every reference (88
+    # shuffles). One bounded scalar to the driver, like kmeans' centroids.
+    n_vertices = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).collect()[0]["n"]
+    und = spark.sql(
+        f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        edges0 AS (
+          SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
+          FROM users
+          UNION ALL
+          SELECT user_id, (user_id * 11 + 5) % {n_vertices} FROM users)
+        SELECT DISTINCT u, v FROM (
+          SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+          UNION ALL
+          SELECT dst, src FROM edges0 WHERE src <> dst)
+        """
+    ).cache()
+    und.createOrReplaceTempView("__cn_und")
+    # inline subqueries, not WITH-CTEs: CTE definitions are not rewritten by
+    # CacheManager's cached-plan substitution (verified live: the CTE form
+    # re-planned the staging subtree uncached), inline forms are.
+    return spark.sql(
+        """
+        SELECT n2.u, n2.v, n2.common_cnt,
+               round(CAST(n2.common_cnt AS DOUBLE) / (da.d + db.d - n2.common_cnt), 6)
+                 AS jaccard
+        FROM (
+          SELECT c.u, c.v, c.common_cnt FROM (
+            SELECT a.u AS u, b.u AS v, count(*) AS common_cnt
+            FROM __cn_und a JOIN __cn_und b ON a.v = b.v AND a.u < b.u
+            GROUP BY a.u, b.u) c
+          WHERE NOT EXISTS
+            (SELECT 1 FROM __cn_und e WHERE e.u = c.u AND e.v = c.v)) n2
+        JOIN (SELECT u, count(*) AS d FROM __cn_und GROUP BY u) da ON da.u = n2.u
+        JOIN (SELECT u, count(*) AS d FROM __cn_und GROUP BY u) db ON db.u = n2.v
+        ORDER BY n2.common_cnt DESC, n2.u, n2.v LIMIT 20
+        """
     )

@@ -227,52 +227,62 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts to the eval-token stream — scoring is map-side; only the
     per-document score aggregation shuffles, keyed by doc_id. The 5-row
     `tot` / 1-row `vocab` cross joins are bounded broadcasts (plan-hygiene
-    allowlisted)."""
-    return sql_q(
-        spark,
-        sf_dir,
+    allowlisted). The tokenized corpus is STAGED ONCE (cached temp view):
+    five of the model aggregates read it, and a WITH-CTE formulation both
+    re-ran the explode per reference and defeated CacheManager's
+    cached-plan substitution (CTE definitions are not rewritten — see
+    graph_common_neighbors), so the final query is deliberately
+    CTE-free."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    tok = spark.sql(
+        """
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                    THEN 1 ELSE 0 END AS is_train,
+               token
+        FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
+        WHERE token <> ''
+        """
+    ).cache()
+    tok.createOrReplaceTempView("__nb_tok")
+    return spark.sql(
         f"""
-        WITH tok AS (
-          SELECT doc_id, lang,
-                 CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
-                      THEN 1 ELSE 0 END AS is_train,
-                 token
-          FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
-          WHERE token <> ''),
-        cnt AS (
-          SELECT lang, token, count(*) AS c FROM tok WHERE is_train = 1
-          GROUP BY lang, token),
-        tot AS (SELECT lang, count(*) AS tt FROM tok WHERE is_train = 1 GROUP BY lang),
-        vocab AS (SELECT count(DISTINCT token) AS v FROM tok WHERE is_train = 1),
-        prior AS (
-          SELECT lang, count(DISTINCT doc_id) AS d FROM tok WHERE is_train = 1
-          GROUP BY lang),
-        dtot AS (SELECT sum(d) AS dt FROM prior),
-        evaltok AS (
-          SELECT doc_id, lang AS actual_lang, token FROM tok WHERE is_train = 0),
-        scored AS (
-          SELECT e.doc_id, e.actual_lang, t.lang AS cand_lang,
-                 sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v)) * {_LLQ})
-                          AS BIGINT)) AS ll
-          FROM evaltok e
-          CROSS JOIN tot t
-          CROSS JOIN vocab v
-          LEFT JOIN cnt c ON c.lang = t.lang AND c.token = e.token
-          GROUP BY e.doc_id, e.actual_lang, t.lang),
-        final AS (
-          SELECT s.doc_id, s.actual_lang, s.cand_lang,
-                 s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * {_LLQ}) AS BIGINT)
-                   AS score
-          FROM scored s JOIN prior p ON p.lang = s.cand_lang CROSS JOIN dtot dt),
-        pred AS (
+        SELECT actual_lang, pred_lang, count(*) AS n_docs
+        FROM (
           SELECT doc_id, actual_lang, cand_lang AS pred_lang,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY score DESC, cand_lang) AS rn
-          FROM final)
-        SELECT actual_lang, pred_lang, count(*) AS n_docs
-        FROM pred WHERE rn = 1
+          FROM (
+            SELECT s.doc_id, s.actual_lang, s.cand_lang,
+                   s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * {_LLQ})
+                               AS BIGINT) AS score
+            FROM (
+              SELECT e.doc_id, e.actual_lang, t.lang AS cand_lang,
+                     sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v))
+                                    * {_LLQ}) AS BIGINT)) AS ll
+              FROM (SELECT doc_id, lang AS actual_lang, token
+                    FROM __nb_tok WHERE is_train = 0) e
+              CROSS JOIN (SELECT lang, count(*) AS tt
+                          FROM __nb_tok WHERE is_train = 1 GROUP BY lang) t
+              CROSS JOIN (SELECT count(DISTINCT token) AS v
+                          FROM __nb_tok WHERE is_train = 1) v
+              LEFT JOIN (SELECT lang, token, count(*) AS c
+                         FROM __nb_tok WHERE is_train = 1
+                         GROUP BY lang, token) c
+                ON c.lang = t.lang AND c.token = e.token
+              GROUP BY e.doc_id, e.actual_lang, t.lang) s
+            JOIN (SELECT lang, count(DISTINCT doc_id) AS d
+                  FROM __nb_tok WHERE is_train = 1 GROUP BY lang) p
+              ON p.lang = s.cand_lang
+            CROSS JOIN (SELECT sum(d) AS dt FROM (
+                          SELECT lang, count(DISTINCT doc_id) AS d
+                          FROM __nb_tok WHERE is_train = 1
+                          GROUP BY lang)) dt) f) ranked
+        WHERE rn = 1
         GROUP BY actual_lang, pred_lang
-        """,
+        """
     )
 
 

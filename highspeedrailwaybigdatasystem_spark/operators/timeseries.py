@@ -1021,3 +1021,50 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id LIMIT 30
         """,
     )
+
+
+@register(
+    "ts_mad_robust_z",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, round(max(d.med), 6) AS med, round(max(m2.mad), 6) AS mad,
+           CAST(sum(CASE WHEN 0.6745 * abs(d.value - d.med) / m2.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    """,
+)
+def ts_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening via the median absolute deviation: per
+    series, score each reading 0.6745·|x − median| / MAD and count
+    |z| > 3.5 (the Iglewicz–Hoaglin modified z-score — immune to the
+    outliers that inflate a stddev-based threshold, unlike ts_anomaly's
+    rolling sigma). Two median passes, both partitioned by the series
+    key: exact medians are per-GROUP sorts of bounded grain, rejoined by
+    broadcast (the per-type median table is |types| rows). At 100 TB the
+    exact median swaps for percentile_approx with no plan change; the
+    exact form here keeps the oracle checkable."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH med AS (
+          SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+        dev AS (
+          SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+          FROM events e JOIN med m ON e.event_type = m.event_type),
+        mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+        SELECT d.event_type, round(max(d.med), 6) AS med, round(max(m2.mad), 6) AS mad,
+               CAST(sum(CASE WHEN 0.6745 * abs(d.value - d.med) / m2.mad > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               count(*) AS n
+        FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+        GROUP BY d.event_type
+        """,
+    )

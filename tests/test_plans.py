@@ -164,6 +164,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_semdedup_centroid",   # 16-row centroid broadcast (IVF pattern)
         "ml_naive_bayes_langid",   # 5-row lang-totals + 1-row vocab broadcast
         "ml_decision_stump",       # 9-row threshold-grid broadcast
+        "llm_epoch_repetition_plan",  # 1-row corpus-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
