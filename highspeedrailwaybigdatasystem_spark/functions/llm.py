@@ -232,46 +232,46 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(5)
     )
     # cached: both sides of the candidate self-join read this tiny table,
-    # and warm bench runs skip the md5+20-min aggregation entirely
+    # and warm bench runs skip the md5+20-min aggregation entirely.
+    # CTE-free on purpose: WITH-CTE definitions are not rewritten by
+    # CacheManager's cached-plan substitution, so the CTE formulation of
+    # this query recomputed the shingle explode per reference instead of
+    # reading the cache (found via SHUFFLES.md accounting, round 4).
+    # All 20 min-hashes in ONE aggregation pass: per-row affine mixes
+    # fold into map-side partial mins, so the shuffle carries 20
+    # columns × n_docs groups, not an exploded (shingle × seed) set.
     band = spark.sql(
         f"""
-        WITH hashed AS (
-          SELECT doc_id,
-                 cast(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) AS h
-          FROM __mh_shingle),
-        -- all 20 min-hashes in ONE aggregation pass: per-row affine mixes
-        -- fold into map-side partial mins, so the shuffle carries 20
-        -- columns × n_docs groups, not an exploded (shingle × seed) set
-        sig AS (
-          SELECT doc_id, {minhashes}
-          FROM hashed GROUP BY doc_id)
         SELECT doc_id, bs.band_id, bs.band_sig
-        FROM sig LATERAL VIEW explode(array({band_structs})) AS bs
+        FROM (
+          SELECT doc_id, {minhashes}
+          FROM (SELECT doc_id,
+                       cast(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) AS h
+                FROM __mh_shingle)
+          GROUP BY doc_id) sig
+        LATERAL VIEW explode(array({band_structs})) AS bs
         """
     ).cache()
     band.createOrReplaceTempView("__mh_band")
     return spark.sql(
         """
-        WITH sizes AS (
-          SELECT doc_id, count(*) AS n FROM __mh_shingle GROUP BY doc_id),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM __mh_band a JOIN __mh_band b
-            ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS shared
-          FROM cand c
-          JOIN __mh_shingle sa ON sa.doc_id = c.doc_a
-          JOIN __mh_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-          GROUP BY c.doc_a, c.doc_b)
         SELECT /*+ BROADCAST(za), BROADCAST(zb) */
                i.doc_a, i.doc_b,
                round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
                  AS jaccard
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.doc_a
-        JOIN sizes zb ON zb.doc_id = i.doc_b
+        FROM (
+          SELECT c.doc_a, c.doc_b, count(*) AS shared
+          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM __mh_band a JOIN __mh_band b
+                  ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id) c
+          JOIN __mh_shingle sa ON sa.doc_id = c.doc_a
+          JOIN __mh_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+          GROUP BY c.doc_a, c.doc_b) i
+        JOIN (SELECT doc_id, count(*) AS n FROM __mh_shingle GROUP BY doc_id) za
+          ON za.doc_id = i.doc_a
+        JOIN (SELECT doc_id, count(*) AS n FROM __mh_shingle GROUP BY doc_id) zb
+          ON zb.doc_id = i.doc_b
         WHERE cast(i.shared AS double) / (za.n + zb.n - i.shared) >= 0.2
         """
     )
