@@ -351,3 +351,28 @@ def test_zorder_layout_is_two_aggs_no_sort(spark):
     s = df._jdf.queryExecution().executedPlan().toString()
     assert not global_sort.search(s), s[:2000]
     assert "HashAggregate" in s, s[:2000]
+
+
+def test_cached_stage_substitution_holds(spark):
+    """Round-4 finding: WITH-CTE definitions are not rewritten by
+    CacheManager's cached-plan substitution, so a CTE query over a cached
+    temp view silently recomputes the staged subtree. The three staged
+    operators must keep their final queries CTE-free — pinned by requiring
+    InMemoryTableScan at every reference."""
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    expected = {
+        "llm_minhash_banding": 5,      # shingle ×5 + band ×2 (≥5 proves both)
+        "graph_common_neighbors": 5,   # undirected edges ×5
+        "ml_naive_bayes_langid": 6,    # tokenized corpus ×6
+    }
+    qs = all_queries()
+    for name, at_least in expected.items():
+        plan = (
+            qs[name](spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got = plan.count("InMemoryTableScan")
+        assert got >= at_least, f"{name}: {got} InMemoryTableScan < {at_least}"
