@@ -3175,3 +3175,165 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """,
     )
+
+
+@register(
+    "llm_dedup_survivorship",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars, md5(lower(trim(text))) AS h FROM documents),
+    ranked AS (
+      SELECT doc_id, h, n_chars,
+             row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY h) AS sz
+      FROM g)
+    SELECT substr(h, 1, 8) AS grp,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc,
+           CAST(max(sz) AS BIGINT) AS n_members,
+           CAST(max(sz) - 1 AS BIGINT) AS n_discarded
+    FROM ranked WHERE sz > 1 GROUP BY h
+    """,
+)
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a SURVIVORSHIP POLICY: exact-duplicate groups (normalized
+    content hash) keep the highest-quality member — longest document,
+    doc_id as the deterministic tiebreak — instead of llm_exact_dedup's
+    keep-lowest-id rule. This is the master-data-management half of dedup:
+    WHICH copy survives matters when duplicates differ in metadata
+    completeness. One hash shuffle; rank and group-size come from the same
+    window pass (no second aggregation over raw text), so the 100 TB cost
+    is identical to plain exact dedup."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH g AS (
+          SELECT doc_id, n_chars, md5(lower(trim(text))) AS h FROM documents),
+        ranked AS (
+          SELECT doc_id, h, n_chars,
+                 row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY h) AS sz
+          FROM g)
+        SELECT substr(h, 1, 8) AS grp,
+               max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc,
+               CAST(max(sz) AS BIGINT) AS n_members,
+               CAST(max(sz) - 1 AS BIGINT) AS n_discarded
+        FROM ranked WHERE sz > 1 GROUP BY h
+        """,
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled 5-step greedy MMR in DuckDB CTEs (the kmeans-oracle
+    pattern): candidate top-20 by probe cosine, then per step an integer
+    argmax of 7·sim_probe − 3·max-sim-to-selected (λ=0.7 scaled to the
+    1e-6 fixed-point grid — exact int64 comparisons, no float rounding at
+    the decision boundary)."""
+    dot_cp = _DOT_ORACLE.format(a="e.embedding", b="p")
+    dot_ab = _DOT_ORACLE.format(a="a.embedding", b="b.embedding")
+    steps = []
+    for i in range(2, 6):
+        steps.append(f"""sel{i} AS (
+      SELECT * FROM sel{i - 1}
+      UNION ALL
+      (SELECT vec_id, simp, {i} AS mmr_rank FROM (
+         SELECT c.vec_id, c.simp,
+                7 * CAST(round(c.simp * 1000000) AS BIGINT)
+                - 3 * (SELECT max(p2.si) FROM pair p2
+                       WHERE p2.u = c.vec_id
+                         AND p2.v IN (SELECT vec_id FROM sel{i - 1})) AS score
+         FROM cand c
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))
+       ORDER BY score DESC, vec_id LIMIT 1))""")
+    return f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, round({dot_cp}, 6) AS simp
+      FROM embeddings e, probe
+      WHERE e.vec_id <> 0
+      ORDER BY simp DESC, e.vec_id LIMIT 20),
+    pair AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             CAST(round(round({dot_ab}, 6) * 1000000) AS BIGINT) AS si
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT vec_id, simp, 1 AS mmr_rank FROM cand
+      ORDER BY simp DESC, vec_id LIMIT 1),
+    {",".join(steps)}
+    SELECT vec_id, mmr_rank, simp AS sim FROM sel5
+    """
+
+
+@register("llm_mmr_diverse_topk", oracle=_mmr_oracle())
+def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from the probe's cosine top-20 candidates, greedily select 5 results
+    maximizing λ·sim(probe) − (1−λ)·max-sim-to-already-selected (λ=0.7)
+    — the diversity-aware retrieval head every RAG stack bolts onto ANN.
+    Determinism: all similarities live on the round-6 grid, and the
+    greedy argmax compares pure int64 scores (7·simp − 3·maxsim on the
+    1e-6 fixed-point grid), so the selection is bit-identical across
+    engines — the DuckDB oracle replays the same 5 steps as unrolled
+    CTEs. Scale shape: the distributed work is the candidate top-20 scan
+    (broadcast probe, TakeOrdered merge — llm_sim_topk's plan) and a
+    20×20 pair GEMM; the greedy loop itself touches only k²=400 scores,
+    driver-side like kmeans' centroid update — never corpus data."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    cand = spark.sql(
+        """
+        SELECT /*+ BROADCAST(probe) */ e.vec_id, e.embedding,
+               round(aggregate(
+                       zip_with(e.embedding, probe.p,
+                                (x, y) -> cast(x AS double) * cast(y AS double)),
+                       cast(0.0 AS double), (acc, v) -> acc + v), 6) AS simp
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) probe
+        WHERE e.vec_id <> 0
+        ORDER BY simp DESC, e.vec_id LIMIT 20
+        """
+    ).cache()
+    cand.createOrReplaceTempView("__mmr_cand")
+    pairs = spark.sql(
+        """
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               CAST(round(round(aggregate(
+                      zip_with(a.embedding, b.embedding,
+                               (x, y) -> cast(x AS double) * cast(y AS double)),
+                      cast(0.0 AS double), (acc, v2) -> acc + v2), 6) * 1000000)
+                    AS BIGINT) AS si
+        FROM __mmr_cand a JOIN __mmr_cand b ON a.vec_id <> b.vec_id
+        """
+    ).collect()
+    simp_rows = {r["vec_id"]: r["simp"] for r in cand.select("vec_id", "simp").collect()}
+    si = {(r["u"], r["v"]): r["si"] for r in pairs}
+    simp_int = {vid: round(s * 1_000_000) for vid, s in simp_rows.items()}
+
+    selected: list[int] = []
+    first = min(simp_rows, key=lambda v: (-simp_int[v], v))
+    selected.append(first)
+    while len(selected) < 5:
+        best = None
+        for c in simp_rows:
+            if c in selected:
+                continue
+            score = 7 * simp_int[c] - 3 * max(si[(c, s)] for s in selected)
+            if best is None or (-score, c) < best[0]:
+                best = ((-score, c), c)
+        selected.append(best[1])
+
+    rank_map = F.map_from_arrays(
+        F.array(*[F.lit(v) for v in selected]),
+        F.array(*[F.lit(i + 1) for i in range(len(selected))]),
+    )
+    return (
+        cand.where(F.col("vec_id").isin(selected))
+        .select(
+            "vec_id",
+            F.element_at(rank_map, F.col("vec_id")).alias("mmr_rank"),
+            F.col("simp").alias("sim"),
+        )
+    )

@@ -1273,3 +1273,45 @@ def agg_approx_percentile_exact_regime(spark: SparkSession, sf_dir: str) -> Data
         FROM events GROUP BY event_type
         """,
     )
+
+
+@register(
+    "agg_benford_deviation",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT d, n, round(t * log10(1 + 1.0 / d), 2) AS expected_n,
+           round((n - t * log10(1 + 1.0 / d)) * (n - t * log10(1 + 1.0 / d))
+                 / (t * log10(1 + 1.0 / d)), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (the fraud/data-quality screen):
+    observed leading-digit counts vs the log10(1+1/d) expectation, with
+    per-digit chi-square contributions. The leading digit comes from the
+    INTEGER-CENTS string, not floor(log10(x)) — exact on both engines,
+    immune to log-of-near-power-of-ten ulp flips. Map-side digit extract,
+    one 9-group aggregate, 1-row total broadcast (allowlisted): at 100 TB
+    this is a single cheap pass, which is why Benford screens run on
+    full ledgers, not samples."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+                             1, 1) AS INT) AS d
+          FROM orders WHERE o_totalprice > 0),
+        obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+        tot AS (SELECT sum(n) AS t FROM obs)
+        SELECT d, n, round(t * log10(1 + 1.0 / d), 2) AS expected_n,
+               round((n - t * log10(1 + 1.0 / d)) * (n - t * log10(1 + 1.0 / d))
+                     / (t * log10(1 + 1.0 / d)), 6) AS chi2_term
+        FROM obs CROSS JOIN tot
+        """,
+    )

@@ -944,3 +944,59 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fact JOIN dim d ON o_custkey = d.c_custkey
         """,
     )
+
+
+@register(
+    "etl_fk_orphan_audit",
+    oracle="""
+    SELECT 'orders->customer' AS fk_edge, count(*) AS n_child,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', count(*),
+           CAST(sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders od ON l.l_orderkey = od.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def etl_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    per-edge child rowcount and orphan count (children whose parent key
+    resolves to nothing). The pre-load gate a warehouse runs before
+    publishing a snapshot — an orphan count that moves between loads is
+    the earliest corruption signal. Every edge is a left join against a
+    broadcastable parent keyset (Catalyst broadcasts each dim); the four
+    audits share one plan and each fact table is scanned once per edge,
+    map-side null-counted. At 100 TB swap the inner probe for a Bloom
+    filter of parent keys (join_bloom_filter pattern) to avoid the full
+    join entirely."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT 'orders->customer' AS fk_edge, count(*) AS n_child,
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem->orders', count(*),
+               CAST(sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN orders od ON l.l_orderkey = od.o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part', count(*),
+               CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'customer->nation', count(*),
+               CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+    )

@@ -1068,3 +1068,51 @@ def ts_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.event_type
         """,
     )
+
+
+@register(
+    "ts_gap_distribution",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_gaps,
+           CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_us,
+           CAST(quantile_disc(gap_us, 0.99) AS BIGINT) AS p99_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per series (the feed-health /
+    SLA primitive: a drifting p99 gap flags a stalling sensor before any
+    value-level anomaly). Gaps are exact integer microseconds from a
+    lag() window partitioned by (user, type); the distribution tail uses
+    the quantile SKETCH in its exactness regime (accuracy ≥ n — see
+    agg_approx_percentile_exact_regime), so the same plan holds at 100 TB
+    with O(accuracy) state per series and a gracefully-relaxing bound.
+    One window shuffle + one group aggregate."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH gaps AS (
+          SELECT event_type,
+                 unix_micros(ts) - lag(unix_micros(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY unix_micros(ts), event_id) AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_gaps,
+               approx_percentile(gap_us, 0.5, 1000000) AS p50_us,
+               approx_percentile(gap_us, 0.9, 1000000) AS p90_us,
+               approx_percentile(gap_us, 0.99, 1000000) AS p99_us,
+               max(gap_us) AS max_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+        """,
+    )

@@ -165,6 +165,8 @@ def test_full_surface_plan_hygiene(spark):
         "ml_naive_bayes_langid",   # 5-row lang-totals + 1-row vocab broadcast
         "ml_decision_stump",       # 9-row threshold-grid broadcast
         "llm_epoch_repetition_plan",  # 1-row corpus-total broadcast
+        "llm_mmr_diverse_topk",    # 1-row probe-vector broadcast (top-20 scan)
+        "agg_benford_deviation",   # 1-row digit-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
