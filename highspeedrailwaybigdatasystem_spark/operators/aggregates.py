@@ -1315,3 +1315,130 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs CROSS JOIN tot
         """,
     )
+
+
+@register(
+    "sql_order_by_all",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 40
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL together — the DuckDB-originated
+    shorthand adopted by Spark 4: grouping keys inferred from the
+    non-aggregate select list, sort keys from the full select list.
+    Pure syntax surface (lowering is identical to the explicit forms:
+    one hash aggregate + one range-partition sort), and the one case
+    where the oracle SQL and the Spark SQL are the same text."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 40
+        """,
+    )
+
+
+@register(
+    "agg_winsorized_trimmed_mean",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, count(*) AS n,
+           round(avg(l.l_extendedprice), 2) AS mean_raw,
+           round(avg(CASE WHEN l.l_extendedprice BETWEEN c.lo AND c.hi
+                          THEN l.l_extendedprice END), 2) AS mean_trimmed,
+           round(avg(least(greatest(l.l_extendedprice, c.lo), c.hi)), 2)
+             AS mean_winsorized
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per group: 5%-trimmed (drop the tails) and winsorized
+    (clamp to the p05/p95 cutpoints) alongside the raw mean. The
+    cutpoints are one per-group exact-percentile aggregate broadcast back
+    to the stream — the same cutpoint-join pattern as
+    llm_curriculum_buckets, so the second pass stays map-side. At 100 TB
+    the exact percentile swaps for the sketch (see
+    agg_approx_percentile_exact_regime) with no other plan change."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH cuts AS (
+          SELECT l_returnflag,
+                 percentile(l_extendedprice, 0.05) AS lo,
+                 percentile(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, count(*) AS n,
+               round(avg(l.l_extendedprice), 2) AS mean_raw,
+               round(avg(CASE WHEN l.l_extendedprice BETWEEN c.lo AND c.hi
+                              THEN l.l_extendedprice END), 2) AS mean_trimmed,
+               round(avg(least(greatest(l.l_extendedprice, c.lo), c.hi)), 2)
+                 AS mean_winsorized
+        FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+        GROUP BY l.l_returnflag
+        """,
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r, (dayofweek(ts) + 6) % 7 AS c, count(*) AS o
+      FROM events GROUP BY event_type, (dayofweek(ts) + 6) % 7),
+    rt AS (SELECT r, sum(o) AS ro FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(o) AS co FROM cells GROUP BY c),
+    n AS (SELECT sum(o) AS t FROM cells)
+    SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT cells.r) - 1) * (count(DISTINCT cells.c) - 1)
+                AS BIGINT) AS dof,
+           round(sum((o - CAST(ro AS DOUBLE) * co / t)
+                     * (o - CAST(ro AS DOUBLE) * co / t)
+                     / (CAST(ro AS DOUBLE) * co / t)), 6) AS chi2
+    FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c CROSS JOIN n
+    """,
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals
+    (event type × day-of-week): full contingency table, expected counts
+    from the margins, one summed statistic. Day-of-week is normalized to
+    Monday=0 on BOTH engines (Spark's dayofweek is Sunday=1, DuckDB's dow
+    is Sunday=0 — the classic cross-engine off-by-one). All inputs are
+    exact integer counts; the statistic is a sum of IEEE-exact ratios.
+    Scale: one |r×c|-cell aggregate + margin broadcasts — the statistic
+    never touches raw rows twice."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH cells AS (
+          SELECT event_type AS r, (dayofweek(ts) + 5) % 7 AS c, count(*) AS o
+          FROM events GROUP BY event_type, (dayofweek(ts) + 5) % 7),
+        rt AS (SELECT r, sum(o) AS ro FROM cells GROUP BY r),
+        ct AS (SELECT c, sum(o) AS co FROM cells GROUP BY c),
+        n AS (SELECT sum(o) AS t FROM cells)
+        SELECT count(*) AS n_cells,
+               CAST((count(DISTINCT cells.r) - 1) * (count(DISTINCT cells.c) - 1)
+                    AS BIGINT) AS dof,
+               round(sum((o - CAST(ro AS DOUBLE) * co / t)
+                         * (o - CAST(ro AS DOUBLE) * co / t)
+                         / (CAST(ro AS DOUBLE) * co / t)), 6) AS chi2
+        FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c CROSS JOIN n
+        """,
+    )

@@ -1000,3 +1000,71 @@ def etl_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
     )
+
+
+@register(
+    "etl_data_vault_hashkeys",
+    oracle="""
+    WITH hub AS (
+      SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS hk FROM customer),
+    link AS (
+      SELECT DISTINCT md5(concat_ws('||', CAST(o_orderkey AS VARCHAR),
+                                    CAST(o_custkey AS VARCHAR))) AS hk
+      FROM orders),
+    sat AS (
+      SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk,
+             md5(concat_ws('||', c_name, CAST(c_nationkey AS VARCHAR),
+                           c_mktsegment)) AS hashdiff
+      FROM customer)
+    SELECT 'hub_customer' AS vault_entity, count(*) AS n_keys,
+           bit_xor(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)) AS keyset_xor
+    FROM hub
+    UNION ALL
+    SELECT 'link_order_customer', count(*),
+           bit_xor(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT))
+    FROM link
+    UNION ALL
+    SELECT 'sat_customer_hashdiff', count(DISTINCT hashdiff),
+           bit_xor(CAST(('0x' || substr(hashdiff, 1, 15)) AS BIGINT))
+    FROM sat
+    """,
+)
+def etl_data_vault_hashkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault 2.0 key generation (Linstedt's public modeling standard):
+    hub hash keys from business keys, link hash keys from the
+    relationship's key concatenation, and satellite HASHDIFFs over the
+    descriptive attributes (the change-detection column an incremental
+    satellite load compares). Everything is a map-side md5 over stable
+    string renderings of key columns (never floats) + one distinct-agg
+    per entity; the XOR keyset checksum is the cross-environment parity
+    probe (etl_partition_checksum_manifest's trick). At 100 TB this is
+    the canonical hash-then-shuffle-once load shape Data Vault was
+    designed for."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH hub AS (
+          SELECT DISTINCT md5(CAST(c_custkey AS STRING)) AS hk FROM customer),
+        link AS (
+          SELECT DISTINCT md5(concat_ws('||', CAST(o_orderkey AS STRING),
+                                        CAST(o_custkey AS STRING))) AS hk
+          FROM orders),
+        sat AS (
+          SELECT md5(CAST(c_custkey AS STRING)) AS hk,
+                 md5(concat_ws('||', c_name, CAST(c_nationkey AS STRING),
+                               c_mktsegment)) AS hashdiff
+          FROM customer)
+        SELECT 'hub_customer' AS vault_entity, count(*) AS n_keys,
+               bit_xor(CAST(conv(substr(hk, 1, 15), 16, 10) AS BIGINT)) AS keyset_xor
+        FROM hub
+        UNION ALL
+        SELECT 'link_order_customer', count(*),
+               bit_xor(CAST(conv(substr(hk, 1, 15), 16, 10) AS BIGINT))
+        FROM link
+        UNION ALL
+        SELECT 'sat_customer_hashdiff', count(DISTINCT hashdiff),
+               bit_xor(CAST(conv(substr(hashdiff, 1, 15), 16, 10) AS BIGINT))
+        FROM sat
+        """,
+    )

@@ -385,3 +385,97 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n2.common_cnt DESC, n2.u, n2.v LIMIT 20
         """
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling (the pagerank-oracle pattern): each round
+    drops vertices with undirected degree < k and keeps only edges whose
+    both endpoints survive."""
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""d{i} AS (
+      SELECT u, count(*) AS c FROM e{i - 1} GROUP BY u),
+    k{i} AS (SELECT u FROM d{i} WHERE c >= {_KCORE_K}),
+    e{i} AS (
+      SELECT e.u, e.v FROM e{i - 1} e
+      JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)""")
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT count(*) AS n FROM users),
+    edges0 AS (
+      SELECT user_id AS src, (user_id * 7 + 13) % (SELECT n FROM nn) AS dst
+      FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 11 + 5) % (SELECT n FROM nn) FROM users),
+    e0 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM edges0 WHERE src <> dst)),
+    {",".join(steps)}
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           (SELECT CAST(count(*) / 2 AS BIGINT) FROM e{_KCORE_ROUNDS}) AS n_edges,
+           CAST(sum(u) AS BIGINT) AS vertex_checksum
+    FROM (SELECT DISTINCT u FROM e{_KCORE_ROUNDS})
+    """
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3, 4 synchronous peeling rounds): repeatedly
+    drop vertices whose undirected degree falls below k — the standard
+    community-density / graph-sparsification preprocessing step. Same
+    deterministic out-degree-2 graph as graph_pagerank; 4 rounds reach the
+    fixed point on this corpus (oracle replays identical unrolled steps).
+    Spark plan per round: one degree aggregate + two semi-join-shaped
+    filters against the survivor set, then ``localCheckpoint`` truncates
+    the growing lineage (the pagerank/dedup-components iteration
+    discipline). Edges stay partitioned on the vertex key across rounds —
+    each iteration reuses the same shuffle layout; survivor sets shrink
+    monotonically, so at 100 TB later rounds touch a fraction of the
+    edge table."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    n_vertices = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).collect()[0]["n"]
+    edges = spark.sql(
+        f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        edges0 AS (
+          SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
+          FROM users
+          UNION ALL
+          SELECT user_id, (user_id * 11 + 5) % {n_vertices} FROM users)
+        SELECT DISTINCT u, v FROM (
+          SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+          UNION ALL
+          SELECT dst, src FROM edges0 WHERE src <> dst)
+        """
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("u", "ku"), F.col("u") == F.col("ku"))
+            .drop("ku")
+            .join(keep.withColumnRenamed("u", "kv"), F.col("v") == F.col("kv"))
+            .drop("kv")
+            .localCheckpoint()
+        )
+    verts = edges.select("u").distinct()
+    n_edges = edges.count() // 2
+    return verts.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.sum("u").alias("vertex_checksum"),
+    )

@@ -1116,3 +1116,55 @@ def ts_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """,
     )
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, hour(ts) AS hr, value FROM events),
+    hourly AS (
+      SELECT event_type, hr, count(*) AS n, avg(value) AS mu
+      FROM obs GROUP BY event_type, hr),
+    overall AS (
+      SELECT event_type, avg(value) AS gmu, count(*) AS nt,
+             sum(value * value) AS ss
+      FROM obs GROUP BY event_type)
+    SELECT o.event_type,
+           round(sum(h.n * (h.mu - o.gmu) * (h.mu - o.gmu))
+                 / (o.ss - o.nt * o.gmu * o.gmu), 6) AS seasonal_strength,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM hourly h JOIN overall o ON h.event_type = o.event_type
+    GROUP BY o.event_type, o.ss, o.nt, o.gmu
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per series: the between-bucket
+    share of total variance (SSB/SST — the eta-squared of a one-way
+    ANOVA on the hour factor). Near 0 ⇒ the hourly profile explains
+    nothing; near 1 ⇒ the series is pure daily rhythm — the diagnostic
+    that decides whether window features belong in a forecast. Two
+    one-pass aggregates (per-bucket, per-series) joined at bounded
+    grain; the variance terms come from raw power sums, so nothing
+    rescans events."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH obs AS (
+          SELECT event_type, hour(ts) AS hr, value FROM events),
+        hourly AS (
+          SELECT event_type, hr, count(*) AS n, avg(value) AS mu
+          FROM obs GROUP BY event_type, hr),
+        overall AS (
+          SELECT event_type, avg(value) AS gmu, count(*) AS nt,
+                 sum(value * value) AS ss
+          FROM obs GROUP BY event_type)
+        SELECT o.event_type,
+               round(sum(h.n * (h.mu - o.gmu) * (h.mu - o.gmu))
+                     / (o.ss - o.nt * o.gmu * o.gmu), 6) AS seasonal_strength,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM hourly h JOIN overall o ON h.event_type = o.event_type
+        GROUP BY o.event_type, o.ss, o.nt, o.gmu
+        """,
+    )

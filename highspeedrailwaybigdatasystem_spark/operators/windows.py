@@ -698,3 +698,73 @@ def win_ntile_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.max("c_acctbal")).alias("max_bal"),
         money(F.avg("c_acctbal")).alias("avg_bal"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    curve AS (
+      SELECT event_type, d,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS equity
+      FROM daily),
+    dd AS (
+      SELECT event_type, d, equity,
+             max(equity) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM curve)
+    SELECT event_type,
+           round(CAST(max(peak - equity) AS DOUBLE) / 100, 2) AS max_drawdown,
+           round(CAST(max(equity) AS DOUBLE) / 100, 2) AS final_peak,
+           CAST(min(CASE WHEN peak - equity =
+                  (SELECT max(d2.peak - d2.equity) FROM dd d2
+                   WHERE d2.event_type = dd.event_type)
+                  THEN d END) AS VARCHAR) AS worst_day
+    FROM dd GROUP BY event_type
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (the risk-analytics window pattern):
+    daily integer-cents equity curve → running peak (cumulative max
+    window) → max(peak − equity), plus the first day the worst drawdown
+    occurs. All arithmetic is exact int64 cents; floats appear only in
+    the final /100 report. Two stacked unbounded-preceding windows over
+    the DAILY grain, partitioned by series — raw events aggregate first,
+    so the window input is |series × days| rows regardless of corpus
+    size."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        curve AS (
+          SELECT event_type, d,
+                 sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS equity
+          FROM daily),
+        dd AS (
+          SELECT event_type, d, equity,
+                 max(equity) OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+          FROM curve)
+        SELECT event_type,
+               round(CAST(max(peak - equity) AS DOUBLE) / 100, 2) AS max_drawdown,
+               round(CAST(max(equity) AS DOUBLE) / 100, 2) AS final_peak,
+               CAST(min(CASE WHEN peak - equity =
+                      (SELECT max(d2.peak - d2.equity) FROM dd d2
+                       WHERE d2.event_type = dd.event_type)
+                      THEN d END) AS STRING) AS worst_day
+        FROM dd GROUP BY event_type
+        """,
+    )

@@ -167,6 +167,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_epoch_repetition_plan",  # 1-row corpus-total broadcast
         "llm_mmr_diverse_topk",    # 1-row probe-vector broadcast (top-20 scan)
         "agg_benford_deviation",   # 1-row digit-total broadcast
+        "agg_chi_square_independence",  # 1-row grand-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
