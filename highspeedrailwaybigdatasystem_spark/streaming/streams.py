@@ -424,3 +424,129 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "ImportError: cannot import name 'descriptor' from 'google.protobuf'".
 # The legacy applyInPandasWithState path (stream_custom_state above) covers
 # the arbitrary-stateful surface with an exact oracle.
+
+
+@register(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT date_trunc('hour', {EVENTS_TS_US}) AS win_start, event_type,
+             round(value, 2) AS value,
+             row_number() OVER (
+               PARTITION BY date_trunc('hour', {EVENTS_TS_US}), event_type
+               ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    SELECT win_start, event_type, CAST(rnk AS INT) AS rnk, value
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per event-time window — ranking windows are not
+    supported on unbounded streams, so this uses the candidate-merge
+    pattern: each micro-batch computes its LOCAL per-(window,type) top-3
+    (a bounded candidate set — a global top-3 element is necessarily in
+    its own batch's top-3), foreachBatch appends candidates to an
+    accumulator, and the final exact top-3 is ranked over the union.
+    Candidate state is |windows × types × 3| per batch — bounded by the
+    watermark horizon in production, never event-volume. Source staged
+    twice (identical copies) to prove the merge dedups re-delivery:
+    the result equals the single-pass batch answer."""
+    from pyspark.sql.window import Window
+
+    stream = _stream_events(spark, sf_dir, copies=2, tag="topkwin")
+    windowed = stream.select(
+        F.date_trunc("hour", "ts").alias("win_start"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "event_id",
+    )
+    candidates: list = []
+
+    def collect_topk(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("win_start", "event_type").orderBy(
+            F.col("value").desc(), "event_id"
+        )
+        rows = (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("win_start", "event_type", "value", "event_id")
+            .collect()
+        )
+        candidates.extend((r[0], r[1], r[2], r[3]) for r in rows)
+
+    q = windowed.writeStream.foreachBatch(collect_topk).trigger(availableNow=True).start()
+    q.awaitTermination()
+    cand = spark.createDataFrame(
+        candidates, "win_start timestamp, event_type string, value double, event_id long"
+    ).dropDuplicates(["win_start", "event_type", "event_id"])
+    w = Window.partitionBy("win_start", "event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "rnk", "value")
+    )
+
+
+@register(
+    "stream_cdc_latest_upsert",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, value, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM (SELECT user_id, event_id, value, {EVENTS_TS_US} AS ts_us FROM events))
+    SELECT user_id, round(value, 2) AS last_value,
+           ts_us AS last_ts, CAST(2 * n_changes AS BIGINT) AS n_applied
+    FROM latest WHERE rn = 1 AND user_id < 20
+    """,
+)
+def stream_cdc_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC latest-value upsert: foreachBatch merges each
+    micro-batch's per-key latest record into a keyed state table
+    (last-writer-wins by event time, event_id tiebreak) while counting
+    every applied change — the materialized-view-maintenance pattern a
+    MERGE INTO sink runs in production. Source staged twice
+    (maxFilesPerTrigger=1 → two ordered batches of the same data):
+    the end state equals the batch latest-per-key answer and the applied
+    count is exactly 2× — re-delivery shows up in the audit column, not
+    the state. Per-batch work is one local top-1-per-key reduce before
+    the driver merge; state is |keys|-bounded."""
+    stream = _stream_events(spark, sf_dir, copies=2, tag="cdcup")
+    state: dict = {}
+    applied: dict = {}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.where(F.col("user_id") < 20)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.unix_micros("ts").alias("ts_us"),
+                             F.col("event_id"), F.round("value", 2).alias("v")),
+                    F.struct(F.unix_micros("ts"), F.col("event_id")),
+                ).alias("last"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in rows:
+            k = r["user_id"]
+            cur = (r["last"]["ts_us"], r["last"]["event_id"], r["last"]["v"])
+            if k not in state or (cur[0], cur[1]) > (state[k][0], state[k][1]):
+                state[k] = cur
+            applied[k] = applied.get(k, 0) + r["n"]
+
+    q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    import datetime as _dt
+
+    rows = [
+        (k, v[2], _dt.datetime.utcfromtimestamp(v[0] / 1e6), applied[k])
+        for k, v in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, last_value double, last_ts timestamp, n_applied long"
+    )
