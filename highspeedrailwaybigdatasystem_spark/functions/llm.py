@@ -3337,3 +3337,73 @@ def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("simp").alias("sim"),
         )
     )
+
+
+@register(
+    "llm_dataset_stats_card",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             md5(lower(trim(text))) AS h
+      FROM documents),
+    lc AS (SELECT source, lang, count(*) AS n FROM tok GROUP BY source, lang),
+    tot AS (SELECT source, sum(n) AS tn FROM lc GROUP BY source),
+    ent2 AS (
+      SELECT lc.source,
+             round(-sum((CAST(n AS DOUBLE) / tn) * log2(CAST(n AS DOUBLE) / tn)), 6)
+               AS lang_entropy
+      FROM lc JOIN tot ON lc.source = tot.source
+      GROUP BY lc.source),
+    docstats AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(min(n_tok) AS BIGINT) AS min_tokens,
+             CAST(max(n_tok) AS BIGINT) AS max_tokens,
+             round(avg(n_chars), 2) AS avg_chars,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+      FROM tok GROUP BY source)
+    SELECT d.source, d.n_docs, d.total_tokens, d.min_tokens, d.max_tokens,
+           d.avg_chars, d.n_exact_dups, e.lang_entropy
+    FROM docstats d JOIN ent2 e ON d.source = e.source
+    """,
+)
+def llm_dataset_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call dataset card per source (the datasheet/model-card summary
+    table a curation pipeline publishes with every corpus snapshot):
+    document and token volumes, length extremes, exact-duplicate count
+    (normalized-hash distinct), and language-mix entropy. Single pass
+    over documents + one bounded (source × lang) aggregate; everything
+    map-side-combinable. The point of the composite is operational: one
+    cheap job after every ingest, diffed against yesterday's card, is
+    the earliest drift alarm a 100 TB pipeline has."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tok AS (
+          SELECT doc_id, source, lang, n_chars,
+                 size(split(text, ' ')) AS n_tok,
+                 md5(lower(trim(text))) AS h
+          FROM documents),
+        lc AS (SELECT source, lang, count(*) AS n FROM tok GROUP BY source, lang),
+        tot AS (SELECT source, sum(n) AS tn FROM lc GROUP BY source),
+        ent2 AS (
+          SELECT lc.source,
+                 round(-sum((CAST(n AS DOUBLE) / tn) * log2(CAST(n AS DOUBLE) / tn)), 6)
+                   AS lang_entropy
+          FROM lc JOIN tot ON lc.source = tot.source
+          GROUP BY lc.source),
+        docstats AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(min(n_tok) AS BIGINT) AS min_tokens,
+                 CAST(max(n_tok) AS BIGINT) AS max_tokens,
+                 round(avg(n_chars), 2) AS avg_chars,
+                 CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+          FROM tok GROUP BY source)
+        SELECT d.source, d.n_docs, d.total_tokens, d.min_tokens, d.max_tokens,
+               d.avg_chars, d.n_exact_dups, e.lang_entropy
+        FROM docstats d JOIN ent2 e ON d.source = e.source
+        """,
+    )

@@ -1168,3 +1168,58 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.event_type, o.ss, o.nt, o.gmu
         """,
     )
+
+
+@register(
+    "ts_forecast_naive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    paired AS (
+      SELECT a.event_type, a.d, a.v,
+             n.v AS pred_naive, s.v AS pred_snaive
+      FROM daily a
+      JOIN daily n ON n.event_type = a.event_type
+                  AND n.d = a.d - INTERVAL 1 DAY
+      JOIN daily s ON s.event_type = a.event_type
+                  AND s.d = a.d - INTERVAL 7 DAY)
+    SELECT event_type, count(*) AS n_days,
+           round(avg(abs(v - pred_naive)), 4) AS mae_naive,
+           round(avg(abs(v - pred_snaive)), 4) AS mae_seasonal_naive,
+           round(avg(abs(v - pred_naive) / v) * 100, 4) AS mape_naive,
+           round(avg(abs(v - pred_snaive) / v) * 100, 4) AS mape_seasonal_naive
+    FROM paired GROUP BY event_type
+    """,
+)
+def ts_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: naive (yesterday's value) and
+    seasonal-naive (same weekday last week) predictions scored with
+    MAE/MAPE per series — the benchmark floor every real forecasting
+    model must beat before it ships (the M-competitions' standard
+    control). Plan: one daily rollup, then two self-equi-joins on
+    (series, lagged date) over the bounded daily grain — at 100 TB the
+    evaluation cost is |series × days|, independent of event volume."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        paired AS (
+          SELECT a.event_type, a.d, a.v,
+                 n.v AS pred_naive, s.v AS pred_snaive
+          FROM daily a
+          JOIN daily n ON n.event_type = a.event_type
+                      AND n.d = a.d - INTERVAL 1 DAY
+          JOIN daily s ON s.event_type = a.event_type
+                      AND s.d = a.d - INTERVAL 7 DAY)
+        SELECT event_type, count(*) AS n_days,
+               round(avg(abs(v - pred_naive)), 4) AS mae_naive,
+               round(avg(abs(v - pred_snaive)), 4) AS mae_seasonal_naive,
+               round(avg(abs(v - pred_naive) / v) * 100, 4) AS mape_naive,
+               round(avg(abs(v - pred_snaive) / v) * 100, 4) AS mape_seasonal_naive
+        FROM paired GROUP BY event_type
+        """,
+    )

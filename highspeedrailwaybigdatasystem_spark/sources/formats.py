@@ -371,3 +371,85 @@ def sink_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         money(F.sum("o_totalprice")).alias("value_checksum"),
     )
+
+
+@register(
+    "src_glob_recursive",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def src_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory ingestion surface: the nation table is scattered
+    across a two-level date-style directory tree mixed with decoy files,
+    then read back with ``recursiveFileLookup`` + ``pathGlobFilter`` —
+    the lake-ingestion options that make Spark skip sidecar/_SUCCESS/
+    manifest junk without a manifest service. The glob filter prunes at
+    FILE LISTING time (driver-side, before any task launches), which at
+    100 TB with millions of files is the difference between a listing
+    and a scan."""
+    base = scratch_dir("glob_recursive")
+    shutil.rmtree(base, ignore_errors=True)
+    nation = t(spark, sf_dir, "nation")
+    for i, sub in enumerate(["day=01/hour=00", "day=01/hour=12", "day=02/hour=00"]):
+        part = nation.where(F.col("n_nationkey") % 3 == i)
+        part.write.mode("overwrite").parquet(os.path.join(base, sub, "data"))
+        # decoy sidecar files the glob must skip
+        with open(os.path.join(base, sub, "manifest.json"), "w") as f:
+            f.write("{}")
+    back = (
+        spark.read.schema(SCHEMAS["nation"])
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
+    "src_csv_quoted_multiline",
+    oracle="""
+    SELECT CAST(2 AS INT) AS doc_id_mod, CAST(2 AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k = 1 THEN n_lines END) AS INT) AS lines_doc1,
+           CAST(sum(CASE WHEN k = 2 THEN n_lines END) AS INT) AS lines_doc2
+    FROM (VALUES (1, 3), (2, 2)) t(k, n_lines)
+    """,
+)
+def src_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV edge-case parsing: quoted fields containing embedded newlines,
+    commas and escaped double-quotes — the shape that silently corrupts
+    a naive line-split ingest. Read with ``multiLine=true`` + explicit
+    quote/escape options; the assertion is the parsed line count per
+    logical record (3 and 2), proving record boundaries came from the
+    quoting, not from \\n. Production note: multiLine CSV cannot be
+    split within a file (each file is one task's input) — shard BEFORE
+    landing multiline CSV at scale, or land JSONL instead; this op
+    documents the constraint the option hides."""
+    base = scratch_dir("csv_multiline")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    with open(os.path.join(base, "docs.csv"), "w") as f:
+        f.write('id,body\n')
+        f.write('1,"first line\nsecond, with comma\nthird ""quoted"" word"\n')
+        f.write('2,"alpha\nbeta"\n')
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("body", StringType())]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(base)
+    )
+    per_doc = parsed.select(
+        "id", (F.size(F.split("body", "\n"))).alias("n_lines")
+    )
+    return per_doc.agg(
+        F.count_distinct("id").cast("int").alias("doc_id_mod"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.when(F.col("id") == 1, F.col("n_lines"))).cast("int").alias("lines_doc1"),
+        F.max(F.when(F.col("id") == 2, F.col("n_lines"))).cast("int").alias("lines_doc2"),
+    )
