@@ -1442,3 +1442,54 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells JOIN rt ON cells.r = rt.r JOIN ct ON cells.c = ct.c CROSS JOIN n
         """,
     )
+
+
+@register(
+    "agg_hash_sample_error_audit",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 1 ELSE 0 END AS in_sample
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_exact,
+           CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+           round(sum(value), 2) AS sum_exact,
+           round(sum(CASE WHEN in_sample = 1 THEN value ELSE 0 END) * 256.0 / 26,
+                 2) AS sum_estimated,
+           round(abs(sum(CASE WHEN in_sample = 1 THEN value ELSE 0 END) * 256.0 / 26
+                     - sum(value)) / sum(value), 6) AS rel_error
+    FROM tagged GROUP BY event_type
+    """,
+)
+def agg_hash_sample_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5 bucket < 26/256) with the
+    Horvitz–Thompson scale-up estimate audited against the exact answer
+    per group. The content-stable sample is the production pattern for
+    cheap dashboard estimates over 100 TB — same rows sampled on every
+    run and every cluster, no RNG state — and this op IS the calibration
+    harness: it reports the realized relative error so the sample rate
+    can be sized to the KPI's tolerance. One map-side tag + one
+    conditional aggregate; the exact and estimated sums share a single
+    scan."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tagged AS (
+          SELECT event_type, value,
+                 CASE WHEN substr(md5(CAST(event_id AS STRING)), 1, 2) < '1a'
+                      THEN 1 ELSE 0 END AS in_sample
+          FROM events)
+        SELECT event_type,
+               count(*) AS n_exact,
+               CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+               round(sum(value), 2) AS sum_exact,
+               round(sum(CASE WHEN in_sample = 1 THEN value ELSE 0 END) * 256.0 / 26,
+                     2) AS sum_estimated,
+               round(abs(sum(CASE WHEN in_sample = 1 THEN value ELSE 0 END) * 256.0 / 26
+                         - sum(value)) / sum(value), 6) AS rel_error
+        FROM tagged GROUP BY event_type
+        """,
+    )

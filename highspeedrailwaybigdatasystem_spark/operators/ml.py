@@ -362,3 +362,157 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gini ORDER BY weighted_gini ASC, thr ASC LIMIT 1
         """,
     )
+
+
+@register(
+    "ml_binary_metrics",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+             CASE WHEN value < 50 THEN 1 ELSE 0 END AS yhat
+      FROM events),
+    cm AS (
+      SELECT sum(y * yhat) AS tp, sum((1 - y) * yhat) AS fp,
+             sum(y * (1 - yhat)) AS fn2, sum((1 - y) * (1 - yhat)) AS tn
+      FROM scored)
+    SELECT CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+           CAST(fn2 AS BIGINT) AS n_fn, CAST(tn AS BIGINT) AS n_tn,
+           round((tp + tn) / CAST(tp + fp + fn2 + tn AS DOUBLE), 6) AS accuracy,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS prec,
+           round(tp / CAST(tp + fn2 AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(2 * tp + fp + fn2 AS DOUBLE), 6) AS f1
+    FROM cm
+    """,
+)
+def ml_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation in one pass: confusion counts plus
+    accuracy / precision / recall / F1 for a rule classifier (the
+    decision-stump threshold from ml_decision_stump's family). All four
+    cells come from ONE conditional aggregate over the scored stream —
+    no per-class scans — and the metrics are IEEE-exact ratios of those
+    integers. The evaluation scan is embarrassingly parallel; at 100 TB
+    this costs one map-side pass regardless of class balance."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH scored AS (
+          SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+                 CASE WHEN value < 50 THEN 1 ELSE 0 END AS yhat
+          FROM events),
+        cm AS (
+          SELECT sum(y * yhat) AS tp, sum((1 - y) * yhat) AS fp,
+                 sum(y * (1 - yhat)) AS fn2, sum((1 - y) * (1 - yhat)) AS tn
+          FROM scored)
+        SELECT CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+               CAST(fn2 AS BIGINT) AS n_fn, CAST(tn AS BIGINT) AS n_tn,
+               round((tp + tn) / CAST(tp + fp + fn2 + tn AS DOUBLE), 6) AS accuracy,
+               round(tp / CAST(tp + fp AS DOUBLE), 6) AS prec,
+               round(tp / CAST(tp + fn2 AS DOUBLE), 6) AS recall,
+               round(2.0 * tp / CAST(2 * tp + fp + fn2 AS DOUBLE), 6) AS f1
+        FROM cm
+        """,
+    )
+
+
+@register(
+    "ml_roc_auc",
+    oracle="""
+    WITH lab AS (
+      SELECT round(value, 2) AS v,
+             CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
+      FROM events),
+    lev AS (
+      SELECT v, sum(y) AS p, count(*) - sum(y) AS n FROM lab GROUP BY v),
+    ord2 AS (
+      SELECT v, p, n,
+             sum(n) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS n_below
+      FROM lev),
+    tot AS (SELECT sum(p) AS tp, sum(n) AS tn FROM lev)
+    SELECT CAST(tot.tp AS BIGINT) AS n_pos, CAST(tot.tn AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_score_levels,
+           round(sum(p * (n_below + 0.5 * n)) / (CAST(tot.tp AS DOUBLE) * tot.tn), 6)
+             AS auc
+    FROM ord2 CROSS JOIN tot
+    GROUP BY tot.tp, tot.tn
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank formulation with proper
+    tie handling: AUC = Σ_levels pos(v)·(neg_below(v) + ½·neg_at(v)) /
+    (P·N). The trick that makes this scale: scores collapse to DISTINCT
+    LEVELS first (≤49 001 two-decimal levels here — bounded by score
+    precision, NOT event volume), so the cumulative window runs over the
+    level grain; a naive per-row rank would global-sort the corpus. The
+    level window is the one unpartitioned window (bounded-grain
+    allowlisted); everything upstream is one hash aggregate. All terms
+    are exact integers until the final division."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH lab AS (
+          SELECT round(value, 2) AS v,
+                 CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
+          FROM events),
+        lev AS (
+          SELECT v, sum(y) AS p, count(*) - sum(y) AS n FROM lab GROUP BY v),
+        ord2 AS (
+          SELECT v, p, n,
+                 sum(n) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS n_below
+          FROM lev),
+        tot AS (SELECT sum(p) AS tp, sum(n) AS tn FROM lev)
+        SELECT CAST(tot.tp AS BIGINT) AS n_pos, CAST(tot.tn AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_score_levels,
+               round(sum(p * (n_below + 0.5 * n)) / (CAST(tot.tp AS DOUBLE) * tot.tn), 6)
+                 AS auc
+        FROM ord2 CROSS JOIN tot
+        GROUP BY tot.tp, tot.tn
+        """,
+    )
+
+
+@register(
+    "ml_feature_scaling",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - s.mu) / s.sd, 6) AS z_score,
+           round((e.value - s.mn) / (s.mx - s.mn), 6) AS min_max
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.event_id < 20
+    """,
+)
+def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (the train-time preprocessing
+    primitive): z-score and min-max scaling with statistics computed PER
+    GROUP and broadcast back — one bounded stats aggregate + a map-side
+    second pass, the exact shape MLlib's StandardScaler/MinMaxScaler fit/
+    transform splits into. Emitting scaled rows (not just stats) is the
+    point: this is the stage whose OUTPUT feeds a trainer, so the
+    round-trip must be row-level. At 100 TB the stats table is |groups|
+    rows and the transform never shuffles."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+                 min(value) AS mn, max(value) AS mx
+          FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round((e.value - s.mu) / s.sd, 6) AS z_score,
+               round((e.value - s.mn) / (s.mx - s.mn), 6) AS min_max
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.event_id < 20
+        """,
+    )

@@ -1223,3 +1223,59 @@ def ts_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM paired GROUP BY event_type
         """,
     )
+
+
+@register(
+    "ts_velocity_acceleration",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    vel AS (
+      SELECT event_type, d, cents,
+             cents - lag(cents) OVER w AS v1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    acc AS (
+      SELECT event_type, d, v1,
+             v1 - lag(v1) OVER (PARTITION BY event_type ORDER BY d) AS v2
+      FROM vel)
+    SELECT event_type,
+           round(CAST(max(abs(v1)) AS DOUBLE) / 100, 2) AS max_abs_velocity,
+           round(CAST(max(abs(v2)) AS DOUBLE) / 100, 2) AS max_abs_acceleration,
+           round(CAST(avg(v1) AS DOUBLE) / 100, 4) AS avg_velocity,
+           CAST(count(v2) AS BIGINT) AS n_accel_points
+    FROM acc GROUP BY event_type
+    """,
+)
+def ts_velocity_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and second discrete derivatives of each daily series
+    (velocity = day-over-day delta, acceleration = delta of deltas) —
+    the trend-change screen that catches "growth is slowing" before the
+    level chart shows it. Chained lag() windows over the integer-cents
+    DAILY rollup: exact int64 arithmetic, one series-key shuffle, window
+    input bounded at |series × days| rows regardless of event volume."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        vel AS (
+          SELECT event_type, d, cents,
+                 cents - lag(cents) OVER w AS v1
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        acc AS (
+          SELECT event_type, d, v1,
+                 v1 - lag(v1) OVER (PARTITION BY event_type ORDER BY d) AS v2
+          FROM vel)
+        SELECT event_type,
+               round(CAST(max(abs(v1)) AS DOUBLE) / 100, 2) AS max_abs_velocity,
+               round(CAST(max(abs(v2)) AS DOUBLE) / 100, 2) AS max_abs_acceleration,
+               round(CAST(avg(v1) AS DOUBLE) / 100, 4) AS avg_velocity,
+               CAST(count(v2) AS BIGINT) AS n_accel_points
+        FROM acc GROUP BY event_type
+        """,
+    )

@@ -168,6 +168,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_mmr_diverse_topk",    # 1-row probe-vector broadcast (top-20 scan)
         "agg_benford_deviation",   # 1-row digit-total broadcast
         "agg_chi_square_independence",  # 1-row grand-total broadcast
+        "ml_roc_auc",              # 1-row P/N-totals broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -180,6 +181,8 @@ def test_full_surface_plan_hygiene(spark):
         # win_pareto_abc / agg_gini_concentration left this list in round 4:
         # both now reconstruct exact global ranks/prefix sums via the
         # _range_prefix offsets pattern (windows partitioned by _pid only).
+        "ml_roc_auc",        # over DISTINCT SCORE LEVELS — ≤49k rows by
+                             # construction (two-decimal score domain)
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
