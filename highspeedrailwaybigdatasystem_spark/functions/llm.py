@@ -3407,3 +3407,116 @@ def llm_dataset_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docstats d JOIN ent2 e ON d.source = e.source
         """,
     )
+
+
+@register(
+    "llm_hard_negative_mining",
+    oracle=f"""
+    WITH probe AS (
+      SELECT embedding AS p, label AS plabel FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round({_DOT_ORACLE.format(a='embedding', b='p')}, 6) AS sim
+    FROM embeddings, probe
+    WHERE vec_id <> 0 AND label <> plabel
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: the
+    corpus items MOST similar to the anchor that carry a DIFFERENT label
+    — the negatives that actually move a contrastive loss, versus easy
+    random negatives (the in-batch-negatives vs hard-negatives
+    distinction in dense-retrieval training, e.g. DPR/ANCE, public).
+    Plan: broadcast anchor + label, one filtered scan, TakeOrdered
+    merge — identical cost to llm_sim_topk; at 100 TB the scan swaps for
+    the ANN index probe with a post-filter on label."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH probe AS (
+          SELECT embedding AS p, label AS plabel FROM embeddings WHERE vec_id = 0)
+        SELECT /*+ BROADCAST(probe) */ vec_id, label,
+               round(aggregate(
+                       zip_with(embedding, p,
+                                (x, y) -> cast(x AS double) * cast(y AS double)),
+                       cast(0.0 AS double), (acc, v) -> acc + v), 6) AS sim
+        FROM embeddings CROSS JOIN probe
+        WHERE vec_id <> 0 AND label <> plabel
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+        """,
+    )
+
+
+@register(
+    "llm_rag_context_pack",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    top20 AS (
+      SELECT e.vec_id,
+             round({_DOT_ORACLE.format(a='e.embedding', b='p')}, 6) AS sim
+      FROM embeddings e, probe WHERE e.vec_id <> 0
+      ORDER BY sim DESC, e.vec_id LIMIT 20),
+    ranked AS (
+      SELECT vec_id, sim,
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+      FROM top20),
+    sized AS (
+      SELECT r.rnk, r.vec_id, r.sim,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM ranked r JOIN documents d ON d.doc_id = r.vec_id % 500),
+    packed AS (
+      SELECT rnk, vec_id, sim, n_tok,
+             sum(n_tok) OVER (ORDER BY rnk
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+      FROM sized)
+    SELECT CAST(rnk AS INT) AS rnk, vec_id, sim, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM packed WHERE cum_tok <= 600
+    """,
+)
+def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context-window packing: retrieve the probe's top-20 by cosine,
+    join each hit to its document's token count, and greedily admit hits
+    in relevance order until the context budget (600 tokens) is full —
+    the retrieve→budget→pack step every RAG serving stack runs between
+    ANN and the model call. The greedy prefix is a running-sum window
+    over the RANKED TOP-20 only (bounded grain, not corpus), so the
+    packing itself is O(k); the retrieval scan is llm_sim_topk's
+    broadcast-probe plan. Deterministic: round-6 sims, vec_id
+    tiebreaks, exact integer token counts."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        top20 AS (
+          SELECT /*+ BROADCAST(probe) */ e.vec_id,
+                 round(aggregate(
+                         zip_with(e.embedding, p,
+                                  (x, y) -> cast(x AS double) * cast(y AS double)),
+                         cast(0.0 AS double), (acc, v) -> acc + v), 6) AS sim
+          FROM embeddings e CROSS JOIN probe WHERE e.vec_id <> 0
+          ORDER BY sim DESC, e.vec_id LIMIT 20),
+        ranked AS (
+          SELECT vec_id, sim,
+                 row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+          FROM top20),
+        sized AS (
+          SELECT r.rnk, r.vec_id, r.sim,
+                 size(split(d.text, ' ')) AS n_tok
+          FROM ranked r JOIN documents d ON d.doc_id = r.vec_id % 500),
+        packed AS (
+          SELECT rnk, vec_id, sim, n_tok,
+                 sum(n_tok) OVER (ORDER BY rnk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM sized)
+        SELECT CAST(rnk AS INT) AS rnk, vec_id, sim, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM packed WHERE cum_tok <= 600
+        """,
+    )

@@ -169,6 +169,8 @@ def test_full_surface_plan_hygiene(spark):
         "agg_benford_deviation",   # 1-row digit-total broadcast
         "agg_chi_square_independence",  # 1-row grand-total broadcast
         "ml_roc_auc",              # 1-row P/N-totals broadcast
+        "llm_hard_negative_mining",  # 1-row anchor broadcast (top-k scan)
+        "llm_rag_context_pack",    # 1-row probe broadcast (top-20 scan)
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -183,6 +185,7 @@ def test_full_surface_plan_hygiene(spark):
         # _range_prefix offsets pattern (windows partitioned by _pid only).
         "ml_roc_auc",        # over DISTINCT SCORE LEVELS — ≤49k rows by
                              # construction (two-decimal score domain)
+        "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
