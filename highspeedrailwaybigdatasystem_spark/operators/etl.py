@@ -1068,3 +1068,55 @@ def etl_data_vault_hashkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sat
         """,
     )
+
+
+@register(
+    "etl_scd3_prev_value",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS val, o_orderdate AS ts,
+             o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT c.custkey,
+           max(CASE WHEN rn = 1 THEN val END) AS current_value,
+           max(CASE WHEN rn = 2 THEN val END) AS previous_value,
+           CAST(max(CASE WHEN rn = 1 THEN ts END) AS VARCHAR) AS changed_at,
+           count(*) AS n_versions
+    FROM changes c
+    GROUP BY c.custkey
+    HAVING count(*) >= 2
+    ORDER BY c.custkey LIMIT 50
+    """,
+)
+def etl_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing dimension TYPE 3 — current + previous value as
+    COLUMNS (one row per entity), completing the SCD family next to
+    etl_scd1_upsert (overwrite) and etl_scd2_history (row-versioned):
+    type 3 is the right shape when downstream only ever asks "what was
+    it before the last change" and row explosion is unacceptable. One
+    window pass ranks versions per key; the top-2 pivot to columns in
+    the same aggregation — no self-join, no second scan. Partitioned by
+    the entity key, so it shards cleanly at any cardinality."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH changes AS (
+          SELECT o_custkey AS custkey, o_orderpriority AS val, o_orderdate AS ts,
+                 o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+        SELECT c.custkey,
+               max(CASE WHEN rn = 1 THEN val END) AS current_value,
+               max(CASE WHEN rn = 2 THEN val END) AS previous_value,
+               CAST(max(CASE WHEN rn = 1 THEN ts END) AS STRING) AS changed_at,
+               count(*) AS n_versions
+        FROM changes c
+        GROUP BY c.custkey
+        HAVING count(*) >= 2
+        ORDER BY c.custkey LIMIT 50
+        """,
+    )

@@ -1279,3 +1279,72 @@ def ts_velocity_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM acc GROUP BY event_type
         """,
     )
+
+
+@register(
+    "ts_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 'post'
+                  ELSE 'pre' END AS period,
+             avg(value) AS mean_v, count(*) AS n
+      FROM events
+      GROUP BY 1, 2)
+    SELECT max(CASE WHEN grp = 'treat' AND period = 'pre' THEN round(mean_v, 6) END)
+             AS treat_pre,
+           max(CASE WHEN grp = 'treat' AND period = 'post' THEN round(mean_v, 6) END)
+             AS treat_post,
+           max(CASE WHEN grp = 'control' AND period = 'pre' THEN round(mean_v, 6) END)
+             AS control_pre,
+           max(CASE WHEN grp = 'control' AND period = 'post' THEN round(mean_v, 6) END)
+             AS control_post,
+           round(
+             (max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_v END)
+              - max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_v END))
+             - (max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_v END)
+                - max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_v END)),
+             6) AS did_estimate,
+           CAST(sum(n) AS BIGINT) AS n_obs
+    FROM cells
+    """,
+)
+def ts_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimation — the 2×2 causal-inference
+    workhorse: (treat_post − treat_pre) − (control_post − control_pre)
+    removes both the group-level baseline and the common time shock,
+    leaving the treatment effect under parallel trends. Cohorts are a
+    deterministic key split (user parity) and the intervention date
+    splits the corpus midway; the whole estimator is one 4-cell
+    conditional aggregate pivoted in a second 1-row pass — at 100 TB a
+    DiD costs exactly one map-side scan, which is why it is the default
+    experiment readout at scale."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH cells AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+                 CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 'post'
+                      ELSE 'pre' END AS period,
+                 avg(value) AS mean_v, count(*) AS n
+          FROM events
+          GROUP BY 1, 2)
+        SELECT max(CASE WHEN grp = 'treat' AND period = 'pre' THEN round(mean_v, 6) END)
+                 AS treat_pre,
+               max(CASE WHEN grp = 'treat' AND period = 'post' THEN round(mean_v, 6) END)
+                 AS treat_post,
+               max(CASE WHEN grp = 'control' AND period = 'pre' THEN round(mean_v, 6) END)
+                 AS control_pre,
+               max(CASE WHEN grp = 'control' AND period = 'post' THEN round(mean_v, 6) END)
+                 AS control_post,
+               round(
+                 (max(CASE WHEN grp = 'treat' AND period = 'post' THEN mean_v END)
+                  - max(CASE WHEN grp = 'treat' AND period = 'pre' THEN mean_v END))
+                 - (max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_v END)
+                    - max(CASE WHEN grp = 'control' AND period = 'pre' THEN mean_v END)),
+                 6) AS did_estimate,
+               CAST(sum(n) AS BIGINT) AS n_obs
+        FROM cells
+        """,
+    )

@@ -768,3 +768,58 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dd GROUP BY event_type
         """,
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2)
+               AS clicks,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+               AS purchases
+      FROM events GROUP BY CAST(ts AS DATE)),
+    rolled AS (
+      SELECT d, clicks, purchases,
+             round(corr(clicks, purchases) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS corr_7d,
+             count(*) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+      FROM daily)
+    SELECT CAST(d AS VARCHAR) AS d, clicks, purchases, corr_7d
+    FROM rolled WHERE n_win = 7
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between two co-movement series (click vs
+    purchase daily volume) — the co-integration drift monitor: a stable
+    pair decorrelating is an earlier alarm than either series alone.
+    corr() as a WINDOW aggregate over the daily rollup; the window input
+    is |days| rows (bounded grain — the one legal unpartitioned-window
+    class), warm-up rows dropped by the frame-count guard so every
+    emitted value is a full 7-day window."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2)
+                   AS clicks,
+                 round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+                   AS purchases
+          FROM events GROUP BY CAST(ts AS DATE)),
+        rolled AS (
+          SELECT d, clicks, purchases,
+                 round(corr(clicks, purchases) OVER (
+                   ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS corr_7d,
+                 count(*) OVER (
+                   ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+          FROM daily)
+        SELECT CAST(d AS STRING) AS d, clicks, purchases, corr_7d
+        FROM rolled WHERE n_win = 7
+        """,
+    )

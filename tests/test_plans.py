@@ -186,6 +186,7 @@ def test_full_surface_plan_hygiene(spark):
         "ml_roc_auc",        # over DISTINCT SCORE LEVELS — ≤49k rows by
                              # construction (two-decimal score domain)
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
+        "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
