@@ -88,13 +88,15 @@ def _ensure_loaded() -> None:
 #: registry are ignored.
 #:
 #: ROUND-5 ROTATION PLAN (execute at round-5 start; the never-gated pool
-#: after r4 is 226 oracle-backed names): replace this tuple with 50 from,
-#: in order, (1) the full tpch_q01–q22 block (22 — incl. the 9 new r4
-#: adaptations), (2) the etl block (scd1/scd2/cdc/time-travel/zorder/
-#: compaction/dq/gdpr/watermark-ingest…, ~14), (3) sources/formats
-#: (csv/json/orc/text/binary/bucketed/codecs/custom source+sink, ~12),
-#: (4) top up from the oldest llm_* names. Rounds 6–8 then cover the llm,
-#: udf and remaining scan/filter/agg blocks; keep rows-only names out of
+#: after the full r4 session is ~276 oracle-backed names — the surface
+#: grew 241 → 326 this round): replace this tuple with 50 from, in
+#: order, (1) the full tpch_q01–q22 block (22 — incl. the 9 r4
+#: adaptations), (2) the etl block (scd1/scd2/scd3/cdc/time-travel/
+#: zorder/compaction/dq/gdpr/watermark-ingest/fk-orphan/checksum/
+#: data-vault…, ~18), (3) sources/formats (csv/json/orc/text/binary/
+#: bucketed/codecs/glob/multiline/custom source+sink, ~14). Rounds 6–9
+#: then cover the llm, ml, udf and remaining scan/filter/agg/ts blocks
+#: (including every op added late in r4); keep rows-only names out of
 #: the window (they can never hash-green).
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # round 4: never driver-gated before (mirror-green in round 3's sweep)
