@@ -3520,3 +3520,147 @@ def llm_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM packed WHERE cum_tok <= 600
         """,
     )
+
+
+def _lc_oracle() -> str:
+    """Learning-curve oracle: the naive-Bayes fixed-point pipeline of
+    ml_naive_bayes_langid replayed at four md5-prefix train fractions
+    against one fixed held-out eval slice."""
+    return """
+    WITH tok AS (
+      SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b2,
+             t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''),
+    cuts AS (SELECT unnest(['33', '66', '99', 'cc']) AS cut),
+    cnt AS (
+      SELECT c.cut, t.lang, t.token, count(*) AS c FROM tok t
+      JOIN cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang, t.token),
+    tot AS (
+      SELECT c.cut, t.lang, count(*) AS tt FROM tok t
+      JOIN cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang),
+    vocab AS (
+      SELECT c.cut, count(DISTINCT t.token) AS v FROM tok t
+      JOIN cuts c ON t.b2 < c.cut GROUP BY c.cut),
+    prior AS (
+      SELECT c.cut, t.lang, count(DISTINCT t.doc_id) AS d FROM tok t
+      JOIN cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang),
+    dtot AS (SELECT cut, sum(d) AS dt FROM prior GROUP BY cut),
+    evaltok AS (
+      SELECT doc_id, lang AS actual_lang, token FROM tok WHERE b2 >= 'e6'),
+    scored AS (
+      SELECT t.cut, e.doc_id, e.actual_lang, t.lang AS cand_lang,
+             sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v)) * 1000000)
+                      AS BIGINT)) AS ll
+      FROM evaltok e
+      JOIN tot t ON true
+      JOIN vocab v ON v.cut = t.cut
+      LEFT JOIN cnt c ON c.cut = t.cut AND c.lang = t.lang AND c.token = e.token
+      GROUP BY t.cut, e.doc_id, e.actual_lang, t.lang),
+    final AS (
+      SELECT s.cut, s.doc_id, s.actual_lang, s.cand_lang,
+             s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * 1000000) AS BIGINT)
+               AS score
+      FROM scored s
+      JOIN prior p ON p.cut = s.cut AND p.lang = s.cand_lang
+      JOIN dtot dt ON dt.cut = s.cut),
+    pred AS (
+      SELECT cut, doc_id, actual_lang, cand_lang AS pred_lang,
+             row_number() OVER (PARTITION BY cut, doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM final)
+    SELECT p2.cut, CAST(max(dt2.dt) AS BIGINT) AS train_docs,
+           count(*) AS eval_docs,
+           round(avg(CASE WHEN p2.pred_lang = p2.actual_lang
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM pred p2 JOIN dtot dt2 ON dt2.cut = p2.cut
+    WHERE p2.rn = 1
+    GROUP BY p2.cut
+    """
+
+
+@register("llm_data_scaling_curve", oracle=_lc_oracle())
+def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling learning curve: the integer-quantized naive-Bayes
+    language-ID model (ml_naive_bayes_langid's fixed-point trick) trained
+    at FOUR nested md5-prefix fractions of the corpus (~20/40/60/80%) and
+    scored on one fixed held-out slice — accuracy-vs-data is the
+    empirical scaling curve that decides whether the next 10 TB of
+    curation is worth buying (the neural-scaling-laws measurement
+    protocol applied to a cheap proxy model). Nested content-stable
+    subsets mean every curve point trains on a superset of the previous
+    one, exactly like production data-ablation studies. Plan: ONE cached
+    tokenization feeds all four models; the 4-row cut table and the
+    (cut × lang) model tables ride broadcast theta/true joins
+    (allowlisted); everything else is the NB plan keyed by (cut, doc).
+    Chained temp views (not CTEs) keep the cached token stage
+    substitutable."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    tok = spark.sql(
+        """
+        SELECT doc_id, lang, substr(md5(CAST(doc_id AS STRING)), 1, 2) AS b2,
+               token
+        FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
+        WHERE token <> ''
+        """
+    ).cache()
+    tok.createOrReplaceTempView("__lc_tok")
+    spark.sql(
+        "SELECT explode(array('33', '66', '99', 'cc')) AS cut"
+    ).createOrReplaceTempView("__lc_cuts")
+    views = {
+        "__lc_cnt": """
+            SELECT c.cut, t.lang, t.token, count(*) AS c FROM __lc_tok t
+            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang, t.token""",
+        "__lc_tot": """
+            SELECT c.cut, t.lang, count(*) AS tt FROM __lc_tok t
+            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang""",
+        "__lc_vocab": """
+            SELECT c.cut, count(DISTINCT t.token) AS v FROM __lc_tok t
+            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut""",
+        "__lc_prior": """
+            SELECT c.cut, t.lang, count(DISTINCT t.doc_id) AS d FROM __lc_tok t
+            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang""",
+    }
+    for name, sql in views.items():
+        spark.sql(sql).createOrReplaceTempView(name)
+    spark.sql(
+        "SELECT cut, sum(d) AS dt FROM __lc_prior GROUP BY cut"
+    ).createOrReplaceTempView("__lc_dtot")
+    spark.sql(
+        "SELECT doc_id, lang AS actual_lang, token FROM __lc_tok WHERE b2 >= 'e6'"
+    ).createOrReplaceTempView("__lc_eval")
+    return spark.sql(
+        """
+        SELECT p2.cut, CAST(max(dt2.dt) AS BIGINT) AS train_docs,
+               count(*) AS eval_docs,
+               round(avg(CASE WHEN p2.pred_lang = p2.actual_lang
+                              THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END), 6) AS accuracy
+        FROM (
+          SELECT cut, doc_id, actual_lang, cand_lang AS pred_lang,
+                 row_number() OVER (PARTITION BY cut, doc_id
+                                    ORDER BY score DESC, cand_lang) AS rn
+          FROM (
+            SELECT s.cut, s.doc_id, s.actual_lang, s.cand_lang,
+                   s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * 1000000)
+                               AS BIGINT) AS score
+            FROM (
+              SELECT t.cut, e.doc_id, e.actual_lang, t.lang AS cand_lang,
+                     sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v))
+                                    * 1000000) AS BIGINT)) AS ll
+              FROM __lc_eval e
+              JOIN __lc_tot t ON true
+              JOIN __lc_vocab v ON v.cut = t.cut
+              LEFT JOIN __lc_cnt c ON c.cut = t.cut AND c.lang = t.lang
+                                   AND c.token = e.token
+              GROUP BY t.cut, e.doc_id, e.actual_lang, t.lang) s
+            JOIN __lc_prior p ON p.cut = s.cut AND p.lang = s.cand_lang
+            JOIN __lc_dtot dt ON dt.cut = s.cut) f) p2
+        JOIN __lc_dtot dt2 ON dt2.cut = p2.cut
+        WHERE p2.rn = 1
+        GROUP BY p2.cut
+        """
+    )

@@ -1493,3 +1493,62 @@ def agg_hash_sample_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tagged GROUP BY event_type
         """,
     )
+
+
+@register(
+    "agg_welch_t_test",
+    oracle="""
+    WITH grp AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS g,
+             count(*) AS n, avg(value) AS mu, var_samp(value) AS s2
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT max(CASE WHEN g = 'treat' THEN n END) AS n1,
+             max(CASE WHEN g = 'treat' THEN mu END) AS mu1,
+             max(CASE WHEN g = 'treat' THEN s2 END) AS s21,
+             max(CASE WHEN g = 'control' THEN n END) AS n2,
+             max(CASE WHEN g = 'control' THEN mu END) AS mu2,
+             max(CASE WHEN g = 'control' THEN s2 END) AS s22
+      FROM grp)
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_control,
+           round(mu1 - mu2, 6) AS mean_diff,
+           round((mu1 - mu2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_stat,
+           round(power(s21 / n1 + s22 / n2, 2)
+                 / (power(s21 / n1, 2) / (n1 - 1)
+                    + power(s22 / n2, 2) / (n2 - 1)), 2) AS welch_dof
+    FROM w
+    """,
+)
+def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances): t statistic and the
+    Welch–Satterthwaite effective degrees of freedom between the parity
+    cohorts — the significance readout that pairs with ts_diff_in_diff's
+    point estimate. Inputs are the two groups' (n, mean, sample variance)
+    from ONE conditional aggregate pass; the statistic is closed-form
+    arithmetic on those six numbers, so the full test costs a single
+    map-side scan at any scale."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH grp AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS g,
+                 count(*) AS n, avg(value) AS mu, var_samp(value) AS s2
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT max(CASE WHEN g = 'treat' THEN n END) AS n1,
+                 max(CASE WHEN g = 'treat' THEN mu END) AS mu1,
+                 max(CASE WHEN g = 'treat' THEN s2 END) AS s21,
+                 max(CASE WHEN g = 'control' THEN n END) AS n2,
+                 max(CASE WHEN g = 'control' THEN mu END) AS mu2,
+                 max(CASE WHEN g = 'control' THEN s2 END) AS s22
+          FROM grp)
+        SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_control,
+               round(mu1 - mu2, 6) AS mean_diff,
+               round((mu1 - mu2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_stat,
+               round(power(s21 / n1 + s22 / n2, 2)
+                     / (power(s21 / n1, 2) / (n1 - 1)
+                        + power(s22 / n2, 2) / (n2 - 1)), 2) AS welch_dof
+        FROM w
+        """,
+    )
