@@ -3664,3 +3664,61 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p2.cut
         """
     )
+
+
+@register(
+    "mm_modality_router",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'image/jpeg'
+                             ELSE 'audio/wav' END AS modality
+      FROM documents)
+    SELECT modality, count(*) AS n_items,
+           CAST(sum(n_chars + 8) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM tagged GROUP BY modality
+    """,
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion routing by MAGIC BYTES: each row's binary
+    payload is sniffed from its real leading bytes (PNG \\x89PNG,
+    JPEG \\xff\\xd8\\xff, WAV RIFF — the actual signatures, not metadata
+    trust) and routed to its modality pipeline. Payload construction is
+    the deterministic stand-in (an 8-byte real magic header + utf-8
+    bytes, modality assigned by doc_id%3 so the oracle is exact); the
+    SNIFF itself is the real production logic — a map-side binary
+    substring comparison that never trusts file extensions. At 100 TB
+    this is the demux stage in front of per-modality decoders
+    (mm_decode_stub / mm_audio_chunk_stub), one pass, no shuffle before
+    the per-modality aggregate."""
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46])))
+        .otherwise(F.lit(b"RIFF\x00\x00\x00\x00"))
+    )
+    payloads = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(magic, F.encode("text", "utf-8")).alias("payload"),
+    )
+    sniffed = payloads.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.when(
+            F.substring("payload", 1, 4) == F.lit(bytes([0x89, 0x50, 0x4E, 0x47])),
+            "image/png",
+        )
+        .when(
+            F.substring("payload", 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF])),
+            "image/jpeg",
+        )
+        .when(F.substring("payload", 1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .otherwise("unknown")
+        .alias("modality"),
+    )
+    return sniffed.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )
