@@ -436,3 +436,57 @@ def test_theil_sen_is_outlier_robust(spark):
         (d - mx) ** 2 for d, _ in pts
     )
     assert abs(ols - 2.0) > 1.0
+
+
+def test_auc_properties_on_synthetic_frames(spark):
+    """ml_roc_auc's level-grain formula, checked on synthetic frames via
+    the same SQL shape: a perfect separator scores exactly 1.0, a
+    constant scorer exactly 0.5 (all mass in the tie term), and AUC is
+    invariant under a strictly monotone transform of the scores."""
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "v double, y int")
+        df.createOrReplaceTempView("__auc_probe")
+        out = spark.sql(
+            """
+            WITH lev AS (
+              SELECT v, sum(y) AS p, count(*) - sum(y) AS n
+              FROM __auc_probe GROUP BY v),
+            ord2 AS (
+              SELECT v, p, n,
+                     sum(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                       AS n_below
+              FROM lev),
+            tot AS (SELECT sum(p) AS tp, sum(n) AS tn FROM lev)
+            SELECT round(sum(p * (n_below + 0.5 * n))
+                         / (CAST(tot.tp AS DOUBLE) * tot.tn), 6) AS auc
+            FROM ord2 CROSS JOIN tot GROUP BY tot.tp, tot.tn
+            """
+        ).collect()
+        return out[0]["auc"]
+
+    base = [(float(i), 1 if i >= 10 else 0) for i in range(20)]
+    assert auc_of(base) == 1.0                       # perfect separator
+    assert auc_of([(1.0, r[1]) for r in base]) == 0.5  # constant scores
+    transformed = [(r[0] ** 3 + 7.0, r[1]) for r in base]
+    assert auc_of(transformed) == auc_of(base)       # monotone invariance
+    mixed = [(float(i % 7), 1 if (i * 13) % 3 == 0 else 0) for i in range(40)]
+    assert auc_of(mixed) == auc_of([(r[0] * 2 + 1, r[1]) for r in mixed])
+
+
+def test_learning_curve_train_sets_are_nested(spark):
+    """llm_data_scaling_curve: the four md5-prefix train sets are nested
+    (each cut's doc set contains the previous), the eval slice is
+    disjoint from every train set, and train_docs increases with cut."""
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        llm_data_scaling_curve,
+    )
+
+    rows = {r["cut"]: r for r in llm_data_scaling_curve(spark, SF_ORACLE).collect()}
+    assert list(sorted(rows)) == ["33", "66", "99", "cc"]
+    sizes = [rows[c]["train_docs"] for c in ["33", "66", "99", "cc"]]
+    assert sizes == sorted(sizes) and sizes[0] > 0
+    evals = {rows[c]["eval_docs"] for c in rows}
+    assert len(evals) == 1  # same fixed eval slice for every point
