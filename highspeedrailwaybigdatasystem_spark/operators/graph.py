@@ -479,3 +479,81 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.sum("u").alias("vertex_checksum"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    edges0 AS (
+      SELECT user_id AS src, (user_id * 7 + 13) % (SELECT count(*) FROM users)
+        AS dst FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 11 + 5) % (SELECT count(*) FROM users)
+      FROM users),
+    und AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM edges0 WHERE src <> dst)),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    pairs AS (
+      SELECT d1.d AS du, d2.d AS dv
+      FROM und e JOIN deg d1 ON e.u = d1.u JOIN deg d2 ON e.v = d2.u)
+    SELECT count(*) AS n_edge_endpoints,
+           round(avg(CAST(du AS DOUBLE)), 6) AS avg_degree_at_edge,
+           round(corr(CAST(du AS DOUBLE), CAST(dv AS DOUBLE)), 6)
+             AS assortativity
+    FROM pairs
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over all directed edge instances — positive means
+    hubs link hubs (social-graph shape), negative means hub-and-spoke
+    (infrastructure shape). THE one-number prior for how badly an
+    iterative graph job will skew: disassortative graphs concentrate
+    wedge work on hub partitions (what graph_degree_stats shows in
+    histogram form, collapsed to a correlation). Plan: the same cached
+    deterministic edge list family, two degree joins (degree table
+    broadcasts), one corr aggregate — integer-exact moments, one rounded
+    division at the end."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    # staged cached edge list + CTE-free final query: the WITH-CTE
+    # formulation re-inlined the events-distinct subtree at every
+    # reference (53 accounted shuffles) — see graph_common_neighbors.
+    n_vertices = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+    ).collect()[0]["n"]
+    und = spark.sql(
+        f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        edges0 AS (
+          SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
+          FROM users
+          UNION ALL
+          SELECT user_id, (user_id * 11 + 5) % {n_vertices} FROM users)
+        SELECT DISTINCT u, v FROM (
+          SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+          UNION ALL
+          SELECT dst, src FROM edges0 WHERE src <> dst)
+        """
+    ).cache()
+    und.createOrReplaceTempView("__as_und")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_edge_endpoints,
+               round(avg(CAST(du AS DOUBLE)), 6) AS avg_degree_at_edge,
+               round(corr(CAST(du AS DOUBLE), CAST(dv AS DOUBLE)), 6)
+                 AS assortativity
+        FROM (
+          SELECT d1.d AS du, d2.d AS dv
+          FROM __as_und e
+          JOIN (SELECT u, count(*) AS d FROM __as_und GROUP BY u) d1
+            ON e.u = d1.u
+          JOIN (SELECT u, count(*) AS d FROM __as_und GROUP BY u) d2
+            ON e.v = d2.u) pairs
+        """
+    )

@@ -516,3 +516,74 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.event_id < 20
         """,
     )
+
+
+@register(
+    "ml_silhouette_simplified",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      WHERE vec_id < 16),
+    dots AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_aggregate(list_transform(list_zip(e.embedding, c.cent),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 6)
+               AS d
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, cent_id, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id)
+               AS rn
+      FROM dots),
+    own AS (SELECT vec_id, cent_id, 1 - d AS a FROM ranked WHERE rn = 1),
+    other AS (
+      SELECT vec_id, 1 - max(d) AS b FROM ranked WHERE rn > 1 GROUP BY vec_id),
+    sil AS (
+      SELECT o.vec_id, o.cent_id,
+             round((t.b - o.a) / greatest(o.a, t.b), 6) AS s
+      FROM own o JOIN other t ON o.vec_id = t.vec_id)
+    SELECT cent_id, count(*) AS n_members, round(avg(s), 6) AS avg_silhouette
+    FROM sil GROUP BY cent_id
+    """,
+)
+def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per cluster (the centroid-based variant:
+    a = cosine distance to own centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b)) — the clustering-quality readout
+    that stays LINEAR in corpus size because it replaces full-silhouette's
+    O(N²) pairwise distances with N×k centroid distances; this is the
+    standard large-scale substitution (scikit-learn documents the same
+    trade). Same vec_id<16 deterministic quantizer as llm_ivf_ann /
+    llm_semdedup_centroid, so the three ops audit one shared clustering.
+    Plan: 16-centroid broadcast, map-side dot folds, one vec-keyed window
+    — no pair joins anywhere."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+          WHERE vec_id < 16),
+        dots AS (
+          SELECT /*+ BROADCAST(c) */ e.vec_id, c.cent_id,
+                 round(aggregate(
+                         zip_with(e.embedding, c.cent,
+                                  (x, y) -> cast(x AS double) * cast(y AS double)),
+                         cast(0.0 AS double), (acc, v) -> acc + v), 6) AS d
+          FROM embeddings e CROSS JOIN cents c),
+        ranked AS (
+          SELECT vec_id, cent_id, d,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cent_id)
+                   AS rn
+          FROM dots),
+        own AS (SELECT vec_id, cent_id, 1 - d AS a FROM ranked WHERE rn = 1),
+        other AS (
+          SELECT vec_id, 1 - max(d) AS b FROM ranked WHERE rn > 1 GROUP BY vec_id),
+        sil AS (
+          SELECT o.vec_id, o.cent_id,
+                 round((t.b - o.a) / greatest(o.a, t.b), 6) AS s
+          FROM own o JOIN other t ON o.vec_id = t.vec_id)
+        SELECT cent_id, count(*) AS n_members, round(avg(s), 6) AS avg_silhouette
+        FROM sil GROUP BY cent_id
+        """,
+    )
