@@ -1552,3 +1552,80 @@ def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
         """,
     )
+
+
+#: cumulative Poisson(1) probabilities — the inverse-CDF table both engines
+#: share for deterministic Poisson-bootstrap multiplicities.
+_POIS1 = "WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1 " \
+         "WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3 " \
+         "WHEN u < 0.9963401532 THEN 4 ELSE 5"
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, 31)) AS bi),
+    tagged AS (
+      SELECT e.event_type, e.value, b.bi,
+             CASE {_POIS1} END AS m
+      FROM (SELECT event_type, value,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                         || CAST(b2.bi AS VARCHAR)), 1, 8)) AS BIGINT)
+                     / 4294967296.0 AS u,
+                   b2.bi
+            FROM events, (SELECT unnest(generate_series(0, 31)) AS bi) b2) e
+      JOIN b ON b.bi = e.bi),
+    means AS (
+      SELECT event_type, bi,
+             round(sum(m * value) / sum(m), 4) AS mean_b
+      FROM tagged GROUP BY event_type, bi),
+    base AS (SELECT event_type, round(avg(value), 4) AS mean_full FROM events
+             GROUP BY event_type)
+    SELECT m.event_type, max(b2.mean_full) AS mean_full,
+           round(quantile_disc(m.mean_b, 0.05), 4) AS ci_lo,
+           round(quantile_disc(m.mean_b, 0.95), 4) AS ci_hi,
+           count(*) AS n_resamples
+    FROM means m JOIN base b2 ON m.event_type = b2.event_type
+    GROUP BY m.event_type
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence intervals — the resampling scheme that
+    actually works at 100 TB (classical bootstrap needs n draws WITH
+    replacement per resample = a shuffle per replicate; the Poisson
+    approximation gives every row an independent Poisson(1) multiplicity
+    per replicate, so ALL 32 resamples ride ONE pass over the data).
+    Multiplicities are DETERMINISTIC: a content-stable md5 uniform per
+    (row, replicate) through the shared inverse-CDF table — no RNG state,
+    bit-reproducible across engines and re-runs. The 90% CI is the
+    5th/95th discrete quantile of the 32 replicate means. Plan: 32-row
+    replicate grid broadcast (allowlisted), one conditional aggregate,
+    |groups × 32| tiny rows after the first combine."""
+    return sql_q(
+        spark,
+        sf_dir,
+        f"""
+        WITH tagged AS (
+          SELECT event_type, value, bi,
+                 CASE {_POIS1} END AS m
+          FROM (
+            SELECT event_type, value, b.bi,
+                   CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',
+                             CAST(b.bi AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                     / 4294967296.0 AS u
+            FROM events
+            CROSS JOIN (SELECT explode(sequence(0, 31)) AS bi) b)),
+        means AS (
+          SELECT event_type, bi,
+                 round(sum(m * value) / sum(m), 4) AS mean_b
+          FROM tagged GROUP BY event_type, bi),
+        base AS (SELECT event_type, round(avg(value), 4) AS mean_full FROM events
+                 GROUP BY event_type)
+        SELECT m.event_type, max(b2.mean_full) AS mean_full,
+               round(approx_percentile(m.mean_b, 0.05, 1000000), 4) AS ci_lo,
+               round(approx_percentile(m.mean_b, 0.95, 1000000), 4) AS ci_hi,
+               count(*) AS n_resamples
+        FROM means m JOIN base b2 ON m.event_type = b2.event_type
+        GROUP BY m.event_type
+        """,
+    )

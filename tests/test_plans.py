@@ -173,6 +173,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_rag_context_pack",    # 1-row probe broadcast (top-20 scan)
         "llm_data_scaling_curve",  # 4-row cut grid + (cut x lang) model broadcasts
         "ml_silhouette_simplified",  # 16-row centroid broadcast (IVF pattern)
+        "agg_poisson_bootstrap_ci",  # 32-row replicate-grid broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
