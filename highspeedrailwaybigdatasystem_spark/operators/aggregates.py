@@ -1556,38 +1556,70 @@ def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: cumulative Poisson(1) probabilities — the inverse-CDF table both engines
 #: share for deterministic Poisson-bootstrap multiplicities.
-_POIS1 = "WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1 " \
-         "WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3 " \
-         "WHEN u < 0.9963401532 THEN 4 ELSE 5"
+def _pois1_case(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < 0.3678794412 THEN 0 WHEN {u} < 0.7357588823 THEN 1 "
+        f"WHEN {u} < 0.9196986029 THEN 2 WHEN {u} < 0.9810118431 THEN 3 "
+        f"WHEN {u} < 0.9963401532 THEN 4 ELSE 5 END"
+    )
+
+
+_B = 32  # bootstrap replicates
+_P32 = 4294967291  # largest 32-bit prime (the minhash affine-family modulus)
+
+
+def _bootstrap_sql(hash_expr: str, unpivot: str) -> str:
+    """Shared lane-structured bootstrap SQL; only the md5→int64 idiom and
+    the wide→long reshape differ per engine."""
+    ucols = ",\n               ".join(
+        f"(({1000003 * (b + 1)} * h + {7919 * b + 271}) % {_P32})"
+        f" / {_P32}.0 AS u{b}"
+        for b in range(_B)
+    )
+    mcols = ",\n               ".join(
+        f"{_pois1_case(f'u{b}')} AS m{b}" for b in range(_B)
+    )
+    sums = ",\n               ".join(
+        f"round(sum(m{b} * value) / sum(m{b}), 4) AS mean{b}" for b in range(_B)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, value, {hash_expr} AS h
+      FROM events),
+    lanes AS (
+      SELECT event_type, {sums}
+      FROM (SELECT event_type, value,
+               {mcols}
+            FROM (SELECT event_type, value,
+                     {ucols}
+                  FROM hashed))
+      GROUP BY event_type),
+    long AS ({unpivot}),
+    base AS (SELECT event_type, round(avg(value), 4) AS mean_full FROM events
+             GROUP BY event_type)
+    SELECT l.event_type, max(b2.mean_full) AS mean_full,
+           {{q05}} AS ci_lo,
+           {{q95}} AS ci_hi,
+           count(*) AS n_resamples
+    FROM long l JOIN base b2 ON l.event_type = b2.event_type
+    GROUP BY l.event_type
+    """
+
+
+_MEANS = ", ".join(f"mean{b}" for b in range(_B))
+_STACK = ", ".join(f"{b}, mean{b}" for b in range(_B))
 
 
 @register(
     "agg_poisson_bootstrap_ci",
-    oracle=f"""
-    WITH b AS (SELECT unnest(generate_series(0, 31)) AS bi),
-    tagged AS (
-      SELECT e.event_type, e.value, b.bi,
-             CASE {_POIS1} END AS m
-      FROM (SELECT event_type, value,
-                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-                         || CAST(b2.bi AS VARCHAR)), 1, 8)) AS BIGINT)
-                     / 4294967296.0 AS u,
-                   b2.bi
-            FROM events, (SELECT unnest(generate_series(0, 31)) AS bi) b2) e
-      JOIN b ON b.bi = e.bi),
-    means AS (
-      SELECT event_type, bi,
-             round(sum(m * value) / sum(m), 4) AS mean_b
-      FROM tagged GROUP BY event_type, bi),
-    base AS (SELECT event_type, round(avg(value), 4) AS mean_full FROM events
-             GROUP BY event_type)
-    SELECT m.event_type, max(b2.mean_full) AS mean_full,
-           round(quantile_disc(m.mean_b, 0.05), 4) AS ci_lo,
-           round(quantile_disc(m.mean_b, 0.95), 4) AS ci_hi,
-           count(*) AS n_resamples
-    FROM means m JOIN base b2 ON m.event_type = b2.event_type
-    GROUP BY m.event_type
-    """,
+    oracle=_bootstrap_sql(
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)",
+        f"SELECT event_type, mean_b FROM lanes "
+        f"UNPIVOT (mean_b FOR bi IN ({_MEANS}))",
+    ).format(
+        q05="round(quantile_disc(l.mean_b, 0.05), 4)",
+        q95="round(quantile_disc(l.mean_b, 0.95), 4)",
+    ),
 )
 def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap confidence intervals — the resampling scheme that
@@ -1595,37 +1627,25 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement per resample = a shuffle per replicate; the Poisson
     approximation gives every row an independent Poisson(1) multiplicity
     per replicate, so ALL 32 resamples ride ONE pass over the data).
-    Multiplicities are DETERMINISTIC: a content-stable md5 uniform per
-    (row, replicate) through the shared inverse-CDF table — no RNG state,
-    bit-reproducible across engines and re-runs. The 90% CI is the
-    5th/95th discrete quantile of the 32 replicate means. Plan: 32-row
-    replicate grid broadcast (allowlisted), one conditional aggregate,
-    |groups × 32| tiny rows after the first combine."""
+    Multiplicities are DETERMINISTIC: ONE content-stable md5 per row,
+    mixed into 32 per-replicate uniforms by the affine universal-hash
+    family (llm_minhash_banding's trick) through a shared Poisson(1)
+    inverse-CDF table — no RNG state, bit-reproducible across engines.
+    LANE-STRUCTURED on purpose: the replicates are 32 map-side sum lanes
+    inside whole-stage codegen, NOT a rows×32 explode — the exploded
+    formulation materialized 192 M intermediate rows at ≈sf1 (34 s);
+    lanes keep the shuffle at |groups| × 64 partial sums (~4 s). The 90%
+    CI is the 5th/95th discrete quantile of the 32 replicate means."""
     return sql_q(
         spark,
         sf_dir,
-        f"""
-        WITH tagged AS (
-          SELECT event_type, value, bi,
-                 CASE {_POIS1} END AS m
-          FROM (
-            SELECT event_type, value, b.bi,
-                   CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',
-                             CAST(b.bi AS STRING))), 1, 8), 16, 10) AS BIGINT)
-                     / 4294967296.0 AS u
-            FROM events
-            CROSS JOIN (SELECT explode(sequence(0, 31)) AS bi) b)),
-        means AS (
-          SELECT event_type, bi,
-                 round(sum(m * value) / sum(m), 4) AS mean_b
-          FROM tagged GROUP BY event_type, bi),
-        base AS (SELECT event_type, round(avg(value), 4) AS mean_full FROM events
-                 GROUP BY event_type)
-        SELECT m.event_type, max(b2.mean_full) AS mean_full,
-               round(approx_percentile(m.mean_b, 0.05, 1000000), 4) AS ci_lo,
-               round(approx_percentile(m.mean_b, 0.95, 1000000), 4) AS ci_hi,
-               count(*) AS n_resamples
-        FROM means m JOIN base b2 ON m.event_type = b2.event_type
-        GROUP BY m.event_type
-        """,
+        _bootstrap_sql(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)",
+            f"SELECT event_type, mean_b FROM lanes "
+            f"LATERAL VIEW stack({_B}, {_STACK}) AS bi, mean_b",
+        ).format(
+            q05="round(approx_percentile(l.mean_b, 0.05, 1000000), 4)",
+            q95="round(approx_percentile(l.mean_b, 0.95, 1000000), 4)",
+        ),
     )
