@@ -1348,3 +1348,74 @@ def ts_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells
         """,
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    trended AS (
+      SELECT event_type, d, v,
+             avg(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      FROM daily),
+    detr AS (
+      SELECT event_type, d, v, trend, v - trend AS detrended,
+             (dayofweek(d) + 6) % 7 AS dow
+      FROM trended WHERE nw = 7),
+    seas AS (
+      SELECT event_type, dow, avg(detrended) AS seasonal
+      FROM detr GROUP BY event_type, dow)
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(var_samp(t.v), 2) AS var_total,
+           round(var_samp(t.v - t.trend), 2) AS var_detrended,
+           round(var_samp(t.v - t.trend - s.seasonal), 2) AS var_residual
+    FROM detr t JOIN seas s ON t.event_type = s.event_type AND t.dow = s.dow
+    GROUP BY t.event_type
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (STL-lite): trend = 7-day centered
+    moving average, weekly seasonal = mean detrended value per weekday,
+    residual = the rest — reported as the variance ladder
+    (total → after detrend → after deseasonalize), the one-table answer
+    to "how much of this series is trend, rhythm, and noise". Weekday
+    index is Monday-0 normalized on both engines (the chi-square op's
+    cross-engine fix). Everything runs at the DAILY grain: one rollup
+    shuffle, series-partitioned centered window, |series × 7| seasonal
+    means broadcast back."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        trended AS (
+          SELECT event_type, d, v,
+                 avg(v) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+                 count(*) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+          FROM daily),
+        detr AS (
+          SELECT event_type, d, v, trend, v - trend AS detrended,
+                 (dayofweek(d) + 5) % 7 AS dow
+          FROM trended WHERE nw = 7),
+        seas AS (
+          SELECT event_type, dow, avg(detrended) AS seasonal
+          FROM detr GROUP BY event_type, dow)
+        SELECT t.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(var_samp(t.v), 2) AS var_total,
+               round(var_samp(t.v - t.trend), 2) AS var_detrended,
+               round(var_samp(t.v - t.trend - s.seasonal), 2) AS var_residual
+        FROM detr t JOIN seas s ON t.event_type = s.event_type AND t.dow = s.dow
+        GROUP BY t.event_type
+        """,
+    )
