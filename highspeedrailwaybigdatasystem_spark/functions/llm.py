@@ -3722,3 +3722,69 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "llm_span_corruption_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(generate_series(1, len(tk))) AS pos
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)),
+    masked AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < 0.15 THEN 1 ELSE 0 END AS m
+      FROM tok),
+    spans AS (
+      SELECT doc_id, source, m,
+             CASE WHEN m = 1 AND COALESCE(lag(m) OVER (
+                    PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM masked)
+    SELECT source, count(*) AS total_tokens,
+           CAST(sum(m) AS BIGINT) AS n_masked,
+           round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mask_ratio,
+           CAST(sum(span_start) AS BIGINT) AS n_spans,
+           round(CAST(sum(m) AS DOUBLE) / sum(span_start), 6) AS avg_span_len
+    FROM spans GROUP BY source
+    """,
+)
+def llm_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking statistics (the T5/UL2 pretraining
+    objective's data side): positions are masked by a content-stable md5
+    coin (~15%), adjacent masked positions merge into spans via the
+    gaps-and-islands lag trick, and the audit reports realized mask
+    ratio and mean span length per source — the two knobs span-corruption
+    recipes are tuned by. Deterministic ⇒ the same document always
+    produces the same spans (reproducible training batches). One
+    position explode + one doc-partitioned window + one source
+    aggregate; nothing quadratic, nothing RNG-stateful."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tok AS (
+          SELECT doc_id, source, pos + 1 AS pos, token
+          FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+          LATERAL VIEW posexplode(tk) AS pos, token),
+        masked AS (
+          SELECT doc_id, source, pos,
+                 CASE WHEN CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
+                                CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT)
+                           / 4294967296.0 < 0.15 THEN 1 ELSE 0 END AS m
+          FROM tok),
+        spans AS (
+          SELECT doc_id, source, m,
+                 CASE WHEN m = 1 AND COALESCE(lag(m) OVER (
+                        PARTITION BY doc_id ORDER BY pos), 0) = 0
+                      THEN 1 ELSE 0 END AS span_start
+          FROM masked)
+        SELECT source, count(*) AS total_tokens,
+               CAST(sum(m) AS BIGINT) AS n_masked,
+               round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS mask_ratio,
+               CAST(sum(span_start) AS BIGINT) AS n_spans,
+               round(CAST(sum(m) AS DOUBLE) / sum(span_start), 6) AS avg_span_len
+        FROM spans GROUP BY source
+        """,
+    )

@@ -1120,3 +1120,43 @@ def etl_scd3_prev_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.custkey LIMIT 50
         """,
     )
+
+
+@register(
+    "etl_ttl_retention_audit",
+    oracle="""
+    WITH by_day AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT CAST(d AS VARCHAR) AS d, n_rows,
+           CASE WHEN d < DATE '2024-01-15' THEN 1 ELSE 0 END AS would_delete,
+           CAST(sum(CASE WHEN d < DATE '2024-01-15' THEN n_rows ELSE 0 END)
+                OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_deletable
+    FROM by_day
+    """,
+)
+def etl_ttl_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL/retention-policy dry run at the partition grain: per day-
+    partition, the row count, whether the retention cutoff would drop it,
+    and the cumulative deletable volume — the audit a data-retention job
+    publishes BEFORE issuing partition drops (delete-by-partition is the
+    only sane retention mechanism at 100 TB; row-level TTL deletes
+    rewrite files). The day grain means the window input is |days| rows;
+    in production the same query reads partition names from the catalog
+    and never scans data at all."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH by_day AS (
+          SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows
+          FROM events GROUP BY CAST(ts AS DATE))
+        SELECT CAST(d AS STRING) AS d, n_rows,
+               CASE WHEN d < DATE '2024-01-15' THEN 1 ELSE 0 END AS would_delete,
+               CAST(sum(CASE WHEN d < DATE '2024-01-15' THEN n_rows ELSE 0 END)
+                    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_deletable
+        FROM by_day
+        """,
+    )

@@ -1419,3 +1419,65 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.event_type
         """,
     )
+
+
+@register(
+    "ts_value_at_risk",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    deltas AS (
+      SELECT event_type,
+             cents - lag(cents) OVER (PARTITION BY event_type ORDER BY d)
+               AS delta
+      FROM daily),
+    cut AS (
+      SELECT event_type,
+             quantile_disc(delta, 0.05) AS var95
+      FROM deltas WHERE delta IS NOT NULL GROUP BY event_type)
+    SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(max(c.var95) AS DOUBLE) / 100, 2) AS var95,
+           round(CAST(avg(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
+                      AS DOUBLE) / 100, 2) AS expected_shortfall
+    FROM deltas d2 JOIN cut c ON d2.event_type = c.event_type
+    WHERE d2.delta IS NOT NULL
+    GROUP BY d2.event_type
+    """,
+)
+def ts_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per series: VaR95 =
+    the 5th-percentile day-over-day change (discrete quantile over exact
+    integer-cents deltas), ES = the mean of the tail at or below it —
+    the risk pair every financial/ops dashboard reports, and a worked
+    example of the cutpoint-join pattern: the quantile aggregates to a
+    |series|-row table that broadcasts back for the conditional tail
+    mean, so the second pass stays map-side over the DAILY grain. The
+    quantile sketch runs in its exactness regime (Spark side)."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        deltas AS (
+          SELECT event_type,
+                 cents - lag(cents) OVER (PARTITION BY event_type ORDER BY d)
+                   AS delta
+          FROM daily),
+        cut AS (
+          SELECT event_type,
+                 approx_percentile(delta, 0.05, 1000000) AS var95
+          FROM deltas WHERE delta IS NOT NULL GROUP BY event_type)
+        SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n_days,
+               round(CAST(max(c.var95) AS DOUBLE) / 100, 2) AS var95,
+               round(CAST(avg(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
+                          AS DOUBLE) / 100, 2) AS expected_shortfall
+        FROM deltas d2 JOIN cut c ON d2.event_type = c.event_type
+        WHERE d2.delta IS NOT NULL
+        GROUP BY d2.event_type
+        """,
+    )
