@@ -190,6 +190,7 @@ def test_full_surface_plan_hygiene(spark):
                              # construction (two-decimal score domain)
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
+        "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
