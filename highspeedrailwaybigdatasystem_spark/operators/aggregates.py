@@ -1649,3 +1649,51 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             q95="round(approx_percentile(l.mean_b, 0.95, 1000000), 4)",
         ),
     )
+
+
+@register(
+    "agg_simpsons_paradox_audit",
+    oracle="""
+    WITH pooled AS (
+      SELECT round(regr_slope(o_totalprice, o_custkey % 100), 6) AS slope_pooled
+      FROM orders),
+    per_seg AS (
+      SELECT c.c_mktsegment,
+             round(regr_slope(o.o_totalprice, o.o_custkey % 100), 6) AS slope_seg,
+             count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT s.c_mktsegment, s.n, s.slope_seg, p.slope_pooled,
+           CASE WHEN sign(s.slope_seg) <> sign(p.slope_pooled)
+                THEN 1 ELSE 0 END AS sign_flip
+    FROM per_seg s CROSS JOIN pooled p
+    """,
+)
+def agg_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the pooled regression slope next to each
+    segment's within-group slope, flagging sign reversals — the
+    aggregation trap every metrics review should run before trusting a
+    pooled trend (a positive overall slope can hide uniformly negative
+    within-segment slopes when group sizes confound). Built on the
+    mergeable regr_slope aggregate: one pooled pass + one segmented
+    pass, the 1-row pooled slope broadcast back (allowlisted). Nothing
+    here rescans per segment."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH pooled AS (
+          SELECT round(regr_slope(o_totalprice, o_custkey % 100), 6) AS slope_pooled
+          FROM orders),
+        per_seg AS (
+          SELECT c.c_mktsegment,
+                 round(regr_slope(o.o_totalprice, o.o_custkey % 100), 6) AS slope_seg,
+                 count(*) AS n
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment)
+        SELECT s.c_mktsegment, s.n, s.slope_seg, p.slope_pooled,
+               CASE WHEN sign(s.slope_seg) <> sign(p.slope_pooled)
+                    THEN 1 ELSE 0 END AS sign_flip
+        FROM per_seg s CROSS JOIN pooled p
+        """,
+    )

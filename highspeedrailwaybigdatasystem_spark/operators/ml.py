@@ -587,3 +587,55 @@ def ml_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sil GROUP BY cent_id
         """,
     )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + exp((value - 50.0) / 25.0)) AS p
+      FROM events),
+    binned AS (
+      SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, y, p FROM scored),
+    cells AS (
+      SELECT bin, count(*) AS n, avg(p) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(n) AS t FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(CAST(n AS DOUBLE) / t * abs(acc - conf)), 6) AS ece,
+           round(max(abs(acc - conf)), 6) AS mce
+    FROM cells CROSS JOIN tot
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit: Expected Calibration Error (the
+    bin-weighted |observed rate − mean confidence|) and Maximum
+    Calibration Error over 10 equal-width confidence bins, for a
+    deterministic sigmoid score against the binary outcome. ECE is the
+    standard number quoted when a model's probabilities feed downstream
+    decisions (bidding, triage, routing) — accuracy alone cannot see
+    miscalibration. One map-side score+bin pass, a 10-row bin aggregate,
+    a 1-row total broadcast (allowlisted); the sigmoid's exp() is
+    IEEE-identical on identical inputs, and every reported quantity is
+    rounded post-aggregation per the canonicalization contract."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH scored AS (
+          SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+                 1.0 / (1.0 + exp((value - 50.0) / 25.0)) AS p
+          FROM events),
+        binned AS (
+          SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, y, p FROM scored),
+        cells AS (
+          SELECT bin, count(*) AS n, avg(p) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+          FROM binned GROUP BY bin),
+        tot AS (SELECT sum(n) AS t FROM cells)
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               round(sum(CAST(n AS DOUBLE) / t * abs(acc - conf)), 6) AS ece,
+               round(max(abs(acc - conf)), 6) AS mce
+        FROM cells CROSS JOIN tot
+        """,
+    )

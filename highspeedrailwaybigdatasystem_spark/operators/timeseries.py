@@ -1481,3 +1481,67 @@ def ts_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d2.event_type
         """,
     )
+
+
+@register(
+    "ts_burstiness_fano",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))),
+    fano AS (
+      SELECT event_type, round(var_samp(CAST(n AS DOUBLE)) / avg(n), 6)
+               AS fano_factor
+      FROM hourly GROUP BY event_type),
+    gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS DOUBLE) AS g
+      FROM events),
+    burst AS (
+      SELECT event_type,
+             round((stddev_samp(g) - avg(g)) / (stddev_samp(g) + avg(g)), 6)
+               AS burstiness
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+    SELECT f.event_type, f.fano_factor, b.burstiness
+    FROM fano f JOIN burst b ON f.event_type = b.event_type
+    """,
+)
+def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process character per series, two classic indices: the
+    Fano factor (variance/mean of hourly counts — 1 for a Poisson
+    process, >1 overdispersed/bursty) and the Goh–Barabási burstiness
+    coefficient (σ−μ)/(σ+μ) of inter-arrival times (−1 periodic,
+    0 Poisson, →1 bursty). Together they say whether a feed needs
+    burst-absorbing capacity or can be provisioned for the mean. Both
+    are one-pass moment aggregates over the hourly rollup / the lag
+    window's gap stream — the same shapes ts_gap_distribution already
+    pays."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        fano AS (
+          SELECT event_type, round(var_samp(CAST(n AS DOUBLE)) / avg(n), 6)
+                   AS fano_factor
+          FROM hourly GROUP BY event_type),
+        gaps AS (
+          SELECT event_type,
+                 CAST(unix_micros(ts) - lag(unix_micros(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY unix_micros(ts), event_id) AS DOUBLE) AS g
+          FROM events),
+        burst AS (
+          SELECT event_type,
+                 round((stddev_samp(g) - avg(g)) / (stddev_samp(g) + avg(g)), 6)
+                   AS burstiness
+          FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+        SELECT f.event_type, f.fano_factor, b.burstiness
+        FROM fano f JOIN burst b ON f.event_type = b.event_type
+        """,
+    )

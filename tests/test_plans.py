@@ -174,6 +174,8 @@ def test_full_surface_plan_hygiene(spark):
         "llm_data_scaling_curve",  # 4-row cut grid + (cut x lang) model broadcasts
         "ml_silhouette_simplified",  # 16-row centroid broadcast (IVF pattern)
         "agg_poisson_bootstrap_ci",  # 32-row replicate-grid broadcast
+        "agg_simpsons_paradox_audit",  # 1-row pooled-slope broadcast
+        "ml_calibration_ece",      # 1-row bin-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
