@@ -1697,3 +1697,55 @@ def agg_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_seg s CROSS JOIN pooled p
         """,
     )
+
+
+@register(
+    "agg_iqr_outlier_fences",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag, count(*) AS n,
+           round(c.q1, 2) AS q1, round(c.q3, 2) AS q3,
+           round(c.q3 - c.q1, 2) AS iqr,
+           round(c.q1 - 1.5 * (c.q3 - c.q1), 2) AS lo_fence,
+           round(c.q3 + 1.5 * (c.q3 - c.q1), 2) AS hi_fence,
+           CAST(sum(CASE WHEN l.l_extendedprice < c.q1 - 1.5 * (c.q3 - c.q1)
+                           OR l.l_extendedprice > c.q3 + 1.5 * (c.q3 - c.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag, c.q1, c.q3
+    """,
+)
+def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per group: Q1/Q3, IQR, the 1.5·IQR fences and
+    the outlier count beyond them — the distribution-free outlier
+    definition every BI boxplot encodes, as a first-class operator. Same
+    two-pass cutpoint-broadcast shape as agg_winsorized_trimmed_mean:
+    the quantile aggregate is |groups| rows, the fence test is map-side
+    on the second pass. Fence comparisons use the UNROUNDED cutpoints on
+    both engines (round only in the report columns), so boundary rows
+    classify identically."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH cuts AS (
+          SELECT l_returnflag,
+                 percentile(l_extendedprice, 0.25) AS q1,
+                 percentile(l_extendedprice, 0.75) AS q3
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, count(*) AS n,
+               round(c.q1, 2) AS q1, round(c.q3, 2) AS q3,
+               round(c.q3 - c.q1, 2) AS iqr,
+               round(c.q1 - 1.5 * (c.q3 - c.q1), 2) AS lo_fence,
+               round(c.q3 + 1.5 * (c.q3 - c.q1), 2) AS hi_fence,
+               CAST(sum(CASE WHEN l.l_extendedprice < c.q1 - 1.5 * (c.q3 - c.q1)
+                               OR l.l_extendedprice > c.q3 + 1.5 * (c.q3 - c.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+        GROUP BY l.l_returnflag, c.q1, c.q3
+        """,
+    )

@@ -1545,3 +1545,56 @@ def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM fano f JOIN burst b ON f.event_type = b.event_type
         """,
     )
+
+
+@register(
+    "ts_out_of_order_audit",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) < max(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS late,
+             epoch_us(ts) - max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS skew_us
+      FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_out_of_order,
+           round(CAST(sum(late) AS DOUBLE) / count(*), 6) AS late_frac,
+           CAST(COALESCE(min(CASE WHEN late = 1 THEN skew_us END), 0) AS BIGINT)
+             AS worst_skew_us
+    FROM ordered
+    """,
+)
+def ts_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: within each producer's append sequence
+    (event_id order), count events whose event time runs BEHIND the
+    running maximum — the measured disorder that sizes a streaming
+    watermark (stream_watermark_late's delay should cover worst_skew;
+    this op supplies the number instead of a guess). One running-max
+    window per producer partition + a global roll-up; at 100 TB the
+    audit is a side-output of normal ingest, not a separate job."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH ordered AS (
+          SELECT user_id, event_id,
+                 CASE WHEN unix_micros(ts) < max(unix_micros(ts)) OVER (
+                        PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS late,
+                 unix_micros(ts) - max(unix_micros(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS skew_us
+          FROM events)
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(late) AS BIGINT) AS n_out_of_order,
+               round(CAST(sum(late) AS DOUBLE) / count(*), 6) AS late_frac,
+               CAST(COALESCE(min(CASE WHEN late = 1 THEN skew_us END), 0) AS BIGINT)
+                 AS worst_skew_us
+        FROM ordered
+        """,
+    )
