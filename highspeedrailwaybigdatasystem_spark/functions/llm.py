@@ -3788,3 +3788,136 @@ def llm_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spans GROUP BY source
         """,
     )
+
+
+@register(
+    "llm_curation_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h,
+             string_split(text, ' ') AS tk
+      FROM documents),
+    meta AS (
+      SELECT doc_id, source, h, len(tk) AS n_tok,
+             len(list_distinct(tk)) AS n_uniq
+      FROM base),
+    s1 AS (
+      SELECT m.* FROM meta m
+      JOIN (SELECT h, min(doc_id) AS keep FROM meta GROUP BY h) k
+        ON m.h = k.h AND m.doc_id = k.keep),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE n_tok BETWEEN 10 AND 400 AND n_uniq * 10 >= 3 * n_tok),
+    tok AS (
+      SELECT DISTINCT b.doc_id, b.source, t.token
+      FROM base b JOIN s2 ON b.doc_id = s2.doc_id,
+           unnest(b.tk) AS t(token)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source = b.source
+                           AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    dups AS (
+      SELECT DISTINCT s.db FROM shared s
+      JOIN sizes za ON za.doc_id = s.da JOIN sizes zb ON zb.doc_id = s.db
+      WHERE CAST(s.c AS DOUBLE) / (za.n + zb.n - s.c) >= 0.5),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT db FROM dups)),
+    raw AS (SELECT count(*) AS rd FROM meta)
+    SELECT stage, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / raw.rd, 6) AS frac_of_raw
+    FROM (
+      SELECT '0_raw' AS stage, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM meta
+      UNION ALL
+      SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT '2_quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3) f
+    CROSS JOIN raw
+    """,
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel in ONE call — the per-stage survival
+    table a training-data pipeline publishes with every corpus build:
+    raw → exact dedup (normalized-hash keep-lowest) → quality gate
+    (length band + distinct-token ratio, integer-exact comparisons) →
+    near-dedup (same-source token-set Jaccard ≥ 0.5, keep-lower-id).
+    Each stage is one of this repo's proven primitives composed into a
+    single plan; the output is the funnel (docs, tokens, fraction of
+    raw per stage), which is what curation reviews actually read. Scale
+    shape: hash shuffle + bounded filters + the blocked (token, source)
+    self-join — no stage is pairwise-global; the 1-row raw-count
+    broadcast is allowlisted. The per-doc metadata stage is CACHED and
+    the stage views are CTE-free: the WITH-CTE formulation re-derived
+    the whole upstream chain inside every UNION branch (33 accounted
+    shuffles → ~12; the round-4 cache-substitution rule)."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    meta = spark.sql(
+        """
+        SELECT doc_id, source, md5(lower(trim(text))) AS h,
+               size(split(text, ' ')) AS n_tok,
+               size(array_distinct(split(text, ' '))) AS n_uniq
+        FROM documents
+        """
+    ).cache()
+    meta.createOrReplaceTempView("__cf_meta")
+    spark.sql(
+        """
+        SELECT m.* FROM __cf_meta m
+        JOIN (SELECT h, min(doc_id) AS keep FROM __cf_meta GROUP BY h) k
+          ON m.h = k.h AND m.doc_id = k.keep
+        """
+    ).createOrReplaceTempView("__cf_s1")
+    spark.sql(
+        """
+        SELECT * FROM __cf_s1
+        WHERE n_tok BETWEEN 10 AND 400 AND n_uniq * 10 >= 3 * n_tok
+        """
+    ).createOrReplaceTempView("__cf_s2")
+    tok = spark.sql(
+        """
+        SELECT DISTINCT d.doc_id, d.source, token
+        FROM documents d JOIN __cf_s2 s2 ON d.doc_id = s2.doc_id
+        LATERAL VIEW explode(split(d.text, ' ')) AS token
+        """
+    ).cache()
+    tok.createOrReplaceTempView("__cf_tok")
+    spark.sql(
+        """
+        SELECT * FROM __cf_s2 WHERE doc_id NOT IN (
+          SELECT DISTINCT s.db FROM (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+            FROM __cf_tok a JOIN __cf_tok b
+              ON a.token = b.token AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) s
+          JOIN (SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id) za
+            ON za.doc_id = s.da
+          JOIN (SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id) zb
+            ON zb.doc_id = s.db
+          WHERE CAST(s.c AS DOUBLE) / (za.n + zb.n - s.c) >= 0.5)
+        """
+    ).createOrReplaceTempView("__cf_s3")
+    return spark.sql(
+        """
+        SELECT stage, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE) / raw.rd, 6) AS frac_of_raw
+        FROM (
+          SELECT '0_raw' AS stage, count(*) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM __cf_meta
+          UNION ALL
+          SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
+          FROM __cf_s1
+          UNION ALL
+          SELECT '2_quality', count(*), CAST(sum(n_tok) AS BIGINT)
+          FROM __cf_s2
+          UNION ALL
+          SELECT '3_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
+          FROM __cf_s3) f
+        CROSS JOIN (SELECT count(*) AS rd FROM __cf_meta) raw
+        """
+    )

@@ -176,6 +176,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_poisson_bootstrap_ci",  # 32-row replicate-grid broadcast
         "agg_simpsons_paradox_audit",  # 1-row pooled-slope broadcast
         "ml_calibration_ece",      # 1-row bin-total broadcast
+        "llm_curation_funnel",     # 1-row raw-count broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
