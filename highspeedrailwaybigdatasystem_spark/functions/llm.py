@@ -3921,3 +3921,79 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (SELECT count(*) AS rd FROM __cf_meta) raw
         """
     )
+
+
+@register(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id, b.vec_id AS nb, b.label AS nlabel,
+             round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6)
+               AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    top5 AS (
+      SELECT vec_id, nlabel FROM (
+        SELECT vec_id, nlabel, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, nb) AS rn
+        FROM sims) WHERE rn <= 5),
+    votes AS (
+      SELECT vec_id, nlabel, count(*) AS c FROM top5 GROUP BY vec_id, nlabel),
+    pred AS (
+      SELECT vec_id, nlabel AS plabel FROM (
+        SELECT vec_id, nlabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, nlabel) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT e.label, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN p.plabel = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(avg(CASE WHEN p.plabel = e.label
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END), 6) AS accuracy
+    FROM embeddings e JOIN pred p ON e.vec_id = p.vec_id
+    GROUP BY e.label
+    """,
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy per label (k=5,
+    majority vote with a label tiebreak) — the zero-training baseline
+    every embedding space is judged by before anyone trains a probe:
+    if 5-NN can't recover the labels, the embeddings don't encode them.
+    COMPOSES the proven distributed machinery: the neighbor lists come
+    from llm_knn_all's block×block GEMM top-5 (no all-pairs collect, no
+    corpus broadcast), then a label join + two bounded window passes
+    produce votes and per-label accuracy. The oracle replays the same
+    top-5-under-(sim DESC, id) total order via an all-pairs join —
+    feasible at oracle scale, never run on the Spark side."""
+    knn = llm_knn_all(spark, sf_dir)  # vec_id, neighbor_id, rnk, sim
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nlabels = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        knn.join(F.broadcast(nlabels), "neighbor_id")
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "nlabel")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("nlabel").alias("plabel"))
+    )
+    return (
+        labels.join(pred, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("plabel") == F.col("label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            ratio(
+                F.avg(
+                    F.when(F.col("plabel") == F.col("label"), 1.0).otherwise(0.0)
+                )
+            ).alias("accuracy"),
+        )
+    )
