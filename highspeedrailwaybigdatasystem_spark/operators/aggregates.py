@@ -1749,3 +1749,36 @@ def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_returnflag, c.q1, c.q3
         """,
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(least(floor(value / 50), 9) AS INT) AS value_bin,
+           CAST(hour(ts) AS INT) AS hour_bin,
+           count(*) AS n,
+           round(sum(value), 2) AS bin_value_sum
+    FROM events
+    GROUP BY least(floor(value / 50), 9), hour(ts)
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (value band × hour of day) — the heatmap feed behind
+    every operational dashboard: one hash aggregate over two binned
+    dimensions, cells bounded at |bins_x × bins_y| regardless of volume.
+    Bin edges are fixed-width integer arithmetic (floor/least), so the
+    cell assignment is exact on both engines; a production variant swaps
+    the fixed edges for quantile-sketch cutpoints (the
+    llm_curriculum_buckets pattern) without changing the plan."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(least(floor(value / 50), 9) AS INT) AS value_bin,
+               CAST(hour(ts) AS INT) AS hour_bin,
+               count(*) AS n,
+               round(sum(value), 2) AS bin_value_sum
+        FROM events
+        GROUP BY least(floor(value / 50), 9), hour(ts)
+        """,
+    )

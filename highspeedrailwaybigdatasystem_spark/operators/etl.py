@@ -1160,3 +1160,78 @@ def etl_ttl_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_day
         """,
     )
+
+
+@register(
+    "etl_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) AS n,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_v,
+           CAST(max(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+    FROM orders
+    """,
+)
+def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-catalog primer (null rate, distinct
+    cardinality, min/max) per column in one pass each, emitted as a long
+    profile table. The cross-engine trap this op encodes: profile values
+    are rendered through STABLE representations (integers and strings
+    as-is, doubles via integer cents) because min/max-as-string of raw
+    floats differs between engines' float formatters. At 100 TB the same
+    profile runs with approx_count_distinct per column and feeds the CBO
+    (test_table_statistics_for_cbo shows where it lands); column scans
+    share one pass via Spark's multi-aggregate pushdown."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        SELECT 'o_custkey' AS col, count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_custkey) AS STRING) AS min_v,
+               CAST(max(o_custkey) AS STRING) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+               CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS STRING),
+               CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS STRING)
+        FROM orders
+        """,
+    )
