@@ -490,3 +490,46 @@ def test_learning_curve_train_sets_are_nested(spark):
     assert sizes == sorted(sizes) and sizes[0] > 0
     evals = {rows[c]["eval_docs"] for c in rows}
     assert len(evals) == 1  # same fixed eval slice for every point
+
+
+def test_curation_funnel_is_monotone(spark):
+    """llm_curation_funnel: each stage's doc and token counts are
+    monotonically non-increasing, stage 0 covers the whole corpus, and
+    fractions are consistent with the counts."""
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        llm_curation_funnel,
+    )
+
+    rows = {r["stage"]: r for r in llm_curation_funnel(spark, SF_ORACLE).collect()}
+    order = ["0_raw", "1_exact_dedup", "2_quality", "3_near_dedup"]
+    assert list(sorted(rows)) == order
+    docs = [rows[s]["n_docs"] for s in order]
+    toks = [rows[s]["n_tokens"] for s in order]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert rows["0_raw"]["n_docs"] == 500 and rows["0_raw"]["frac_of_raw"] == 1.0
+    for s in order:
+        assert abs(rows[s]["frac_of_raw"] - rows[s]["n_docs"] / 500) < 1e-6
+
+
+def test_knn_eval_covers_corpus_and_bounds(spark):
+    """ml_knn_classifier_eval: per-label vector counts sum to the corpus,
+    n_correct <= n_vectors, and accuracy equals the ratio."""
+    import duckdb as _dd
+
+    from tests.conftest import SF_ORACLE
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        ml_knn_classifier_eval,
+    )
+
+    rows = ml_knn_classifier_eval(spark, SF_ORACLE).collect()
+    n_corpus = _dd.sql(
+        f"SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_vectors"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_vectors"]) < 1e-6
