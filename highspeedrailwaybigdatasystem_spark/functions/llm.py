@@ -3997,3 +3997,65 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@register(
+    "llm_watermark_greenlist_detect",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''),
+    scored AS (
+      SELECT doc_id, source, count(*) AS n,
+             CAST(sum(CASE WHEN CAST(('0x' || substr(md5(token), 1, 2)) AS INTEGER)
+                                % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g
+      FROM tok GROUP BY doc_id, source),
+    z AS (
+      SELECT doc_id, source, n, g,
+             (g - n / 2.0) / sqrt(n / 4.0) AS zscore
+      FROM scored WHERE n >= 10)
+    SELECT source, count(*) AS n_docs,
+           round(avg(zscore), 6) AS avg_z,
+           CAST(sum(CASE WHEN zscore > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM z GROUP BY source
+    """,
+)
+def llm_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark detection screen (Kirchenbauer et al. 2023,
+    arXiv 2301.10226, public): a watermarked generator boosts a
+    pseudorandom "green" half of the vocabulary, so watermarked text
+    shows a green-token fraction significantly above 1/2 — the one-pass
+    z-test (g − n/2)/√(n/4) per document is the detector. The greenlist
+    membership here is the md5-parity half of the vocab (the detector's
+    real structure with a public hash standing in for the generator's
+    keyed PRF). Per-source aggregation is the provenance screen a corpus
+    intake runs: a source with inflated average z is machine-generated
+    with that watermark key. Map-side token hash + two bounded
+    aggregates; no state, no RNG."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tok AS (
+          SELECT doc_id, source, token
+          FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
+          WHERE token <> ''),
+        scored AS (
+          SELECT doc_id, source, count(*) AS n,
+                 CAST(sum(CASE WHEN CAST(conv(substr(md5(token), 1, 2), 16, 10)
+                                    AS INT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS g
+          FROM tok GROUP BY doc_id, source),
+        z AS (
+          SELECT doc_id, source, n, g,
+                 (g - n / 2.0) / sqrt(n / 4.0) AS zscore
+          FROM scored WHERE n >= 10)
+        SELECT source, count(*) AS n_docs,
+               round(avg(zscore), 6) AS avg_z,
+               CAST(sum(CASE WHEN zscore > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged
+        FROM z GROUP BY source
+        """,
+    )

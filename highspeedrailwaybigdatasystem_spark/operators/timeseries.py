@@ -1598,3 +1598,82 @@ def ts_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ordered
         """,
     )
+
+
+@register(
+    "ts_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    moves AS (
+      SELECT event_type, d,
+             CASE WHEN cents > lag(cents) OVER w THEN 1
+                  WHEN cents < lag(cents) OVER w THEN 0 END AS up
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    runs AS (
+      SELECT event_type, up,
+             CASE WHEN up <> lag(up) OVER (PARTITION BY event_type ORDER BY d)
+                    OR lag(up) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                  THEN 1 ELSE 0 END AS run_start
+      FROM (SELECT event_type, d, up FROM moves WHERE up IS NOT NULL) x),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(run_start) AS BIGINT) AS n_runs,
+             CAST(sum(up) AS BIGINT) AS n_up,
+             CAST(count(*) - sum(up) AS BIGINT) AS n_down
+      FROM runs GROUP BY event_type)
+    SELECT event_type, n_runs, n_up, n_down,
+           round(1 + 2.0 * n_up * n_down / (n_up + n_down), 4) AS expected_runs,
+           round((n_runs - (1 + 2.0 * n_up * n_down / (n_up + n_down)))
+                 / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                        / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1))),
+                 4) AS z_score
+    FROM stats WHERE n_up > 0 AND n_down > 0
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily up/down move sequence per
+    series: observed runs vs the expectation under randomness, z-scored —
+    the nonparametric screen for momentum (too few runs) or mean
+    reversion (too many) that needs NO distributional assumption. Moves
+    come from exact integer-cents comparisons; run boundaries are the
+    gaps-and-islands lag trick; the closed-form moments are exact
+    integer arithmetic until the final normalization. All windows ride
+    the series-partitioned DAILY grain."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        moves AS (
+          SELECT event_type, d,
+                 CASE WHEN cents > lag(cents) OVER w THEN 1
+                      WHEN cents < lag(cents) OVER w THEN 0 END AS up
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        runs AS (
+          SELECT event_type, up,
+                 CASE WHEN up <> lag(up) OVER (PARTITION BY event_type ORDER BY d)
+                        OR lag(up) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+                      THEN 1 ELSE 0 END AS run_start
+          FROM (SELECT event_type, d, up FROM moves WHERE up IS NOT NULL) x),
+        stats AS (
+          SELECT event_type,
+                 CAST(sum(run_start) AS BIGINT) AS n_runs,
+                 CAST(sum(up) AS BIGINT) AS n_up,
+                 CAST(count(*) - sum(up) AS BIGINT) AS n_down
+          FROM runs GROUP BY event_type)
+        SELECT event_type, n_runs, n_up, n_down,
+               round(CAST(1 + 2.0 * n_up * n_down / (n_up + n_down) AS DOUBLE), 4)
+                 AS expected_runs,
+               round((n_runs - (1 + 2.0 * n_up * n_down / (n_up + n_down)))
+                     / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                            / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1))),
+                     4) AS z_score
+        FROM stats WHERE n_up > 0 AND n_down > 0
+        """,
+    )
