@@ -1782,3 +1782,69 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY least(floor(value / 50), 9), hour(ts)
         """,
     )
+
+
+@register(
+    "agg_ks_test_two_sample",
+    oracle="""
+    WITH lab AS (
+      SELECT round(value, 2) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
+      FROM events),
+    lev AS (
+      SELECT v, sum(grp) AS a, count(*) - sum(grp) AS b FROM lab GROUP BY v),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lev),
+    cum AS (
+      SELECT v,
+             sum(a) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM lev)
+    SELECT CAST(tot.ta AS BIGINT) AS n_treat, CAST(tot.tb AS BIGINT) AS n_control,
+           CAST(count(*) AS BIGINT) AS n_levels,
+           round(max(abs(CAST(ca AS DOUBLE) / tot.ta
+                         - CAST(cb AS DOUBLE) / tot.tb)), 6) AS ks_d,
+           round(1.36 * sqrt((tot.ta + tot.tb) / (CAST(tot.ta AS DOUBLE) * tot.tb)),
+                 6) AS crit_05
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.ta, tot.tb
+    """,
+)
+def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = max |ECDF_a − ECDF_b|
+    between the parity cohorts, with the 5% asymptotic critical value —
+    the distribution-free "did the whole DISTRIBUTION shift" complement
+    to agg_welch_t_test's mean comparison. Same scale trick as
+    ml_roc_auc: values collapse to DISTINCT LEVELS first, so the ECDF
+    cumulative window runs over the bounded level grain (≤49k
+    two-decimal levels), never a per-row global sort; all cumulative
+    counts are exact integers until the final divisions."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH lab AS (
+          SELECT round(value, 2) AS v,
+                 CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
+          FROM events),
+        lev AS (
+          SELECT v, sum(grp) AS a, count(*) - sum(grp) AS b FROM lab GROUP BY v),
+        tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lev),
+        cum AS (
+          SELECT v,
+                 sum(a) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                 sum(b) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+          FROM lev)
+        SELECT CAST(tot.ta AS BIGINT) AS n_treat, CAST(tot.tb AS BIGINT) AS n_control,
+               CAST(count(*) AS BIGINT) AS n_levels,
+               round(max(abs(CAST(ca AS DOUBLE) / tot.ta
+                             - CAST(cb AS DOUBLE) / tot.tb)), 6) AS ks_d,
+               round(1.36 * sqrt((tot.ta + tot.tb) / (CAST(tot.ta AS DOUBLE) * tot.tb)),
+                     6) AS crit_05
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.ta, tot.tb
+        """,
+    )

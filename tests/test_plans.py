@@ -177,6 +177,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_simpsons_paradox_audit",  # 1-row pooled-slope broadcast
         "ml_calibration_ece",      # 1-row bin-total broadcast
         "llm_curation_funnel",     # 1-row raw-count broadcast
+        "agg_ks_test_two_sample",  # 1-row group-totals broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -191,6 +192,7 @@ def test_full_surface_plan_hygiene(spark):
         # _range_prefix offsets pattern (windows partitioned by _pid only).
         "ml_roc_auc",        # over DISTINCT SCORE LEVELS — ≤49k rows by
                              # construction (two-decimal score domain)
+        "agg_ks_test_two_sample",  # ECDF window over the same bounded level grain
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
