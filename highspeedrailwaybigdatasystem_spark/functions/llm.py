@@ -4059,3 +4059,71 @@ def llm_watermark_greenlist_detect(spark: SparkSession, sf_dir: str) -> DataFram
         FROM z GROUP BY source
         """,
     )
+
+
+@register(
+    "llm_bigram_entropy_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(generate_series(1, len(tk))) AS pos, tk
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)),
+    bigr AS (
+      SELECT source, tk[pos] AS prev, tk[pos + 1] AS nxt
+      FROM tok WHERE pos < len(tk)),
+    pair_cnt AS (
+      SELECT source, prev, nxt, count(*) AS c FROM bigr
+      GROUP BY source, prev, nxt),
+    prev_cnt AS (
+      SELECT source, prev, sum(c) AS pc FROM pair_cnt GROUP BY source, prev),
+    tot AS (SELECT source, sum(c) AS t FROM pair_cnt GROUP BY source)
+    SELECT p.source,
+           CAST(max(t.t) AS BIGINT) AS n_bigrams,
+           round(-sum((CAST(p.c AS DOUBLE) / t.t)
+                      * log2(CAST(p.c AS DOUBLE) / pv.pc)), 6)
+             AS cond_entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+    FROM pair_cnt p
+    JOIN prev_cnt pv ON p.source = pv.source AND p.prev = pv.prev
+    JOIN tot t ON p.source = t.source
+    GROUP BY p.source
+    """,
+)
+def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy rate per source, H(next | prev) =
+    −Σ p(prev,next)·log2 p(next|prev) — the Shannon-style predictability
+    measure of a text stream: low entropy flags templated/boilerplate
+    feeds (complementing llm_ngram_novelty's first-occurrence view with
+    an information-theoretic one), high entropy flags noise. All
+    probabilities are exact integer count ratios; the only floats are
+    the final log2 terms under round-6. Plan: one position explode, one
+    (source, prev, next) aggregate, two bounded-grain joins — the same
+    shuffle budget as llm_bigram_lm, which shares the count tables at
+    100 TB."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH bigr AS (
+          SELECT source, tk[pos] AS prev, tk[pos + 1] AS nxt
+          FROM (
+            SELECT source, tk, posexplode(tk) AS (pos, tokval)
+            FROM (SELECT source, split(text, ' ') AS tk FROM documents))
+          WHERE pos < size(tk) - 1),
+        pair_cnt AS (
+          SELECT source, prev, nxt, count(*) AS c FROM bigr
+          GROUP BY source, prev, nxt),
+        prev_cnt AS (
+          SELECT source, prev, sum(c) AS pc FROM pair_cnt GROUP BY source, prev),
+        tot AS (SELECT source, sum(c) AS t FROM pair_cnt GROUP BY source)
+        SELECT p.source,
+               CAST(max(t.t) AS BIGINT) AS n_bigrams,
+               round(-sum((CAST(p.c AS DOUBLE) / t.t)
+                          * log2(CAST(p.c AS DOUBLE) / pv.pc)), 6)
+                 AS cond_entropy_bits,
+               CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+        FROM pair_cnt p
+        JOIN prev_cnt pv ON p.source = pv.source AND p.prev = pv.prev
+        JOIN tot t ON p.source = t.source
+        GROUP BY p.source
+        """,
+    )

@@ -639,3 +639,58 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells CROSS JOIN tot
         """,
     )
+
+
+@register(
+    "ml_mcnemar_paired_test",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+             CASE WHEN value < 50 THEN 1 ELSE 0 END AS m1,
+             CASE WHEN value < 100 THEN 1 ELSE 0 END AS m2
+      FROM events),
+    cells AS (
+      SELECT sum(CASE WHEN m1 = y AND m2 <> y THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN m1 <> y AND m2 = y THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN m1 = y AND m2 = y THEN 1 ELSE 0 END) AS both_right,
+             sum(CASE WHEN m1 <> y AND m2 <> y THEN 1 ELSE 0 END) AS both_wrong
+      FROM scored)
+    SELECT CAST(b AS BIGINT) AS only_m1_right, CAST(c AS BIGINT) AS only_m2_right,
+           CAST(both_right AS BIGINT) AS both_right,
+           CAST(both_wrong AS BIGINT) AS both_wrong,
+           round((abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE), 6)
+             AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def ml_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test with continuity correction — the CORRECT way to
+    compare two classifiers evaluated on the SAME rows (an unpaired
+    accuracy comparison wastes the pairing and overstates uncertainty):
+    only the discordant cells matter, χ² = (|b−c|−1)²/(b+c). Both rule
+    models score in the same map-side pass, so the full paired
+    evaluation is one conditional aggregate over one scan — at 100 TB
+    you compare models for the price of reading the eval set once."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH scored AS (
+          SELECT CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y,
+                 CASE WHEN value < 50 THEN 1 ELSE 0 END AS m1,
+                 CASE WHEN value < 100 THEN 1 ELSE 0 END AS m2
+          FROM events),
+        cells AS (
+          SELECT sum(CASE WHEN m1 = y AND m2 <> y THEN 1 ELSE 0 END) AS b,
+                 sum(CASE WHEN m1 <> y AND m2 = y THEN 1 ELSE 0 END) AS c,
+                 sum(CASE WHEN m1 = y AND m2 = y THEN 1 ELSE 0 END) AS both_right,
+                 sum(CASE WHEN m1 <> y AND m2 <> y THEN 1 ELSE 0 END) AS both_wrong
+          FROM scored)
+        SELECT CAST(b AS BIGINT) AS only_m1_right, CAST(c AS BIGINT) AS only_m2_right,
+               CAST(both_right AS BIGINT) AS both_right,
+               CAST(both_wrong AS BIGINT) AS both_wrong,
+               round((abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE), 6)
+                 AS mcnemar_chi2
+        FROM cells
+        """,
+    )
