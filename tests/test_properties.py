@@ -533,3 +533,76 @@ def test_knn_eval_covers_corpus_and_bounds(spark):
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_vectors"]
         assert abs(r["accuracy"] - r["n_correct"] / r["n_vectors"]) < 1e-6
+
+
+def test_ks_statistic_extremes(spark):
+    """agg_ks_test_two_sample's level-grain ECDF formula on synthetic
+    frames: identical samples give D = 0, disjoint supports give D = 1,
+    and D is invariant under a shared monotone shift."""
+    def ks_of(rows):
+        df = spark.createDataFrame(rows, "v double, grp int")
+        df.createOrReplaceTempView("__ks_probe")
+        out = spark.sql(
+            """
+            WITH lev AS (
+              SELECT v, sum(grp) AS a, count(*) - sum(grp) AS b
+              FROM __ks_probe GROUP BY v),
+            tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lev),
+            cum AS (
+              SELECT v,
+                     sum(a) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                     sum(b) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+              FROM lev)
+            SELECT round(max(abs(CAST(ca AS DOUBLE) / tot.ta
+                                - CAST(cb AS DOUBLE) / tot.tb)), 6) AS d
+            FROM cum CROSS JOIN tot GROUP BY tot.ta, tot.tb
+            """
+        ).collect()
+        return out[0]["d"]
+
+    same = [(float(i % 5), g) for i in range(20) for g in (0, 1)]
+    assert ks_of(same) == 0.0
+    disjoint = [(float(i), 1) for i in range(10)] + [
+        (float(i + 100), 0) for i in range(10)
+    ]
+    assert ks_of(disjoint) == 1.0
+    base = [(float(i * i % 13), i % 2) for i in range(30)]
+    shifted = [(v + 7.5, g) for v, g in base]
+    assert ks_of(base) == ks_of(shifted)
+
+
+def test_runs_test_extremes(spark):
+    """ts_runs_test's run-counting on synthetic sequences: a strictly
+    monotone series has exactly 1 run; a perfectly alternating series has
+    n_moves runs (a new run at every step)."""
+    def runs_of(values):
+        rows = [(i, float(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "d int, cents double")
+        df.createOrReplaceTempView("__runs_probe")
+        out = spark.sql(
+            """
+            WITH moves AS (
+              SELECT d, CASE WHEN cents > lag(cents) OVER (ORDER BY d) THEN 1
+                             WHEN cents < lag(cents) OVER (ORDER BY d) THEN 0
+                        END AS up
+              FROM __runs_probe),
+            runs AS (
+              SELECT up,
+                     CASE WHEN up <> lag(up) OVER (ORDER BY d)
+                            OR lag(up) OVER (ORDER BY d) IS NULL
+                          THEN 1 ELSE 0 END AS run_start
+              FROM (SELECT d, up FROM moves WHERE up IS NOT NULL) x)
+            SELECT CAST(sum(run_start) AS INT) AS n_runs,
+                   CAST(count(*) AS INT) AS n_moves
+            FROM runs
+            """
+        ).collect()[0]
+        return out["n_runs"], out["n_moves"]
+
+    n_runs, n_moves = runs_of(range(12))          # strictly increasing
+    assert (n_runs, n_moves) == (1, 11)
+    alt = [0, 5, 0, 5, 0, 5, 0, 5]                # perfectly alternating
+    n_runs, n_moves = runs_of(alt)
+    assert n_moves == 7 and n_runs == 7
