@@ -4127,3 +4127,67 @@ def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.source
         """,
     )
+
+
+@register(
+    "llm_collocation_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+    bigr AS (
+      SELECT tk[pos] AS a, tk[pos + 1] AS b
+      FROM tok WHERE pos < len(tk)),
+    pair_cnt AS (SELECT a, b, count(*) AS c FROM bigr GROUP BY a, b),
+    left_cnt AS (SELECT a, sum(c) AS ca FROM pair_cnt GROUP BY a),
+    right_cnt AS (SELECT b, sum(c) AS cb FROM pair_cnt GROUP BY b),
+    tot AS (SELECT sum(c) AS t FROM pair_cnt)
+    SELECT p.a, p.b, CAST(p.c AS BIGINT) AS n_pair,
+           round(log2((CAST(p.c AS DOUBLE) * t.t)
+                      / (CAST(l.ca AS DOUBLE) * r.cb)), 6) AS pmi
+    FROM pair_cnt p
+    JOIN left_cnt l ON p.a = l.a
+    JOIN right_cnt r ON p.b = r.b
+    CROSS JOIN tot t
+    WHERE p.c >= 5
+    ORDER BY pmi DESC, p.a, p.b
+    LIMIT 20
+    """,
+)
+def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    ADJACENT token pairs: PMI = log2(p(a,b)/(p(a)p(b))) with a minimum
+    pair count of 5 (the Church–Hanks association measure; the min-count
+    floor removes PMI's rare-pair bias). High-PMI adjacent pairs are the
+    multi-word expressions a tokenizer or phrase-mining stage should
+    treat as units. Candidate pairs are bigrams only — |tokens| pairs,
+    never a co-occurrence matrix; the margins are two bounded-grain
+    sums of the same pair-count table, and the 1-row total broadcast is
+    allowlisted. All probabilities are exact count ratios under
+    round-6."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH bigr AS (
+          SELECT tk[pos] AS a, tk[pos + 1] AS b
+          FROM (
+            SELECT tk, posexplode(tk) AS (pos, tokval)
+            FROM (SELECT split(text, ' ') AS tk FROM documents))
+          WHERE pos < size(tk) - 1),
+        pair_cnt AS (SELECT a, b, count(*) AS c FROM bigr GROUP BY a, b),
+        left_cnt AS (SELECT a, sum(c) AS ca FROM pair_cnt GROUP BY a),
+        right_cnt AS (SELECT b, sum(c) AS cb FROM pair_cnt GROUP BY b),
+        tot AS (SELECT sum(c) AS t FROM pair_cnt)
+        SELECT p.a, p.b, CAST(p.c AS BIGINT) AS n_pair,
+               round(log2((CAST(p.c AS DOUBLE) * t.t)
+                          / (CAST(l.ca AS DOUBLE) * r.cb)), 6) AS pmi
+        FROM pair_cnt p
+        JOIN left_cnt l ON p.a = l.a
+        JOIN right_cnt r ON p.b = r.b
+        CROSS JOIN tot t
+        WHERE p.c >= 5
+        ORDER BY pmi DESC, p.a, p.b
+        LIMIT 20
+        """,
+    )

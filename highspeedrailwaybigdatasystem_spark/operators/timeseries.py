@@ -1677,3 +1677,69 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats WHERE n_up > 0 AND n_down > 0
         """,
     )
+
+
+@register(
+    "ts_weekday_weekend_lift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN (dayofweek(ts) + 6) % 7 >= 5 THEN 'weekend'
+                  ELSE 'weekday' END AS day_kind,
+             value
+      FROM events),
+    cells AS (
+      SELECT event_type, day_kind, count(*) AS n, avg(value) AS mean_v
+      FROM tagged GROUP BY event_type, day_kind)
+    SELECT event_type,
+           CAST(max(CASE WHEN day_kind = 'weekday' THEN n END) AS BIGINT)
+             AS n_weekday,
+           CAST(max(CASE WHEN day_kind = 'weekend' THEN n END) AS BIGINT)
+             AS n_weekend,
+           round(max(CASE WHEN day_kind = 'weekday' THEN mean_v END), 4)
+             AS mean_weekday,
+           round(max(CASE WHEN day_kind = 'weekend' THEN mean_v END), 4)
+             AS mean_weekend,
+           round(max(CASE WHEN day_kind = 'weekend' THEN mean_v END)
+                 / max(CASE WHEN day_kind = 'weekday' THEN mean_v END), 6)
+             AS weekend_lift
+    FROM cells GROUP BY event_type
+    """,
+)
+def ts_weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday/weekend behavioral split per series with the weekend lift
+    ratio — the first segmentation every ops dashboard applies to a
+    business-rhythm series, and the sanity anchor for
+    ts_seasonality_strength's variance-share number. Weekday index uses
+    the Monday-0 normalization both engines share (Saturday/Sunday are
+    indices 5–6 under BOTH Spark's dayofweek+5 and DuckDB's
+    dayofweek+6 maps). One conditional aggregate, one |series|-row
+    pivot."""
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH tagged AS (
+          SELECT event_type,
+                 CASE WHEN (dayofweek(ts) + 5) % 7 >= 5 THEN 'weekend'
+                      ELSE 'weekday' END AS day_kind,
+                 value
+          FROM events),
+        cells AS (
+          SELECT event_type, day_kind, count(*) AS n, avg(value) AS mean_v
+          FROM tagged GROUP BY event_type, day_kind)
+        SELECT event_type,
+               CAST(max(CASE WHEN day_kind = 'weekday' THEN n END) AS BIGINT)
+                 AS n_weekday,
+               CAST(max(CASE WHEN day_kind = 'weekend' THEN n END) AS BIGINT)
+                 AS n_weekend,
+               round(max(CASE WHEN day_kind = 'weekday' THEN mean_v END), 4)
+                 AS mean_weekday,
+               round(max(CASE WHEN day_kind = 'weekend' THEN mean_v END), 4)
+                 AS mean_weekend,
+               round(max(CASE WHEN day_kind = 'weekend' THEN mean_v END)
+                     / max(CASE WHEN day_kind = 'weekday' THEN mean_v END), 6)
+                 AS weekend_lift
+        FROM cells GROUP BY event_type
+        """,
+    )

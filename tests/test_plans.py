@@ -178,6 +178,7 @@ def test_full_surface_plan_hygiene(spark):
         "ml_calibration_ece",      # 1-row bin-total broadcast
         "llm_curation_funnel",     # 1-row raw-count broadcast
         "agg_ks_test_two_sample",  # 1-row group-totals broadcast
+        "llm_collocation_pmi",     # 1-row bigram-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
