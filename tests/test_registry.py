@@ -10,6 +10,7 @@ re-assert the driver-window invariants the rotation policy depends on.
 from __future__ import annotations
 
 import os
+import sys
 import re
 
 from highspeedrailwaybigdatasystem_spark import registry
@@ -74,3 +75,31 @@ def test_shuffles_md_covers_every_batch_op():
     ]
     assert not missing, f"SHUFFLES.md stale; rerun tools/shuffle_audit.py: {missing[:8]}"
     assert "| YES |" not in text, "a CartesianProduct appeared in the audit"
+
+
+def test_driver_coverage_ledger_in_sync():
+    """DRIVER_COVERAGE.md is generated from the embedded gate history in
+    tools/gen_driver_coverage.py; regen whenever the window rotates or the
+    surface grows."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_driver_coverage as gdc
+
+    with open(os.path.join(REPO, "DRIVER_COVERAGE.md")) as f:
+        on_disk = f.read()
+    assert on_disk == gdc.build(), (
+        "DRIVER_COVERAGE.md stale; rerun tools/gen_driver_coverage.py"
+    )
+
+
+def test_gate_window_rotates_onto_never_green_ops():
+    """Every slot in the live window must be spent on an op with no prior
+    driver-green row — re-gating a green op wastes rotation throughput."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_driver_coverage as gdc
+
+    hist = gdc.history()
+    ever_green = {
+        op for verdicts in hist.values() for op, v in verdicts.items() if v == "green"
+    }
+    regated = [n for n in registry._WINDOW_PRIORITY if n in ever_green]
+    assert not regated, f"window re-gates already-green ops: {regated[:10]}"

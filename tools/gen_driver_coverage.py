@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Generate DRIVER_COVERAGE.md — the cumulative driver-gate ledger.
+
+The external driver samples the FIRST 50 entries of ``registry.all_queries()``
+each round and records per-op rows/schema/hash verdicts in
+``CORRECTNESS_r{N}.json`` (overwritten every round, so only the latest file
+survives on disk). This tool is the durable record: it embeds each round's
+pinned gate window and its driver verdict, reconciles them against the live
+registry, and emits a per-op ledger plus the authoritative never-gated pool
+that future rotations draw from.
+
+History sources (auditable from git):
+  r1 window   — first 50 registration-order entries (pre-_WINDOW_PRIORITY);
+                verdicts from VERDICT.md @ 8f1582e (48 green, agg_collect
+                driver-canon crash, agg_approx_distinct err:no_oracle).
+  r2 window   — VERDICT.md @ 692d38e (47 green; join_self_interval/join_asof/
+                join_asof_nearest failed on the ns->us testdata regeneration).
+  r3 window   — registry.py @ ff32347 (50/50 green per the r3 verdict).
+  r4 window   — registry.py @ 0df3aec..8f96d43 (50/50 green in
+                CORRECTNESS_r04.json, verified on disk).
+  r5+ window  — the live ``registry._WINDOW_PRIORITY`` (verdict "pending"
+                until the round's CORRECTNESS file lands).
+
+Run: ``python tools/gen_driver_coverage.py`` (writes DRIVER_COVERAGE.md).
+``tests/test_registry.py`` pins that the generated file is in sync and that
+the live window contains only never-green oracle-backed ops.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from highspeedrailwaybigdatasystem_spark import registry  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Embedded gate history: round -> {op: verdict}. Verdicts: "green" (rows +
+# schema + hash all matched), "fail" (mismatch), "err" (driver could not
+# compare, e.g. no oracle registered at the time).
+# ---------------------------------------------------------------------------
+
+_R2_WINDOW = [
+    "agg_collect", "agg_count_distinct", "agg_cube", "agg_distinct_rows",
+    "agg_filter_clause", "agg_grouping_sets", "agg_having", "agg_minmax_by",
+    "agg_mode_median", "agg_percentile", "agg_pivot", "agg_rollup",
+    "agg_scan_group", "agg_stats", "agg_unpivot", "filt_hash_sample",
+    "filt_in_list", "filt_like", "filt_null_safe", "filt_pred_and_or",
+    "geo_grid_join", "join_anti", "join_asof", "join_asof_nearest",
+    "join_bloom_filter", "join_broadcast", "join_cross", "join_full_outer",
+    "join_left_outer", "join_multiway", "join_null_aware_anti",
+    "join_range_binned", "join_self_interval", "join_semi", "join_shuffle",
+    "join_skew_salted", "join_theta_range", "null_handling", "proj_case_when",
+    "proj_expr_arith", "scan_agg_pushdown", "scan_full", "scan_metadata_cols",
+    "scan_partition_prune", "scan_project", "sql_exists_subquery",
+    "sql_group_by_all", "sql_pivot", "sql_recursive_cte",
+    "sql_scalar_subquery",
+]
+_R2_FAILS = {"join_self_interval", "join_asof", "join_asof_nearest"}
+
+# r1 sampled the same prefix before join_bloom_filter existed; agg_collect
+# crashed driver-side canonicalization and agg_approx_distinct had no oracle.
+_R1_WINDOW = [n for n in _R2_WINDOW if n != "join_bloom_filter"] + [
+    "agg_approx_distinct"
+]
+_R1_NONGREEN = {"agg_collect": "fail", "agg_approx_distinct": "err"}
+
+_R3_WINDOW = [
+    "join_self_interval", "join_asof", "join_asof_nearest",
+    "win_lag_lead", "win_first_last", "win_session_window_fn",
+    "ts_sessionize", "ts_gapfill", "ts_ohlc", "ts_hourly_rollup",
+    "ts_retention_cohort", "ts_interpolate_linear",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_stream_join",
+    "agg_histogram", "agg_boolean", "sql_hints", "sql_distribute_sort_by",
+    "agg_bitmap_distinct", "agg_weighted_median", "agg_regression",
+    "agg_listagg", "win_rownum_topk", "topk_per_group", "win_rank_dense",
+    "win_running_sum", "win_moving_avg", "win_ntile_pctrank",
+    "win_named_window", "win_ignore_nulls", "win_moving_median",
+    "sort_multikey", "topk_global", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_intersect_all", "set_except_all",
+    "str_funcs", "str_split_regex", "dt_extract", "dt_arith", "math_funcs",
+    "arr_basic", "arr_higher_order", "arr_explode", "json_extract",
+]
+
+_R4_WINDOW = [
+    "join_asof_forward", "join_array_membership", "join_temporal_scd2",
+    "agg_count_min_sketch", "agg_corr_covar", "agg_ols_multivariate",
+    "agg_bitwise", "agg_gini_concentration",
+    "win_time_range_frame", "win_distinct_rolling", "win_pareto_abc",
+    "sql_unpivot_syntax", "sql_lateral_view", "sql_udf", "sql_tvf_range",
+    "sql_parameterized", "sql_values_inline", "sql_star_except",
+    "sql_lateral_join", "sql_identifier_dynamic",
+    "set_union_by_name",
+    "dt_format", "dt_timezone", "dt_interval_arith", "dt_business_days",
+    "str_levenshtein", "str_funcs2", "str_collate", "str_mask",
+    "str_regexp2",
+    "json_roundtrip", "json_variant", "xml_roundtrip",
+    "null_safe_math", "arr_setops", "arr_map_hof", "map_ops",
+    "ts_anomaly", "ts_ewma", "ts_funnel", "ts_transition_matrix",
+    "ts_seasonal_ma", "ts_week_over_week", "ts_activity_streaks",
+    "ts_percentile_rollup", "ts_autocorr_lag", "ts_cusum_drift",
+    "graph_pagerank", "graph_triangle_count",
+    "etl_scd1_upsert",
+]
+
+
+def history() -> dict[int, dict[str, str]]:
+    h: dict[int, dict[str, str]] = {}
+    h[1] = {n: _R1_NONGREEN.get(n, "green") for n in _R1_WINDOW}
+    h[2] = {n: ("fail" if n in _R2_FAILS else "green") for n in _R2_WINDOW}
+    h[3] = {n: "green" for n in _R3_WINDOW}
+    h[4] = {n: "green" for n in _R4_WINDOW}
+    return h
+
+
+def current_round() -> int:
+    """Latest CORRECTNESS_r{N}.json on disk + 1 (the round being built)."""
+    rounds = [
+        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def build() -> str:
+    h = history()
+    live_round = current_round()
+    live_window = [
+        n for n in registry._WINDOW_PRIORITY
+        if n in registry.all_queries() and n in registry.all_oracles()
+    ][:50]
+
+    # If the driver has already recorded the live round (post-gate rerun),
+    # fold its verdicts in instead of "pending".
+    live_file = REPO / f"CORRECTNESS_r{live_round:02d}.json"
+    live_verdicts: dict[str, str] = {}
+    if live_file.exists():
+        rec = json.loads(live_file.read_text())
+        for op, v in rec.items():
+            ok = (
+                isinstance(v, dict) and v.get("rows_match")
+                and v.get("schema_match") and v.get("hash_match")
+            )
+            live_verdicts[op] = "green" if ok else "fail"
+    h[live_round] = {
+        n: live_verdicts.get(n, "pending") for n in live_window
+    }
+
+    qs = registry.all_queries()
+    ors = registry.all_oracles()
+    first_green: dict[str, int] = {}
+    gated_rounds: dict[str, list[str]] = {}
+    for rnd in sorted(h):
+        for op, verdict in h[rnd].items():
+            gated_rounds.setdefault(op, []).append(f"r{rnd}:{verdict}")
+            if verdict == "green" and op not in first_green:
+                first_green[op] = rnd
+
+    oracle_backed = [n for n in qs if n in ors]
+    rows_only = [n for n in qs if n not in ors]
+    ever_green = sorted(first_green)
+    pool = sorted(n for n in oracle_backed if n not in gated_rounds)
+
+    lines = [
+        "# DRIVER_COVERAGE — cumulative driver-gate ledger",
+        "",
+        "Auto-generated by `tools/gen_driver_coverage.py`; do not edit by",
+        "hand. The driver gates the first 50 `registry.all_queries()` entries",
+        "per round (CORRECTNESS_r{N}.json, overwritten each round); this file",
+        "is the durable cross-round record and the source of truth for the",
+        "rotation plan in `registry.py:_WINDOW_PRIORITY`.",
+        "",
+        f"- registered ops: **{len(qs)}** "
+        f"({len(oracle_backed)} oracle-backed, {len(rows_only)} rows-only)",
+        f"- driver-green at least once (r1–r{max(h)}): **{len(ever_green)}**",
+        f"- gated this round (r{live_round}, pending unless the round's "
+        f"CORRECTNESS file is on disk): {sum(1 for v in h[live_round].values() if v == 'pending')}",
+        f"- never driver-gated oracle-backed pool: **{len(pool)}**",
+        f"- rows-only (excluded from gate windows by design): "
+        f"{', '.join(f'`{n}`' for n in sorted(rows_only))}",
+        "",
+        "## Per-op ledger (every op ever gated)",
+        "",
+        "| op | gate history | first green |",
+        "|---|---|---|",
+    ]
+    for op in sorted(gated_rounds):
+        hist = ", ".join(gated_rounds[op])
+        fg = f"r{first_green[op]}" if op in first_green else "—"
+        lines.append(f"| `{op}` | {hist} | {fg} |")
+
+    lines += [
+        "",
+        f"## Never-gated oracle-backed pool ({len(pool)}) — rounds "
+        f"{max(h) + 1}+ draw from here",
+        "",
+    ]
+    for i in range(0, len(pool), 4):
+        lines.append(", ".join(f"`{n}`" for n in pool[i:i + 4]))
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    out = REPO / "DRIVER_COVERAGE.md"
+    out.write_text(build())
+    print(f"wrote {out}")
