@@ -396,3 +396,14 @@ def test_cached_stage_substitution_holds(spark):
         )
         got = plan.count("InMemoryTableScan")
         assert got >= at_least, f"{name}: {got} InMemoryTableScan < {at_least}"
+
+
+def test_q21_single_fact_scan(spark):
+    """tpch_q21 folds the EXISTS + NOT EXISTS double correlation into one
+    per-order aggregate: exactly ONE lineitem scan (the semi/anti plan read
+    it three times — measured 4.7x at 10x data; single-pass is 2.6x)."""
+    s = plan_of(spark, "tpch_q21")
+    assert s.count("lineitem.parquet") == 1, "q21 must scan lineitem once"
+    assert "CartesianProduct" not in s
+    # supplier attaches to the |orders|-grain aggregate via broadcast
+    assert "BroadcastHashJoin" in s
