@@ -4191,3 +4191,297 @@ def llm_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 scale-safe twins for the two quadratic dedup forms (VERDICT r4 #2).
+# Both compose the production pipeline's upstream EXACT-collapse stage
+# (identical content -> one representative) before the near-dup search:
+# exact duplicates are the degenerate case that makes any within-bucket /
+# within-cluster quadratic verify blow up (the anchors measured 20x/41x at
+# 10x data on the 90%-exact-dup amplified corpus), and every real corpus
+# runs hash-dedup first. Collapse is one linear shuffle on a content hash;
+# the near-dup stage then scales with DISTINCT content, which the 10x
+# amplification leaves unchanged (ratio ~1x, recorded in BASELINE.md).
+# ---------------------------------------------------------------------------
+
+_CB_MINHASH_ORACLE = """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps USING (doc_id)),
+    shingle AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM toks),
+    hashed AS (
+      SELECT doc_id, sh,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+      FROM shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, s.seed,
+             min((CAST(1000003 AS BIGINT) * (s.seed + 1) * h
+                  + 7919 * s.seed + 271) % 4294967291) AS mh
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS seed) s
+      GROUP BY doc_id, s.seed),
+    band AS (
+      SELECT doc_id, seed // 4 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared_cnt
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.shared_cnt AS DOUBLE) / least(za.n, zb.n), 6)
+             AS containment
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    WHERE CAST(s.shared_cnt AS DOUBLE) / least(za.n, zb.n) >= 0.2
+    ORDER BY containment DESC, s.doc_a, s.doc_b
+    LIMIT 100
+"""
+
+
+@register("llm_containment_banded", oracle=_CB_MINHASH_ORACLE)
+def llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``llm_containment_dedup``: the same asymmetric
+    containment verify (shared shingles / smaller doc's shingle count, the
+    Broder containment measure), made linear-time by two composed stages —
+
+    1. EXACT collapse: md5(text) groupBy keeps one representative doc_id
+       per distinct text (the upstream stage of every production dedup
+       pipeline; one shuffle carrying a 128-bit hash per doc). This removes
+       the duplicate-multiplicity blowup that made the anchor quadratic
+       (20x at 10x data on a 90%-exact-dup corpus).
+    2. MinHash-LSH banding over representatives only — the
+       ``llm_minhash_banding`` layout (one md5 + 20 affine integer lanes
+       per shingle, 5x4 bands, band-bucket self-join) — feeding the exact
+       containment verify at >= 0.2.
+
+    Documented recall tradeoff vs the anchor: minhash banding is tuned for
+    resemblance, so a tiny doc fully contained in a huge one (containment
+    1.0, Jaccard ~0.01) can miss all 5 bands; the anchor keeps the
+    exhaustive-within-source form as the semantic oracle. Deterministic
+    end-to-end — DuckDB replicates the affine signature bit-for-bit (all
+    arithmetic < 2^57), so the twin stays exactly hash-checkable."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    # cached: sizes + signature build + both sides of the containment verify
+    shingle = spark.sql(
+        """
+        SELECT doc_id, sh
+        FROM (SELECT d.doc_id, split(d.text, ' ') AS tk
+              FROM documents d
+              JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(text)) reps USING (doc_id))
+        LATERAL VIEW explode(array_distinct(transform(
+            sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
+        """
+    ).cache()
+    shingle.createOrReplaceTempView("__cb_shingle")
+    P = 4294967291  # largest 32-bit prime; a*h+b < 2^57, no 64-bit wrap
+    minhashes = ",\n".join(
+        f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
+        for s in range(20)
+    )
+    band_structs = ", ".join(
+        "struct({j} AS band_id, md5(concat_ws('|', {cols})) AS band_sig)".format(
+            j=j, cols=", ".join(f"cast(mh{4 * j + i} AS string)" for i in range(4))
+        )
+        for j in range(5)
+    )
+    # CTE-free below the cache points: WITH-CTE references are not rewritten
+    # by CacheManager's cached-plan substitution (round-4 finding), so every
+    # stage reads the cached views directly. All 20 lanes fold in ONE
+    # aggregation pass — the shuffle carries 20 columns x n_reps, never
+    # shingle x seed.
+    band = spark.sql(
+        f"""
+        SELECT doc_id, bs.band_id, bs.band_sig
+        FROM (
+          SELECT doc_id, {minhashes}
+          FROM (SELECT doc_id,
+                       cast(conv(substr(md5(sh), 1, 8), 16, 10) AS bigint) AS h
+                FROM __cb_shingle)
+          GROUP BY doc_id) sig
+        LATERAL VIEW explode(array({band_structs})) AS bs
+        """
+    ).cache()
+    band.createOrReplaceTempView("__cb_band")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(za), BROADCAST(zb) */
+               s.doc_a, s.doc_b,
+               round(cast(s.shared_cnt AS double) / least(za.n, zb.n), 6)
+                 AS containment
+        FROM (
+          SELECT c.doc_a, c.doc_b, count(*) AS shared_cnt
+          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM __cb_band a JOIN __cb_band b
+                  ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id) c
+          JOIN __cb_shingle sa ON sa.doc_id = c.doc_a
+          JOIN __cb_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+          GROUP BY c.doc_a, c.doc_b) s
+        JOIN (SELECT doc_id, count(*) AS n FROM __cb_shingle GROUP BY doc_id) za
+          ON za.doc_id = s.doc_a
+        JOIN (SELECT doc_id, count(*) AS n FROM __cb_shingle GROUP BY doc_id) zb
+          ON zb.doc_id = s.doc_b
+        WHERE cast(s.shared_cnt AS double) / least(za.n, zb.n) >= 0.2
+        ORDER BY containment DESC, s.doc_a, s.doc_b
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "llm_semdedup_sqrtn",
+    oracle=f"""
+    WITH reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+    re AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e JOIN reps USING (vec_id)),
+    params AS (
+      SELECT greatest(1, CAST(floor(count(*) / floor(sqrt(count(*))))
+                          AS BIGINT)) AS stride
+      FROM re),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM re
+      WHERE vec_id % (SELECT stride FROM params) = 0),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6)
+                          DESC, c.cent_id) AS rn
+        FROM re e CROSS JOIN cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.cent_id, b.vec_id AS dup_id
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN re ea ON ea.vec_id = a.vec_id
+      JOIN re eb ON eb.vec_id = b.vec_id
+      WHERE round({_DOT_ORACLE.format(a='ea.embedding', b='eb.embedding')}, 6)
+            >= {_SEMDEDUP_TAU}),
+    rem AS (
+      SELECT cent_id, count(DISTINCT dup_id) AS n_removed FROM pairs
+      GROUP BY cent_id),
+    tot AS (SELECT cent_id, count(*) AS n_total FROM assigned GROUP BY cent_id)
+    SELECT CAST((SELECT count(*) FROM embeddings)
+                - (SELECT count(*) FROM re) AS BIGINT) AS n_exact_collapsed,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(t.n_total) AS BIGINT) AS n_reps,
+           CAST(sum(COALESCE(r.n_removed, 0)) AS BIGINT) AS n_removed,
+           CAST(sum(t.n_total - COALESCE(r.n_removed, 0)) AS BIGINT) AS n_kept,
+           CAST(max(t.n_total) AS BIGINT) AS max_cluster
+    FROM tot t LEFT JOIN rem r ON r.cent_id = t.cent_id
+    """,
+)
+def llm_semdedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``llm_semdedup_centroid`` (SemDeDup, public arXiv
+    2303.09540) with the two changes that make semantic dedup survive a
+    100 TB corpus:
+
+    1. EXACT collapse first: identical embedding vectors keep one
+       representative (groupBy on the vector — one linear shuffle).
+       Exact-duplicate vectors are the degenerate case for within-cluster
+       pair search (the k=16 anchor measured 41x at 10x data on the
+       90%-exact-dup corpus); they are already found by hash dedup, so
+       the semantic stage should never re-discover them pairwise.
+    2. k = floor(sqrt(N_reps)) clusters instead of fixed k=16: expected
+       within-cluster pair work drops from O(N^2/16) to O(N^1.5), the
+       standard SemDeDup/IVF operating point — cluster count grows with
+       the corpus so per-cluster blocks stay bounded.
+
+    Corpus-level summary grain (collapsed count, cluster count, reps,
+    removed, kept, max cluster) so the schema is stable while k varies
+    with N. Deterministic: centroids are the representatives whose vec_id
+    is a multiple of stride = floor(N_reps/k) — an O(1)-per-row rule (no
+    global sort / unpartitioned window; stand-ins for trained
+    ``ml_kmeans_lloyd`` means), keep-lowest-vec_id dedup rule — exactly
+    oracle-checkable at any sf.
+
+    The collapsed representative set is CACHED and referenced via a temp
+    view, not a CTE: the stride scalar, centroid filter, assignment, and
+    both verify sides read it (5 references), and WITH-CTE definitions are
+    not rewritten by CacheManager's cached-plan substitution (round-4
+    finding) — the CTE form recomputed the vector-groupBy collapse per
+    reference."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    re_df = spark.sql(
+        """
+        SELECT vec_id, embedding
+        FROM (SELECT min(vec_id) AS vec_id FROM embeddings
+              GROUP BY embedding) r
+        JOIN embeddings USING (vec_id)
+        """
+    ).cache()
+    re_df.createOrReplaceTempView("__sq_reps")
+    assigned = spark.sql(
+        """
+        SELECT vec_id, cent_id FROM (
+          SELECT /*+ BROADCAST(c) */ e.vec_id, c.cent_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(aggregate(
+                              zip_with(e.embedding, c.cent,
+                                       (x, y) -> cast(x AS double) * cast(y AS double)),
+                              cast(0.0 AS double), (acc, v) -> acc + v), 6)
+                            DESC, c.cent_id) AS rn
+          FROM __sq_reps e
+          CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
+                      FROM __sq_reps
+                      WHERE vec_id % (SELECT greatest(1, cast(floor(count(*) /
+                                floor(sqrt(count(*)))) AS bigint))
+                                      FROM __sq_reps) = 0) c)
+        WHERE rn = 1
+        """
+    ).cache()
+    assigned.createOrReplaceTempView("__sq_assigned")
+    return spark.sql(
+        f"""
+        SELECT cast((SELECT count(*) FROM embeddings)
+                    - (SELECT count(*) FROM __sq_reps) AS bigint)
+                 AS n_exact_collapsed,
+               cast(count(*) AS bigint) AS n_clusters,
+               cast(sum(t.n_total) AS bigint) AS n_reps,
+               cast(sum(COALESCE(r.n_removed, 0)) AS bigint) AS n_removed,
+               cast(sum(t.n_total - COALESCE(r.n_removed, 0)) AS bigint) AS n_kept,
+               cast(max(t.n_total) AS bigint) AS max_cluster
+        FROM (SELECT cent_id, count(*) AS n_total
+              FROM __sq_assigned GROUP BY cent_id) t
+        LEFT JOIN (
+          SELECT cent_id, count(DISTINCT dup_id) AS n_removed
+          FROM (SELECT a.cent_id, b.vec_id AS dup_id
+                FROM __sq_assigned a
+                JOIN __sq_assigned b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                JOIN __sq_reps ea ON ea.vec_id = a.vec_id
+                JOIN __sq_reps eb ON eb.vec_id = b.vec_id
+                WHERE round(aggregate(
+                        zip_with(ea.embedding, eb.embedding,
+                                 (x, y) -> cast(x AS double) * cast(y AS double)),
+                        cast(0.0 AS double), (acc, v) -> acc + v), 6)
+                      >= {_SEMDEDUP_TAU})
+          GROUP BY cent_id) r ON r.cent_id = t.cent_id
+        """
+    )

@@ -162,6 +162,8 @@ def test_full_surface_plan_hygiene(spark):
         "ts_rfm_segmentation",     # 1-row median-cutpoint broadcast
         "llm_importance_resample", # 1-row min-lang-count broadcast
         "llm_semdedup_centroid",   # 16-row centroid broadcast (IVF pattern)
+        "llm_semdedup_sqrtn",      # sqrt(N_reps)-row centroid broadcast (IVF
+                                   # assignment grain — bounded at k ~ sqrt(N))
         "ml_naive_bayes_langid",   # 5-row lang-totals + 1-row vocab broadcast
         "ml_decision_stump",       # 9-row threshold-grid broadcast
         "llm_epoch_repetition_plan",  # 1-row corpus-total broadcast
