@@ -606,3 +606,162 @@ def test_runs_test_extremes(spark):
     alt = [0, 5, 0, 5, 0, 5, 0, 5]                # perfectly alternating
     n_runs, n_moves = runs_of(alt)
     assert n_moves == 7 and n_runs == 7
+
+
+def _copy_embeddings(src_dir, dst_dir, permute=False, id_shift=0):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import numpy as np
+    import os
+
+    tbl = pq.read_table(f"{src_dir}/embeddings.parquet")
+    if permute:
+        idx = np.random.RandomState(7).permutation(len(tbl))
+        tbl = tbl.take(idx)
+    if id_shift:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.compute.add(tbl["vec_id"], id_shift),
+        )
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(tbl, f"{dst_dir}/embeddings.parquet")
+
+
+def test_kmeans_invariant_under_row_permutation_and_id_shift(spark, tmp_path):
+    """ml_kmeans_lloyd is a deterministic distributed fixed point: its
+    output (sizes, inertia, centroid checksums) must not depend on the
+    physical row order of the input, and a constant vec_id shift (same
+    vectors, same relative order, so the same init) must relabel nothing."""
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    q = all_queries()["ml_kmeans_lloyd"]
+    base = "/root/testdata/sf0.001"
+
+    def run(sf_dir):
+        rows = q(spark, sf_dir).orderBy("cid").collect()
+        return [(r["cid"], r["n_members"], r["inertia"], r["centroid_checksum"])
+                for r in rows]
+
+    ref = run(base)
+    perm_dir = str(tmp_path / "perm")
+    _copy_embeddings(base, perm_dir, permute=True)
+    assert run(perm_dir) == ref, "row order changed the k-means fixed point"
+    shift_dir = str(tmp_path / "shift")
+    _copy_embeddings(base, shift_dir, id_shift=100000)
+    assert run(shift_dir) == ref, "vec_id shift changed sizes/inertia/centroids"
+
+
+def test_pagerank_mass_conservation_and_damping_boundary(spark):
+    """The graph_pagerank superstep (scatter pr/outdeg -> gather sum ->
+    teleport blend) on the same deterministic out-degree-2 graph: total
+    rank mass stays exactly 1 every iteration (out-degree 2 scatters all
+    mass), and damping -> 0 collapses to the uniform distribution after
+    one step regardless of the graph."""
+    from pyspark.sql import functions as F
+
+    n = 50
+    users = spark.range(n).select(F.col("id").alias("user_id"))
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array((F.col("user_id") * 7 + 13) % n,
+                    (F.col("user_id") * 11 + 5) % n)
+        ).alias("dst"),
+    ).cache()
+
+    def step(ranks, d):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("user_id", "src"), "src")
+            .groupBy(F.col("dst").alias("user_id"))
+            .agg(F.sum(F.col("pr") / 2).alias("in_sum"))
+        )
+        return users.join(contrib, "user_id", "left").select(
+            "user_id",
+            (F.lit((1.0 - d) / n)
+             + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pr"),
+        )
+
+    ranks = users.select("user_id", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(4):
+        ranks = step(ranks, 0.85)
+        total = ranks.agg(F.sum("pr")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9, f"rank mass drifted: {total}"
+
+    uniform = step(ranks, 0.0).select("pr").distinct().collect()
+    assert len(uniform) == 1 and abs(uniform[0][0] - 1.0 / n) < 1e-12
+
+
+@given(
+    a=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=25),
+    b=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_ks_statistic_matches_bruteforce_ecdf(spark, a, b):
+    """agg_ks_test_two_sample's level-grain windowed formula == the
+    brute-force sup|ECDF_a - ECDF_b| over the union support."""
+    rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+    df = spark.createDataFrame(rows, "v double, grp int")
+    df.createOrReplaceTempView("__ksbf_probe")
+    d_sql = spark.sql(
+        """
+        WITH lev AS (
+          SELECT v, sum(grp) AS na, count(*) - sum(grp) AS nb
+          FROM __ksbf_probe GROUP BY v),
+        tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM lev),
+        cum AS (
+          SELECT sum(na) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                 sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+          FROM lev)
+        SELECT round(max(abs(CAST(ca AS DOUBLE) / tot.ta
+                            - CAST(cb AS DOUBLE) / tot.tb)), 6) AS d
+        FROM cum CROSS JOIN tot GROUP BY tot.ta, tot.tb
+        """
+    ).collect()[0]["d"]
+
+    support = sorted(set(a) | set(b))
+    brute = max(
+        abs(sum(1 for x in a if x <= s) / len(a)
+            - sum(1 for x in b if x <= s) / len(b))
+        for s in support
+    )
+    assert d_sql == round(brute, 6)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8),
+                  st.integers(min_value=0, max_value=1)),
+        min_size=2, max_size=30,
+    ).filter(lambda rs: 0 < sum(y for _, y in rs) < len(rs)),
+)
+@settings(max_examples=8, deadline=None)
+def test_auc_equals_mann_whitney_bruteforce(spark, rows):
+    """ml_roc_auc's level-grain trapezoid formula == the Mann-Whitney
+    U statistic (P(score_pos > score_neg) + 0.5 P(tie)) by brute force."""
+    df = spark.createDataFrame([(float(v), y) for v, y in rows], "v double, y int")
+    df.createOrReplaceTempView("__aucbf_probe")
+    auc_sql = spark.sql(
+        """
+        WITH lev AS (
+          SELECT v, sum(y) AS p, count(*) - sum(y) AS n
+          FROM __aucbf_probe GROUP BY v),
+        ord2 AS (
+          SELECT p, n,
+                 sum(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS n_below
+          FROM lev),
+        tot AS (SELECT sum(p) AS tp, sum(n) AS tn FROM lev)
+        SELECT round(sum(p * (n_below + 0.5 * n))
+                     / (CAST(tot.tp AS DOUBLE) * tot.tn), 6) AS auc
+        FROM ord2 CROSS JOIN tot GROUP BY tot.tp, tot.tn
+        """
+    ).collect()[0]["auc"]
+
+    pos = [v for v, y in rows if y == 1]
+    neg = [v for v, y in rows if y == 0]
+    u = sum(1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg)
+    assert auc_sql == round(u / (len(pos) * len(neg)), 6)

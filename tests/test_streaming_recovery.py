@@ -211,3 +211,194 @@ def test_watermark_late_replay_is_deterministic(spark):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def _stage_event_slices(spark, tag, order):
+    """Split events into 4 disjoint slices (event_id % 4) and stage them as
+    separate files whose mtimes force the given arrival order (the file
+    source orders batches by timestamp, then path)."""
+    src = scratch_dir(f"slices_{tag}")
+    stage = scratch_dir(f"slices_stage_{tag}")
+    for d in (src, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    now = 1_700_000_000
+    for rank, part in enumerate(order):
+        out = os.path.join(stage, str(part))
+        events.where(F.col("event_id") % 4 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        part_file = next(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"slice_{part}.parquet")
+        shutil.copy(os.path.join(out, part_file), dst)
+        os.utime(dst, (now + rank, now + rank))
+    return src
+
+
+def _events_stream_over(spark, src):
+    kind = _sniff_events_ts_kind(f"{SF_ORACLE}/events.parquet")
+    schema = SCHEMAS["events"] if kind == "us" else EVENTS_READ_SCHEMA
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    out = reader.parquet(src)
+    return out if kind == "us" else _events_ts_to_timestamp(out)
+
+
+def test_topk_candidate_merge_is_arrival_order_independent(spark):
+    """stream_topk_per_window's candidate-merge pattern over N=4 disjoint
+    micro-batches: the merged exact top-3 equals the single-pass batch
+    answer under BOTH a forward and a reversed file arrival order (a
+    global top-3 element is necessarily in its own batch's local top-3,
+    so the candidate union is order-insensitive by construction — this
+    pins it)."""
+    from pyspark.sql.window import Window
+
+    def run(order, tag):
+        src = _stage_event_slices(spark, tag, order)
+        stream = _events_stream_over(spark, src).select(
+            F.date_trunc("hour", "ts").alias("win_start"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "event_id",
+        )
+        candidates = []
+
+        def collect_topk(batch_df, batch_id):
+            w = Window.partitionBy("win_start", "event_type").orderBy(
+                F.col("value").desc(), "event_id"
+            )
+            rows = (
+                batch_df.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= 3)
+                .select("win_start", "event_type", "value", "event_id")
+                .collect()
+            )
+            candidates.extend((r[0], r[1], r[2], r[3]) for r in rows)
+
+        q = (
+            stream.writeStream.foreachBatch(collect_topk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cand = spark.createDataFrame(
+            candidates,
+            "win_start timestamp, event_type string, value double, event_id long",
+        ).dropDuplicates(["win_start", "event_type", "event_id"])
+        w = Window.partitionBy("win_start", "event_type").orderBy(
+            F.col("value").desc(), "event_id"
+        )
+        return sorted(
+            (r[0], r[1], r[2], r[3])
+            for r in cand.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("win_start", "event_type", "rnk", "value")
+            .collect()
+        )
+
+    fwd = run([0, 1, 2, 3], "topk_fwd")
+    rev = run([3, 2, 1, 0], "topk_rev")
+    assert fwd == rev, "candidate merge depended on arrival order"
+
+    w = Window.partitionBy("win_start", "event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    batch = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select(
+            F.date_trunc("hour", "ts").alias("win_start"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "event_id",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "rnk", "value")
+        .collect()
+    )
+    assert fwd == batch, "merged top-3 != single-pass batch top-3"
+
+
+def test_cdc_last_writer_state_is_arrival_order_independent(spark):
+    """stream_cdc_latest_upsert's last-writer-wins merge over N=4 disjoint
+    micro-batches: final per-key state equals the batch latest-per-key
+    answer under forward AND reversed arrival order (the (ts, event_id)
+    comparison — not batch recency — decides every merge), while the
+    applied-count audit sums to the key's total row count either way."""
+
+    def run(order, tag):
+        src = _stage_event_slices(spark, tag, order)
+        stream = _events_stream_over(spark, src)
+        state, applied = {}, {}
+
+        def merge(batch_df, batch_id):
+            rows = (
+                batch_df.where(F.col("user_id") < 20)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            F.unix_micros("ts").alias("ts_us"),
+                            F.col("event_id"),
+                            F.round("value", 2).alias("v"),
+                        ),
+                        F.struct(F.unix_micros("ts"), F.col("event_id")),
+                    ).alias("last"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            for r in rows:
+                k = r["user_id"]
+                cur = (r["last"]["ts_us"], r["last"]["event_id"], r["last"]["v"])
+                if k not in state or (cur[0], cur[1]) > (state[k][0], state[k][1]):
+                    state[k] = cur
+                applied[k] = applied.get(k, 0) + r["n"]
+
+        q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+        q.awaitTermination()
+        return state, applied
+
+    s_fwd, a_fwd = run([0, 1, 2, 3], "cdc_fwd")
+    s_rev, a_rev = run([3, 2, 1, 0], "cdc_rev")
+    assert s_fwd == s_rev, "last-writer state depended on arrival order"
+    assert a_fwd == a_rev
+
+    batch = {
+        r["user_id"]: (r["ts_us"], r["event_id"], r["v"])
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.unix_micros(
+                F.col("ts").cast("timestamp")
+                if dict(spark.read.parquet(f"{SF_ORACLE}/events.parquet").dtypes)[
+                    "ts"
+                ].startswith("timestamp")
+                else (F.col("ts") / 1000).cast("timestamp")
+            ).alias("ts_us"),
+            "event_id",
+            F.round("value", 2).alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts_us", "event_id", "v"), F.struct("ts_us", "event_id")
+            ).alias("last")
+        )
+        .select("user_id", "last.ts_us", "last.event_id", "last.v")
+        .collect()
+    }
+    assert s_fwd == batch, "streamed state != batch latest-per-key"
+    n_per_key = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert a_fwd == n_per_key, "applied-count audit lost or double-counted rows"
