@@ -4485,3 +4485,142 @@ def llm_semdedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY cent_id) r ON r.cent_id = t.cent_id
         """
     )
+
+
+_DUPDIST_SQL = """
+    WITH clusters AS (
+      SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY md5(text))
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           round(CAST(sz * count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM documents), 6) AS corpus_share,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY sz ORDER BY sz
+"""
+
+
+@register("llm_dup_cluster_size_dist", oracle=_DUPDIST_SQL)
+def llm_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution — the governance readout
+    that sizes a dedup run BEFORE paying for it (how many clusters of
+    size 2, 3, ...; what fraction of the corpus is removable as
+    non-representative copies). Two hash aggregates: content digest →
+    cluster sizes, then sizes → histogram; the shuffle carries one
+    128-bit hash per doc, then one row per distinct size. The n_removable
+    column is exactly the row count llm_exact_dedup would drop — pinned
+    by the shared md5(text) grouping."""
+    return sql_q(spark, sf_dir, _DUPDIST_SQL)
+
+
+def _ppl_buckets_sql(tok_expr: str, pdisc33: str, pdisc67: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {tok_expr} AS token FROM documents),
+    freq AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+        SELECT t.doc_id, t.lang, round(avg(-ln(f.c / tot.n)), 6) AS nll
+        FROM tok t JOIN freq f ON t.token = f.token, tot
+        GROUP BY t.doc_id, t.lang),
+    cuts AS (
+        SELECT lang, {pdisc33} AS p33, {pdisc67} AS p67
+        FROM scored GROUP BY lang)
+    SELECT s.lang,
+           CASE WHEN s.nll <= c.p33 THEN 'head'
+                WHEN s.nll <= c.p67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(s.nll), 6) AS avg_nll
+    FROM scored s JOIN cuts c ON c.lang = s.lang
+    GROUP BY s.lang, CASE WHEN s.nll <= c.p33 THEN 'head'
+                          WHEN s.nll <= c.p67 THEN 'middle'
+                          ELSE 'tail' END
+    ORDER BY s.lang, bucket
+    """
+
+
+@register(
+    "llm_perplexity_buckets",
+    oracle=_ppl_buckets_sql(
+        "unnest(string_split(text, ' '))",
+        "quantile_disc(nll, 0.33)", "quantile_disc(nll, 0.67)"
+    ),
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the unigram
+    NLL proxy (the llm_perplexity_proxy statistic), then split each
+    language into head / middle / tail tertiles at per-language
+    percentile_disc cutoffs — the standard quality-stratification that
+    decides which third of a crawl gets kept, reweighted, or dropped.
+    percentile_disc returns actual data values (no interpolation), so the
+    cutoff comparison is exact in both engines; the rounded (6 dp) NLL is
+    the bucketing key in BOTH the score and the cutoff, keeping boundary
+    docs on the same side. Plan: token explode → broadcast unigram table →
+    per-doc agg → per-lang cutoff agg (|langs| rows, broadcast back) →
+    bucket counts; no row-grain window anywhere."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _ppl_buckets_sql(
+            "explode(split(text, ' '))",
+            "percentile_disc(0.33) WITHIN GROUP (ORDER BY nll)",
+            "percentile_disc(0.67) WITHIN GROUP (ORDER BY nll)",
+        ),
+    )
+
+
+def _dsir_sql(tok_expr: str, bucket_expr: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, {bucket_expr} AS b
+        FROM (SELECT doc_id, lang, {tok_expr} AS token
+              FROM documents) raw),
+    feat AS (
+        SELECT b,
+               CAST(count(*) FILTER (WHERE lang = 'en') + 1 AS DOUBLE) AS ct,
+               CAST(count(*) + 1 AS DOUBLE) AS cr
+        FROM tok GROUP BY b),
+    tots AS (
+        SELECT sum(ct) AS st, sum(cr) AS sr FROM feat),
+    lw AS (
+        SELECT b, ln((ct / tots.st) / (cr / tots.sr)) AS w
+        FROM feat CROSS JOIN tots)
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(lw.w), 6) AS dsir_weight
+    FROM tok t JOIN lw ON lw.b = t.b
+    GROUP BY t.doc_id, t.lang
+    ORDER BY dsir_weight DESC, t.doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "llm_dsir_importance",
+    oracle=_dsir_sql(
+        "unnest(string_split(text, ' '))",
+        "CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT) % 64",
+    ),
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public arXiv
+    2302.03169): hash every token into 64 feature buckets, estimate the
+    bucket distribution of the TARGET domain (lang='en' here, standing in
+    for a high-quality reference corpus) and of the RAW corpus with add-1
+    smoothing, and score each document by the mean log-ratio
+    ln(p_target/p_raw) of its tokens' buckets — documents whose n-gram
+    profile looks like the target float up, and importance resampling
+    keeps them. Top-20 by weight. Plan: token explode → 64-row feature
+    aggregate (conditional count builds BOTH distributions in one pass) →
+    broadcast the 64 log-ratios back → per-doc mean → TakeOrdered 20.
+    One shuffle on the bucket, one on doc_id; linear at any scale."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _dsir_sql(
+            "explode(split(text, ' '))",
+            "cast(conv(substr(md5(token), 1, 4), 16, 10) AS bigint) % 64",
+        ),
+    )

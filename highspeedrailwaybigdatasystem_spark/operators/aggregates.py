@@ -1848,3 +1848,106 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tot.ta, tot.tb
         """,
     )
+
+
+_MWU_SQL = """
+    WITH s AS (
+      SELECT round(value, 2) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('click', 'view')),
+    lev AS (SELECT v, sum(a) AS na, count(*) AS nt FROM s GROUP BY v),
+    cum AS (
+      SELECT v, na, nt,
+             sum(nt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS below
+      FROM lev),
+    agg AS (
+      SELECT sum(na * (below + (nt + 1) / 2.0)) AS r1,
+             sum(na) AS n1, sum(nt) - sum(na) AS n2, sum(nt) AS n,
+             sum(CAST(nt AS DOUBLE) * nt * nt - nt) AS tie3
+      FROM cum)
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           round(CAST(r1 - n1 * (n1 + 1) / 2.0 AS DOUBLE), 2) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - tie3 / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+             AS z_score
+    FROM agg
+"""
+
+
+@register("agg_mann_whitney_u", oracle=_MWU_SQL)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the click and view value
+    distributions — the nonparametric sibling of ``agg_welch_t_test`` (and
+    the population-level statistic whose pairwise form IS the ROC AUC, see
+    ``test_auc_equals_mann_whitney_bruteforce``). Rank sums come from the
+    level grain: group by the two-decimal value level (the same bounded
+    domain convention as ml_roc_auc / agg_ks_test_two_sample — ≤49k levels
+    by construction), one cumulative window over levels gives every
+    level's midrank, so the window input is the bounded level set, never
+    the event count, and ties get the exact midrank + the standard
+    tie-corrected normal variance. Closed form after one scan + one level
+    aggregation at any scale."""
+    return sql_q(spark, sf_dir, _MWU_SQL)
+
+
+_SPEARMAN_SQL = """
+    WITH r AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               AS rx,
+             rank() OVER (PARTITION BY event_type ORDER BY {ts_expr})
+               + (count(*) OVER (PARTITION BY event_type, {ts_expr}) - 1) / 2.0
+               AS ry
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho
+    FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "agg_spearman_rho",
+    oracle=_SPEARMAN_SQL.format(ts_expr="epoch_us(CAST(ts AS TIMESTAMP))"),
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and event time per
+    event type — the monotone-trend detector that is robust where Pearson
+    (``agg_corr_covar``) is linear-only. Midranks (rank() + (ties-1)/2)
+    make tied values exact; rho is then Pearson's corr of the two rank
+    columns in the same partitioned window pass — two windows + one agg,
+    all on the event_type shuffle key, no global sort. At 100 TB the
+    per-type rank would shard via the _range_prefix partition-offset
+    pattern (operators/windows.py) instead of one window task per type;
+    the statistic is unchanged."""
+    return sql_q(spark, sf_dir, _SPEARMAN_SQL.format(ts_expr="unix_micros(ts)"))
+
+
+_PAIRED_T_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS mc,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS mv
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT mc - mv AS diff FROM per_user
+      WHERE mc IS NOT NULL AND mv IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(diff), 6) AS mean_diff,
+           round(stddev_samp(diff), 6) AS sd_diff,
+           round(avg(diff) / (stddev_samp(diff) / sqrt(count(*))), 6) AS t_stat
+    FROM d
+"""
+
+
+@register("agg_paired_t_test", oracle=_PAIRED_T_SQL)
+def agg_paired_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-user click-vs-view mean values (users with both
+    behaviors form the pairs) — the within-subject design that removes
+    between-user variance, complementing the unpaired ``agg_welch_t_test``.
+    One user_id aggregation builds the pairs (conditional means fold
+    map-side), then the t statistic is closed-form over the difference
+    column — two hash aggregates, no join, no window."""
+    return sql_q(spark, sf_dir, _PAIRED_T_SQL)

@@ -694,3 +694,111 @@ def ml_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells
         """,
     )
+
+
+_DOT16 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+    " cast(0.0 AS double), (acc, v) -> acc + v)"
+)
+_DOT16_DUCK = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _confusion_sql(dot: str) -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent, label AS cent_label
+      FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, true_label, pred_label FROM (
+        SELECT e.vec_id, e.label AS true_label, c.cent_label AS pred_label,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({dot}, 6) DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    cm AS (
+      SELECT true_label, pred_label, count(*) AS n
+      FROM assigned GROUP BY true_label, pred_label),
+    per_class AS (
+      SELECT true_label AS label,
+             sum(CASE WHEN pred_label = true_label THEN n ELSE 0 END) AS tp,
+             sum(n) AS support
+      FROM cm GROUP BY true_label),
+    per_pred AS (
+      SELECT pred_label AS label, sum(n) AS n_pred FROM cm GROUP BY pred_label)
+    SELECT c.label, CAST(c.support AS BIGINT) AS support,
+           CAST(c.tp AS BIGINT) AS tp,
+           round(CAST(c.tp AS DOUBLE) / c.support, 6) AS recall,
+           round(CAST(c.tp AS DOUBLE) / p.n_pred, 6) AS precision,
+           round(CAST(2 * c.tp AS DOUBLE) / (c.support + p.n_pred), 6) AS f1
+    FROM per_class c JOIN per_pred p ON p.label = c.label
+    ORDER BY c.label
+    """
+
+
+@register(
+    "ml_confusion_matrix_multiclass",
+    oracle=_confusion_sql(_DOT16_DUCK.format(a="e.embedding", b="c.cent")),
+)
+def ml_confusion_matrix_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion-matrix metrics for the nearest-centroid
+    classifier (assign every vector to the closest of the 16 convention
+    centroids — the same vec_id<16 quantizer as ml_silhouette_simplified —
+    and predict that centroid's label): per-class support, true positives,
+    precision, recall, F1. The 16-row centroid broadcast + map-side argmax
+    is the IVF assignment pattern (bounded BNLJ); everything after is
+    |classes|²-grain aggregation. Classes missing from either axis drop
+    via the inner join — both engines agree (only labels that are both
+    predicted and true appear; full support since centroids cover
+    labels)."""
+    return sql_q(
+        spark, sf_dir, _confusion_sql(_DOT16.format(a="e.embedding", b="c.cent"))
+    )
+
+
+def _pr_auc_sql(first: str) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT round({first}, 2) AS s,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    lev AS (SELECT s, sum(y) AS p, count(*) - sum(y) AS n
+            FROM scored GROUP BY s),
+    tot AS (SELECT sum(p) AS tp_all FROM lev),
+    curve AS (
+      SELECT s,
+             sum(p) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             sum(p + n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM lev),
+    pts AS (
+      SELECT CAST(ctp AS DOUBLE) / tot.tp_all AS recall,
+             CAST(ctp AS DOUBLE) / cn AS prec,
+             lag(CAST(ctp AS DOUBLE) / tot.tp_all)
+               OVER (ORDER BY s DESC) AS r_prev,
+             lag(CAST(ctp AS DOUBLE) / cn) OVER (ORDER BY s DESC) AS p_prev
+      FROM curve CROSS JOIN tot)
+    SELECT round(sum((recall - COALESCE(r_prev, 0.0))
+                     * (prec + COALESCE(p_prev, prec)) / 2.0), 6) AS pr_auc
+    FROM pts
+    """
+
+
+@register(
+    "ml_pr_auc_trapezoid",
+    oracle=_pr_auc_sql("CAST(embedding[1] AS DOUBLE)"),
+)
+def ml_pr_auc_trapezoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area under the precision-recall curve (trapezoidal rule between
+    distinct score levels) for the binary task y = (label = 0) scored by
+    the first embedding component — the rare-class counterpart of
+    ml_roc_auc (PR-AUC degrades where ROC-AUC hides class imbalance).
+    Same level-grain layout as the ROC op: group rows to two-decimal
+    score levels, one cumulative window over the bounded level set builds
+    the curve, trapezoids sum in the same pass — the window input is
+    never row-grain."""
+    return sql_q(spark, sf_dir, _pr_auc_sql("CAST(embedding[0] AS DOUBLE)"))

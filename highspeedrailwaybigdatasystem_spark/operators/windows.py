@@ -823,3 +823,55 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rolled WHERE n_win = 7
         """,
     )
+
+
+#: Rolling mean/stddev run on FIXED-POINT integers (4-dp grid): sliding
+#: window aggregates use incremental add/remove accumulators whose float
+#: drift differs between engines (observed 1e-5 at sf0.001); integer sums
+#: are exact, and the statistic is closed-form from (n, Σx, Σx²).
+_BOLLINGER_SQL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', {ts}) AS d,
+             CAST(round(avg(value) * 10000, 0) AS BIGINT) AS v4
+      FROM events GROUP BY event_type, date_trunc('day', {ts})),
+    acc AS (
+      SELECT event_type, d, v4,
+             count(*) OVER w AS n_win,
+             sum(v4) OVER w AS s1,
+             sum(v4 * v4) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    bands AS (
+      SELECT event_type, d, v4,
+             CAST(s1 AS DOUBLE) / 7 / 10000 AS ma,
+             sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / (7 * 6)) / 10000 AS sd
+      FROM acc WHERE n_win = 7)
+    SELECT event_type, d, round(CAST(v4 AS DOUBLE) / 10000, 4) AS v,
+           round(ma, 6) AS ma,
+           round(ma + 2 * sd, 6) AS upper_band,
+           round(ma - 2 * sd, 6) AS lower_band,
+           CASE WHEN v4 > (ma + 2 * sd) * 10000 THEN 1
+                WHEN v4 < (ma - 2 * sd) * 10000 THEN -1 ELSE 0 END AS breakout
+    FROM bands
+"""
+
+
+@register(
+    "win_bollinger_bands",
+    oracle=_BOLLINGER_SQL.format(ts="CAST(ts AS TIMESTAMP)"),
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day moving mean ± 2 rolling sample stddevs) over
+    the per-type daily value series, with a breakout flag when the day
+    closes outside its band — the volatility-envelope monitor that pairs
+    with ts_anomaly's z-score (which uses a LAGGED window; this one is
+    inclusive, the charting convention). Window input is the daily rollup
+    (|days| × |types| rows — bounded grain), partitioned by type: one
+    shuffle for the rollup, one for the window, rows requiring a full
+    7-day frame only so both engines agree at the series head. The
+    rolling moments accumulate in 4-dp fixed-point integers — sliding
+    frames use add/remove float accumulators whose drift differs per
+    engine, while integer (n, Σx, Σx²) is exact and the band is closed
+    form from it."""
+    return sql_q(spark, sf_dir, _BOLLINGER_SQL.format(ts="ts"))

@@ -151,6 +151,9 @@ def test_full_surface_plan_hygiene(spark):
         "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
         # 1-row aggregate crossJoins:
         "ts_funnel", "etl_dq_audit", "llm_source_mixture", "llm_perplexity_proxy",
+        "llm_perplexity_buckets",  # same 1-row unigram-total broadcast as proxy
+        "llm_dsir_importance",     # 64-row feature table × 1-row totals broadcast
+        "ml_pr_auc_trapezoid",     # 1-row positives-total broadcast (ROC pattern)
         "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
@@ -171,6 +174,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_benford_deviation",   # 1-row digit-total broadcast
         "agg_chi_square_independence",  # 1-row grand-total broadcast
         "ml_roc_auc",              # 1-row P/N-totals broadcast
+        "ml_confusion_matrix_multiclass",  # 16-row centroid broadcast (IVF)
         "llm_hard_negative_mining",  # 1-row anchor broadcast (top-k scan)
         "llm_rag_context_pack",    # 1-row probe broadcast (top-20 scan)
         "llm_data_scaling_curve",  # 4-row cut grid + (cut x lang) model broadcasts
@@ -196,6 +200,8 @@ def test_full_surface_plan_hygiene(spark):
         "ml_roc_auc",        # over DISTINCT SCORE LEVELS — ≤49k rows by
                              # construction (two-decimal score domain)
         "agg_ks_test_two_sample",  # ECDF window over the same bounded level grain
+        "agg_mann_whitney_u",  # midrank window over the two-decimal level grain
+        "ml_pr_auc_trapezoid",  # PR curve over the two-decimal level grain
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
