@@ -1743,3 +1743,51 @@ def ts_weekday_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells GROUP BY event_type
         """,
     )
+
+
+_CHANGEPOINT_SQL = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', {ts}) AS h,
+             CAST(round(avg(value) * 10000, 0) AS BIGINT) AS v4
+      FROM events GROUP BY date_trunc('hour', {ts})),
+    c AS (
+      SELECT h, v4,
+             row_number() OVER (ORDER BY h) AS k,
+             sum(v4) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             count(*) OVER () AS n,
+             sum(v4) OVER () AS s
+      FROM hourly),
+    stats AS (
+      SELECT h, k, n,
+             CAST(cs AS DOUBLE) / k / 10000 AS mean_left,
+             CAST(s - cs AS DOUBLE) / (n - k) / 10000 AS mean_right,
+             abs(CAST(cs AS DOUBLE) / k - CAST(s - cs AS DOUBLE) / (n - k))
+               / 10000 * sqrt(CAST(k AS DOUBLE) * (n - k) / n) AS shift_stat
+      FROM c WHERE k < n)
+    SELECT h AS split_after, CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           round(mean_left, 6) AS mean_left,
+           round(mean_right, 6) AS mean_right,
+           round(shift_stat, 6) AS shift_stat
+    FROM stats
+    ORDER BY shift_stat DESC, h
+    LIMIT 1
+"""
+
+
+@register(
+    "ts_changepoint_mean_shift",
+    oracle=_CHANGEPOINT_SQL.format(ts="CAST(ts AS TIMESTAMP)"),
+)
+def ts_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint detection (binary-segmentation first
+    split): evaluate every hour boundary k of the hourly mean series and
+    pick the split maximizing |mean_left − mean_right|·√(k(n−k)/n) — the
+    CUSUM-equivalent scan statistic that locates the level shift
+    ts_cusum_drift only flags. Hourly means accumulate in 4-dp
+    fixed-point integers so both engines' cumulative sums are exact (the
+    same drift-proofing as win_bollinger_bands). Window input is the
+    hour grain (|hours| rows, bounded) — the cumulative/total windows
+    never see event rows; one TakeOrdered(1) picks the argmax."""
+    return sql_q(spark, sf_dir, _CHANGEPOINT_SQL.format(ts="ts"))
