@@ -4624,3 +4624,90 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substr(md5(token), 1, 4), 16, 10) AS bigint) % 64",
         ),
     )
+
+
+_XSNAP_SQL = """
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 2 = 1)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(hist.h) AS BIGINT) AS n_dup_vs_hist,
+           CAST(count(*) - count(hist.h) AS BIGINT) AS n_new,
+           CAST(count(DISTINCT CASE WHEN hist.h IS NULL THEN b.h END)
+                AS BIGINT) AS n_new_unique,
+           round(CAST(count(hist.h) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM batch b LEFT JOIN hist ON hist.h = b.h
+    GROUP BY b.source ORDER BY b.source
+"""
+
+
+@register("llm_cross_snapshot_dedup", oracle=_XSNAP_SQL)
+def llm_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup audit: dedupe an arriving batch (odd
+    doc_ids, standing in for today's crawl) against the historical
+    snapshot (even doc_ids) by content digest — per source: batch size,
+    docs already in history, genuinely new docs, and new-unique after
+    within-batch collapse. This is the snapshot-over-snapshot accounting
+    every continuously-ingesting corpus runs before appending (the
+    companion of llm_incremental_bloom_dedup, which optimizes the same
+    anti-join with a Bloom pre-filter). One digest shuffle per side +
+    one left join on the 128-bit hash; history side carries DISTINCT
+    hashes only, never documents."""
+    return sql_q(spark, sf_dir, _XSNAP_SQL)
+
+
+def _reploop_sql(from_clause: str) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, g
+      FROM {from_clause}),
+    per_gram AS (
+      SELECT doc_id, g, count(*) AS c FROM sh GROUP BY doc_id, g),
+    per_doc AS (
+      SELECT doc_id, sum(c) AS n_grams, max(c) AS max_rep
+      FROM per_gram GROUP BY doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(max_rep AS BIGINT) AS max_repeat,
+           round(CAST(max_rep AS DOUBLE) / n_grams, 6) AS loop_score,
+           CASE WHEN CAST(max_rep AS DOUBLE) / n_grams > 0.1
+                THEN 1 ELSE 0 END AS is_loopy
+    FROM per_doc
+    ORDER BY loop_score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "llm_repetition_loop_detect",
+    oracle=_reploop_sql(
+        """(SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 2),
+                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents)
+            WHERE len(tk) >= 3) sh0"""
+    ),
+)
+def llm_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: a document whose single most
+    frequent 3-gram carries more than 10% of all its 3-gram mass is the
+    looping-generation / boilerplate signature (the n-gram analogue of
+    the Gopher repetition rules, scored continuously instead of
+    thresholded per rule). Top-20 by loop score. Plan: 3-gram explode
+    (map-side), (doc, gram) count, per-doc max/sum, TakeOrdered — two
+    shuffles, both on doc-grain keys; the gram explode never crosses
+    docs so there is no corpus-level gram table to skew."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _reploop_sql(
+            """(SELECT doc_id, g
+                FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)
+                LATERAL VIEW explode(transform(
+                    sequence(0, size(tk) - 3),
+                    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+                WHERE size(tk) >= 3) sh0"""
+        ),
+    )

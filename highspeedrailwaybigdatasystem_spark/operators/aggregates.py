@@ -1951,3 +1951,40 @@ def agg_paired_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), then the t statistic is closed-form over the difference
     column — two hash aggregates, no join, no window."""
     return sql_q(spark, sf_dir, _PAIRED_T_SQL)
+
+
+_COHENS_SQL = """
+    WITH grp AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS g,
+             count(*) AS n, avg(value) AS mu, var_samp(value) AS s2
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT max(CASE WHEN g = 'treat' THEN n END) AS n1,
+             max(CASE WHEN g = 'treat' THEN mu END) AS mu1,
+             max(CASE WHEN g = 'treat' THEN s2 END) AS s21,
+             max(CASE WHEN g = 'control' THEN n END) AS n2,
+             max(CASE WHEN g = 'control' THEN mu END) AS mu2,
+             max(CASE WHEN g = 'control' THEN s2 END) AS s22
+      FROM grp)
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_control,
+           round(mu1 - mu2, 6) AS mean_diff,
+           round((mu1 - mu2)
+                 / sqrt(((n1 - 1) * s21 + (n2 - 1) * s22) / (n1 + n2 - 2)), 6)
+             AS cohens_d,
+           round((mu1 - mu2)
+                 / sqrt(((n1 - 1) * s21 + (n2 - 1) * s22) / (n1 + n2 - 2))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+    FROM w
+"""
+
+
+@register("agg_cohens_d_effect_size", oracle=_COHENS_SQL)
+def agg_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size (pooled-variance) with the
+    Hedges' g small-sample correction between the parity cohorts — the
+    magnitude readout that belongs next to agg_welch_t_test's
+    significance (a tiny p with a trivial d is the classic big-data
+    trap: everything is 'significant' at n=10^9, effect size is what
+    matters). Same single conditional-aggregate pass as the t-test;
+    closed form over six numbers."""
+    return sql_q(spark, sf_dir, _COHENS_SQL)

@@ -652,3 +652,92 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+_LINKPRED_SQL = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    dedges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM dedges WHERE src <> dst),
+    adj AS (
+      SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    common AS (
+      SELECT x.v AS va, z.v AS vb, count(*) AS cn
+      FROM adj x JOIN adj z ON z.w = x.w AND x.v < z.v
+      GROUP BY x.v, z.v),
+    cand AS (
+      SELECT c.va, c.vb, c.cn FROM common c
+      LEFT JOIN und e ON e.a = c.va AND e.b = c.vb
+      WHERE e.a IS NULL)
+    SELECT c.va AS user_a, c.vb AS user_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           round(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.v = c.va
+    JOIN deg db ON db.v = c.vb
+    ORDER BY jaccard DESC, user_a, user_b
+    LIMIT 10
+"""
+
+
+@register("graph_jaccard_link_prediction", oracle=_LINKPRED_SQL)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction on the deterministic graph:
+    for every non-adjacent vertex pair with at least one common neighbor,
+    score |N(a)∩N(b)| / |N(a)∪N(b)| and rank the top-10 missing links —
+    the classic neighborhood-overlap recommender
+    (graph_common_neighbors's raw count, normalized by union degree so
+    hubs don't dominate). The cached symmetric adjacency is the shuffle
+    key for the wedge join (x–w–z through the shared neighbor w —
+    candidate generation is wedge-bounded, the same budget as triangle
+    counting), then an anti join removes existing edges and two degree
+    joins close the formula."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    n = users.count()
+    und = (
+        users.select(
+            F.col("user_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("user_id") * 7 + 13) % n,
+                    (F.col("user_id") * 11 + 5) % n,
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .cache()
+    )
+    und.createOrReplaceTempView("__lp_und")
+    return spark.sql(
+        """
+        WITH adj AS (
+          SELECT a AS v, b AS w FROM __lp_und
+          UNION ALL SELECT b, a FROM __lp_und),
+        deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+        common AS (
+          SELECT x.v AS va, z.v AS vb, count(*) AS cn
+          FROM adj x JOIN adj z ON z.w = x.w AND x.v < z.v
+          GROUP BY x.v, z.v),
+        cand AS (
+          SELECT c.va, c.vb, c.cn FROM common c
+          LEFT JOIN __lp_und e ON e.a = c.va AND e.b = c.vb
+          WHERE e.a IS NULL)
+        SELECT c.va AS user_a, c.vb AS user_b,
+               CAST(c.cn AS BIGINT) AS common_neighbors,
+               round(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard
+        FROM cand c
+        JOIN deg da ON da.v = c.va
+        JOIN deg db ON db.v = c.vb
+        ORDER BY jaccard DESC, user_a, user_b
+        LIMIT 10
+        """
+    )

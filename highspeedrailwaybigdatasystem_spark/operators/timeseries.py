@@ -1791,3 +1791,43 @@ def ts_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour grain (|hours| rows, bounded) — the cumulative/total windows
     never see event rows; one TakeOrdered(1) picks the argmax."""
     return sql_q(spark, sf_dir, _CHANGEPOINT_SQL.format(ts="ts"))
+
+
+_PEAKS_SQL = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', {ts}) AS h,
+             CAST(round(avg(value) * 10000, 0) AS BIGINT) AS v4
+      FROM events GROUP BY date_trunc('hour', {ts})),
+    nb AS (
+      SELECT h, v4,
+             lag(v4, 1) OVER (ORDER BY h) AS l1,
+             lag(v4, 2) OVER (ORDER BY h) AS l2,
+             lead(v4, 1) OVER (ORDER BY h) AS r1,
+             lead(v4, 2) OVER (ORDER BY h) AS r2
+      FROM hourly)
+    SELECT h AS peak_ts, round(CAST(v4 AS DOUBLE) / 10000, 4) AS value,
+           round(CAST(v4 - greatest(l1, l2, r1, r2) AS DOUBLE) / 10000, 4)
+             AS prominence
+    FROM nb
+    WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+      AND r1 IS NOT NULL AND r2 IS NOT NULL
+      AND v4 > l1 AND v4 > l2 AND v4 > r1 AND v4 > r2
+    ORDER BY prominence DESC, peak_ts
+    LIMIT 10
+"""
+
+
+@register(
+    "ts_peak_detection",
+    oracle=_PEAKS_SQL.format(ts="CAST(ts AS TIMESTAMP)"),
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on the hourly mean series: an hour is
+    a peak when it strictly exceeds its two neighbors on each side
+    (5-point window), ranked by a simple prominence (height above the
+    tallest of those neighbors) — the alarm-worthy-spike picker that
+    complements ts_anomaly's z-score (which flags deviations, not apexes).
+    Fixed-point hourly means (the win_bollinger_bands convention) keep
+    the strict inequalities engine-exact. One hour-grain aggregation,
+    lag/lead over the bounded hour series, TakeOrdered(10)."""
+    return sql_q(spark, sf_dir, _PEAKS_SQL.format(ts="ts"))

@@ -203,6 +203,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_mann_whitney_u",  # midrank window over the two-decimal level grain
         "ml_pr_auc_trapezoid",  # PR curve over the two-decimal level grain
         "ts_changepoint_mean_shift",  # cumulative scan over the HOUR grain — |hours| rows
+        "ts_peak_detection",  # lag/lead over the same bounded HOUR grain
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
