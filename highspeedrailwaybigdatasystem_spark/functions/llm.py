@@ -4711,3 +4711,97 @@ def llm_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE size(tk) >= 3) sh0"""
         ),
     )
+
+
+def _doremi_sql(tok_expr: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source, {tok_expr} AS token FROM documents),
+    freq AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    dom AS (
+        SELECT t.source,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               sum(-ln(f.c / tot.n)) / count(*) AS avg_nll
+        FROM tok t JOIN freq f ON f.token = t.token, tot
+        GROUP BY t.source),
+    base AS (
+        SELECT source, n_docs, avg_nll,
+               CAST(n_docs AS DOUBLE)
+                 / (SELECT sum(n_docs) FROM dom) AS w_old,
+               avg_nll - (SELECT min(avg_nll) FROM dom) AS excess
+        FROM dom),
+    upd AS (
+        SELECT source, n_docs, avg_nll, w_old,
+               w_old * exp(0.5 * excess) AS w_unnorm
+        FROM base)
+    SELECT source, n_docs,
+           round(avg_nll, 6) AS avg_nll,
+           round(w_old, 6) AS w_old,
+           round(w_unnorm / (SELECT sum(w_unnorm) FROM upd), 6) AS w_new
+    FROM upd ORDER BY source
+    """
+
+
+@register(
+    "llm_doremi_reweight_step",
+    oracle=_doremi_sql("unnest(string_split(text, ' '))"),
+)
+def llm_doremi_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023, public
+    arXiv 2305.10429): score each source domain by its excess loss (here
+    the unigram-NLL proxy minus the best domain's NLL, standing in for
+    proxy-model minus reference-model loss) and multiply its mixture
+    weight by exp(η·excess), renormalizing — domains the model finds
+    hard gain sampling weight. η = 0.5, initial weights proportional to
+    doc counts. Everything is |domains|-grain after one token explode +
+    broadcast unigram join; the three scalar subqueries are 1-row
+    broadcasts. Output: per-source old/new mixture weights."""
+    return sql_q(spark, sf_dir, _doremi_sql("explode(split(text, ' '))"))
+
+
+def _qclf_sql(tok_count: str) -> str:
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS DOUBLE) AS f_len,
+             CAST({tok_count} AS DOUBLE) AS f_words,
+             CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE)
+               AS f_periods,
+             CAST(length(text) - length(replace(text, '!', '')) AS DOUBLE)
+               AS f_bangs
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             round(1.0 / (1.0 + exp(-(
+               -2.0
+               + 0.004 * least(f_len, 1000.0)
+               + 0.02  * least(f_words, 200.0)
+               + 0.3   * least(f_periods, 10.0)
+               - 0.5   * least(f_bangs, 5.0)))), 6) AS quality_p
+      FROM feats)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(quality_p), 6) AS avg_quality,
+           CAST(count(*) FILTER (WHERE quality_p >= 0.5) AS BIGINT) AS n_keep,
+           round(CAST(count(*) FILTER (WHERE quality_p >= 0.5) AS DOUBLE)
+                 / count(*), 6) AS keep_rate
+    FROM scored GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "llm_quality_classifier_linear",
+    oracle=_qclf_sql("len(string_split(text, ' '))"),
+)
+def llm_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (fixed-weight logistic over cheap text
+    features: clamped length, word count, sentence punctuation, bang
+    density) — the deterministic stand-in for the fastText/linear quality
+    models used to gate web crawls (the weights here are frozen
+    constants, so the op is exactly oracle-checkable; in production the
+    same plan serves trained weights via a broadcast). Entirely map-side
+    feature extraction + sigmoid, one lang-grain aggregate: the cheapest
+    possible quality gate at 100 TB — no explode, no join, no Python."""
+    return sql_q(spark, sf_dir, _qclf_sql("size(split(text, ' '))"))

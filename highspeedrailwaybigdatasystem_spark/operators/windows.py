@@ -875,3 +875,47 @@ def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, while integer (n, Σx, Σx²) is exact and the band is closed
     form from it."""
     return sql_q(spark, sf_dir, _BOLLINGER_SQL.format(ts="ts"))
+
+
+_DECAY_SQL = """
+    WITH anchor AS (SELECT max({ts}) AS t_max FROM events),
+    scored AS (
+      SELECT user_id,
+             exp(-CAST({epoch_diff} AS DOUBLE) / 86400.0 / 7.0) AS w,
+             value
+      FROM events CROSS JOIN anchor)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(w), 6) AS decayed_count,
+           round(sum(w * value), 2) AS decayed_value
+    FROM scored GROUP BY user_id
+    ORDER BY decayed_value DESC, user_id
+    LIMIT 10
+"""
+
+
+@register(
+    "win_exponential_decay_score",
+    oracle=_DECAY_SQL.format(
+        ts="CAST(ts AS TIMESTAMP)",
+        epoch_diff="epoch_us(anchor.t_max) - epoch_us(CAST(ts AS TIMESTAMP))",
+    ).replace("CROSS JOIN anchor", "CROSS JOIN anchor AS anchor"),
+)
+def win_exponential_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (half-life ≈
+    one week of e-folding: w = exp(−age_days/7), anchored at the corpus
+    max timestamp so the score is reproducible, not wall-clock-dependent)
+    — the recency-weighted ranking every feed/recommender maintains,
+    expressed as ONE aggregation: the decay weight is a map-side scalar,
+    so the op is a scan + 1-row anchor broadcast + user_id groupBy +
+    TakeOrdered(10). No window function at all — decay-sum needs no
+    ordering, which is what makes it cheaper than last-N schemes at
+    100 TB."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _DECAY_SQL.format(
+            ts="ts",
+            epoch_diff="unix_micros(anchor.t_max) - unix_micros(ts)",
+        ).replace("CROSS JOIN anchor", "CROSS JOIN anchor AS anchor"),
+    )

@@ -154,6 +154,8 @@ def test_full_surface_plan_hygiene(spark):
         "llm_perplexity_buckets",  # same 1-row unigram-total broadcast as proxy
         "llm_dsir_importance",     # 64-row feature table × 1-row totals broadcast
         "ml_pr_auc_trapezoid",     # 1-row positives-total broadcast (ROC pattern)
+        "llm_doremi_reweight_step",  # 1-row unigram-total / min-NLL / weight-sum broadcasts
+        "win_exponential_decay_score",  # 1-row max-ts anchor broadcast
         "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
