@@ -4805,3 +4805,62 @@ def llm_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     feature extraction + sigmoid, one lang-grain aggregate: the cheapest
     possible quality gate at 100 TB — no explode, no join, no Python."""
     return sql_q(spark, sf_dir, _qclf_sql("size(split(text, ' '))"))
+
+
+_PREFIX_DUP_SQL = """
+    WITH pref AS (
+      SELECT doc_id, source, md5(substr(text, 1, 120)) AS ph
+      FROM documents WHERE length(text) >= 120),
+    clusters AS (
+      SELECT ph, count(*) AS sz, count(DISTINCT source) AS n_sources,
+             min(doc_id) AS rep_doc
+      FROM pref GROUP BY ph)
+    SELECT rep_doc, CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_sources AS BIGINT) AS n_sources
+    FROM clusters WHERE sz >= 2
+    ORDER BY cluster_size DESC, rep_doc
+    LIMIT 20
+"""
+
+
+@register("llm_prefix_dup_clusters", oracle=_PREFIX_DUP_SQL)
+def llm_prefix_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate clustering: docs whose first 120 characters
+    hash identically form a cluster — the cheap detector for boilerplate
+    headers, mirrored pages, and template farms that exact full-text
+    dedup misses (bodies differ) and MinHash only catches at higher cost.
+    Top-20 clusters with their source spread (a cluster spanning many
+    sources = syndicated boilerplate; one source = a template farm). One
+    map-side substr+md5, one hash aggregate — the first-pass triage
+    before the shingle-level ops run."""
+    return sql_q(spark, sf_dir, _PREFIX_DUP_SQL)
+
+
+_MIX_TEMP_SQL = """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+      GROUP BY source),
+    tot AS (SELECT sum(n) AS n_all FROM counts),
+    w AS (
+      SELECT source, n, n / tot.n_all AS w_raw,
+             pow(n / tot.n_all, 1.0 / 1.7) AS w_temp
+      FROM counts CROSS JOIN tot)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(w_raw, 6) AS w_raw,
+           round(w_temp / (SELECT sum(w_temp) FROM w), 6) AS w_temperature,
+           round(w_temp / (SELECT sum(w_temp) FROM w) / w_raw, 6) AS upweight
+    FROM w ORDER BY source
+"""
+
+
+@register("llm_mixture_temperature", oracle=_MIX_TEMP_SQL)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling
+    convention, e.g. T=1.7 as in public mC4/XLM-R recipes): raise each
+    source's raw share to 1/T and renormalize — big sources flatten,
+    small sources upweight, and the `upweight` column shows exactly how
+    much each source's sampling rate moves. |sources|-grain throughout
+    after one counting aggregate; pairs with llm_source_mixture (raw
+    shares) and llm_doremi_reweight_step (loss-driven reweighting) as
+    the third mixture-planning tool."""
+    return sql_q(spark, sf_dir, _MIX_TEMP_SQL)

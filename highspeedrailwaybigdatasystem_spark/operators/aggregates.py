@@ -1988,3 +1988,94 @@ def agg_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters). Same single conditional-aggregate pass as the t-test;
     closed form over six numbers."""
     return sql_q(spark, sf_dir, _COHENS_SQL)
+
+
+_BH_SQL = """
+    WITH grp AS (
+      SELECT event_type,
+             count(*) AS n, avg(value) AS mu, var_samp(value) AS s2
+      FROM events GROUP BY event_type),
+    gtot AS (
+      SELECT sum(n) AS n_all, sum(n * mu) / sum(n) AS mu_all FROM grp),
+    z AS (
+      SELECT g.event_type,
+             (g.mu - gtot.mu_all) / sqrt(g.s2 / g.n) AS z_stat
+      FROM grp g CROSS JOIN gtot),
+    p AS (
+      SELECT event_type, z_stat,
+             -- two-sided normal p via the logistic approximation of Φ
+             -- (max abs err 9.5e-4; both engines share the closed form,
+             -- so the comparison is exact at 6 dp)
+             round(2.0 / (1.0 + exp(1.702 * abs(z_stat))), 6) AS p_value
+      FROM z),
+    ranked AS (
+      SELECT event_type, z_stat, p_value,
+             row_number() OVER (ORDER BY p_value, event_type) AS rnk,
+             count(*) OVER () AS m
+      FROM p)
+    SELECT event_type, round(z_stat, 6) AS z_stat, p_value,
+           CAST(rnk AS INT) AS p_rank,
+           round(least(1.0, p_value * m / rnk), 6) AS bh_adjusted,
+           CASE WHEN p_value * m / rnk <= 0.05 THEN 1 ELSE 0 END
+             AS significant_fdr05
+    FROM ranked ORDER BY p_rank
+"""
+
+
+@register("agg_benjamini_hochberg", oracle=_BH_SQL)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction across the per-event-type
+    mean-vs-gtotal z-test family — the multiple-comparisons guard that
+    belongs next to the single-test ops (run 10 000 segment tests at
+    α=0.05 uncorrected and ~500 'discoveries' are noise; BH caps the
+    expected false-discovery fraction instead). p-values use the
+    logistic approximation of the normal CDF so both engines share one
+    closed form. The rank window runs over the |event_type| test family
+    (bounded grain); everything upstream is one conditional aggregate
+    pass + a 1-row gtotal broadcast."""
+    return sql_q(spark, sf_dir, _BH_SQL)
+
+
+_LIFT_SQL = """
+    WITH scored AS (
+      SELECT CAST(floor(value * 2) AS INT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    lev AS (SELECT s, sum(y) AS p, count(*) AS n FROM scored GROUP BY s),
+    tot AS (SELECT sum(p) AS tp, sum(n) AS tn FROM lev),
+    cum AS (
+      SELECT s,
+             sum(p) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             sum(n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM lev),
+    deciled AS (
+      SELECT least(9, CAST(floor(CAST(cn - 1 AS DOUBLE) / tot.tn * 10)
+                           AS INT)) AS decile,
+             max(cp) AS cum_pos, max(cn) AS cum_n
+      FROM cum CROSS JOIN tot
+      GROUP BY least(9, CAST(floor(CAST(cn - 1 AS DOUBLE) / tot.tn * 10)
+                             AS INT)))
+    SELECT d.decile,
+           CAST(d.cum_n AS BIGINT) AS cum_rows,
+           CAST(d.cum_pos AS BIGINT) AS cum_positives,
+           round(CAST(d.cum_pos AS DOUBLE) / tot.tp, 6) AS gain,
+           round(CAST(d.cum_pos AS DOUBLE) / d.cum_n
+                 / (CAST(tot.tp AS DOUBLE) / tot.tn), 6) AS lift
+    FROM deciled d CROSS JOIN tot
+    ORDER BY d.decile
+"""
+
+
+@register("agg_lift_gain_table", oracle=_LIFT_SQL)
+def agg_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lift / gains table (decile grain) for ranking events by
+    value as a purchase-propensity score — the campaign-targeting readout
+    ('the top decile captures X% of purchases at Y× random'). Score
+    levels (half-unit buckets of value — a bounded integer domain) carry
+    the cumulative window, deciles form on the cumulative row count, so
+    no row-grain sort exists anywhere; 1-row totals broadcast closes
+    gain/lift. Decile boundaries land identically in both engines because
+    the cumulative counts are exact integers."""
+    return sql_q(spark, sf_dir, _LIFT_SQL)

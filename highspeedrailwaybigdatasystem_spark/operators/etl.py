@@ -1235,3 +1235,65 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """,
     )
+
+
+_SKEW_AUDIT_SQL = """
+    WITH bucketed AS (
+      SELECT CAST(('{pre}' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))
+               AS {hexty}) % 32 AS bucket,
+             count(*) AS n
+      FROM orders GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_buckets, sum(n) AS n_rows,
+             max(n) AS max_bucket, min(n) AS min_bucket,
+             avg(CAST(n AS DOUBLE)) AS avg_bucket
+      FROM bucketed)
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(max_bucket AS BIGINT) AS max_bucket,
+           CAST(min_bucket AS BIGINT) AS min_bucket,
+           round(max_bucket / avg_bucket, 6) AS skew_factor,
+           CASE WHEN max_bucket / avg_bucket > 2.0 THEN 1 ELSE 0 END
+             AS skew_alarm
+    FROM stats
+"""
+
+
+@register(
+    "etl_partition_skew_audit",
+    oracle=_SKEW_AUDIT_SQL.format(pre="0x", hexty="BIGINT"),
+)
+def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit: bucket the orders fact by a 32-way
+    content hash of its join key (md5 prefix — engine-portable, unlike
+    each engine's internal partitioner hash) and report max/avg bucket
+    imbalance — the pre-flight check that decides whether a join needs
+    salting (join_skew_salted) or AQE skew handling BEFORE the shuffle
+    runs at 100 TB. One map-side hash + 32-group aggregate; the audit
+    itself costs one scan."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH bucketed AS (
+          SELECT cast(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 2),
+                           16, 10) AS BIGINT) % 32 AS bucket,
+                 count(*) AS n
+          FROM orders GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_buckets, sum(n) AS n_rows,
+                 max(n) AS max_bucket, min(n) AS min_bucket,
+                 avg(CAST(n AS DOUBLE)) AS avg_bucket
+          FROM bucketed)
+        SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(max_bucket AS BIGINT) AS max_bucket,
+               CAST(min_bucket AS BIGINT) AS min_bucket,
+               round(max_bucket / avg_bucket, 6) AS skew_factor,
+               CASE WHEN max_bucket / avg_bucket > 2.0 THEN 1 ELSE 0 END
+                 AS skew_alarm
+        FROM stats
+        """,
+    )

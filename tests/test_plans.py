@@ -156,6 +156,9 @@ def test_full_surface_plan_hygiene(spark):
         "ml_pr_auc_trapezoid",     # 1-row positives-total broadcast (ROC pattern)
         "llm_doremi_reweight_step",  # 1-row unigram-total / min-NLL / weight-sum broadcasts
         "win_exponential_decay_score",  # 1-row max-ts anchor broadcast
+        "agg_benjamini_hochberg",  # 1-row global-mean broadcast
+        "agg_lift_gain_table",     # 1-row totals broadcast
+        "llm_mixture_temperature", # 1-row corpus-total + weight-sum broadcasts
         "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
@@ -206,6 +209,8 @@ def test_full_surface_plan_hygiene(spark):
         "ml_pr_auc_trapezoid",  # PR curve over the two-decimal level grain
         "ts_changepoint_mean_shift",  # cumulative scan over the HOUR grain — |hours| rows
         "ts_peak_detection",  # lag/lead over the same bounded HOUR grain
+        "agg_benjamini_hochberg",  # rank over the |event_type| test family
+        "agg_lift_gain_table",  # cumulative window over the half-unit score levels
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
