@@ -2012,13 +2012,20 @@ _BH_SQL = """
       SELECT event_type, z_stat, p_value,
              row_number() OVER (ORDER BY p_value, event_type) AS rnk,
              count(*) OVER () AS m
-      FROM p)
+      FROM p),
+    stepped AS (
+      -- the BH step-up: adjusted p is the running MIN of p*m/rank taken
+      -- from the LARGEST rank downward (enforces monotonicity; rejecting
+      -- by adjusted<=alpha is then exactly the step-up decision rule)
+      SELECT event_type, z_stat, p_value, rnk,
+             min(p_value * m / rnk) OVER (ORDER BY rnk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+      FROM ranked)
     SELECT event_type, round(z_stat, 6) AS z_stat, p_value,
            CAST(rnk AS INT) AS p_rank,
-           round(least(1.0, p_value * m / rnk), 6) AS bh_adjusted,
-           CASE WHEN p_value * m / rnk <= 0.05 THEN 1 ELSE 0 END
-             AS significant_fdr05
-    FROM ranked ORDER BY p_rank
+           round(least(1.0, adj), 6) AS bh_adjusted,
+           CASE WHEN adj <= 0.05 THEN 1 ELSE 0 END AS significant_fdr05
+    FROM stepped ORDER BY p_rank
 """
 
 

@@ -765,3 +765,118 @@ def test_auc_equals_mann_whitney_bruteforce(spark, rows):
     neg = [v for v, y in rows if y == 0]
     u = sum(1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg)
     assert auc_sql == round(u / (len(pos) * len(neg)), 6)
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=15), min_size=2, max_size=25),
+    b=st.lists(st.integers(min_value=0, max_value=15), min_size=2, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_mann_whitney_u_matches_bruteforce(spark, a, b):
+    """agg_mann_whitney_u's level-grain midrank formula == brute-force
+    U = #(a>b pairs) + 0.5·#(ties)."""
+    rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+    df = spark.createDataFrame(rows, "v double, grp int")
+    df.createOrReplaceTempView("__mwu_probe")
+    u_sql = spark.sql(
+        """
+        WITH lev AS (SELECT v, sum(grp) AS na, count(*) AS nt
+                     FROM __mwu_probe GROUP BY v),
+        cum AS (
+          SELECT v, na, nt,
+                 sum(nt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                   AS below
+          FROM lev),
+        agg AS (
+          SELECT sum(na * (below + (nt + 1) / CAST(2 AS DOUBLE))) AS r1,
+                 sum(na) AS n1
+          FROM cum)
+        SELECT round(CAST(r1 - n1 * (n1 + 1) / CAST(2 AS DOUBLE)
+                     AS DOUBLE), 2) AS u
+        FROM agg
+        """
+    ).collect()[0]["u"]
+    brute = sum(1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b)
+    assert u_sql == round(brute, 2)
+
+
+def test_changepoint_locates_synthetic_step(spark):
+    """The CUSUM scan statistic puts the split exactly at a clean level
+    shift, for shifts at the start, middle, and end thirds."""
+    from pyspark.sql import functions as F
+
+    for cut in (7, 15, 23):
+        rows = [(i, 10.0 if i < cut else 30.0) for i in range(30)]
+        df = spark.createDataFrame(rows, "k int, v double")
+        df.createOrReplaceTempView("__cp_probe")
+        got = spark.sql(
+            """
+            WITH c AS (
+              SELECT k, v, row_number() OVER (ORDER BY k) AS rn,
+                     sum(v) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+                     count(*) OVER () AS n, sum(v) OVER () AS s
+              FROM __cp_probe)
+            SELECT k FROM (
+              SELECT k,
+                     abs(cs / rn - (s - cs) / (n - rn))
+                       * sqrt(CAST(rn AS DOUBLE) * (n - rn) / n) AS stat
+              FROM c WHERE rn < n)
+            ORDER BY stat DESC, k LIMIT 1
+            """
+        ).collect()[0]["k"]
+        assert got == cut - 1, f"split for cut={cut} landed at {got}"
+
+
+def test_bh_adjustment_properties(spark):
+    """BH step-up on a synthetic p-value family: adjusted values are
+    monotone in rank, bounded by 1, >= raw p, and the smallest raw p has
+    adjusted = p*m when unique-minimal."""
+    ps = [0.001, 0.011, 0.02, 0.04, 0.3, 0.9]
+    df = spark.createDataFrame([(f"t{i}", p) for i, p in enumerate(ps)],
+                               "t string, p double")
+    df.createOrReplaceTempView("__bh_probe")
+    rows = spark.sql(
+        """
+        WITH ranked AS (
+          SELECT t, p, row_number() OVER (ORDER BY p, t) AS rnk,
+                 count(*) OVER () AS m
+          FROM __bh_probe),
+        stepped AS (
+          SELECT t, p, rnk,
+                 min(p * m / rnk) OVER (ORDER BY rnk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+          FROM ranked)
+        SELECT p, rnk, least(CAST(1.0 AS DOUBLE), adj) AS adj
+        FROM stepped ORDER BY rnk
+        """
+    ).collect()
+    adjs = [r["adj"] for r in rows]
+    assert all(x <= y + 1e-12 for x, y in zip(adjs, adjs[1:])), "not monotone"
+    assert all(r["adj"] >= r["p"] - 1e-12 for r in rows)
+    assert all(r["adj"] <= 1.0 for r in rows)
+    assert abs(adjs[0] - min(ps) * len(ps)) < 1e-9 or adjs[0] < min(ps) * len(ps)
+
+
+def test_peak_detection_finds_synthetic_apex(spark):
+    """A single injected apex in a flat series is the unique 5-point
+    strict local maximum."""
+    rows = [(i, 50.0 if i == 12 else 10.0 + (i % 2)) for i in range(25)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    df.createOrReplaceTempView("__pk_probe")
+    got = spark.sql(
+        """
+        SELECT k FROM (
+          SELECT k, v,
+                 lag(v, 1) OVER (ORDER BY k) AS l1,
+                 lag(v, 2) OVER (ORDER BY k) AS l2,
+                 lead(v, 1) OVER (ORDER BY k) AS r1,
+                 lead(v, 2) OVER (ORDER BY k) AS r2
+          FROM __pk_probe)
+        WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+          AND r1 IS NOT NULL AND r2 IS NOT NULL
+          AND v > l1 AND v > l2 AND v > r1 AND v > r2
+        """
+    ).collect()
+    assert [r["k"] for r in got] == [12]
