@@ -802,3 +802,104 @@ def ml_pr_auc_trapezoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve, trapezoids sum in the same pass — the window input is
     never row-grain."""
     return sql_q(spark, sf_dir, _pr_auc_sql("CAST(embedding[0] AS DOUBLE)"))
+
+
+_P_ITERS = 4
+_P_RESCALE = 1_000_000_000  # s-vector rescale: keeps w sums inside 2^53
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration in DuckDB CTEs (the kmeans-oracle
+    pattern). All intermediates are integers < 2^53, so the only float
+    ops are IEEE double divisions that both engines evaluate
+    identically; see ml_pca_power_iteration for the full argument."""
+    steps = []
+    for i in range(1, _P_ITERS + 1):
+        steps.append(
+            f"""s{i} AS (
+      SELECT x.vec_id,
+             CAST(floor(CAST(sum(x.xv * v{i - 1}.val) AS DOUBLE)
+                        / {_P_RESCALE}) AS BIGINT) AS s
+      FROM x JOIN v{i - 1} ON v{i - 1}.pos = x.pos
+      GROUP BY x.vec_id),
+    w{i} AS (
+      SELECT x.pos, sum(s{i}.s * x.xv) AS w
+      FROM x JOIN s{i} ON s{i}.vec_id = x.vec_id
+      GROUP BY x.pos),
+    v{i} AS (
+      SELECT w.pos,
+             CAST(floor(CAST(w.w AS DOUBLE) / m.mx * {_Q}) AS BIGINT) AS val
+      FROM w{i} w CROSS JOIN (SELECT max(abs(w)) AS mx FROM w{i}) m)"""
+        )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT)) AS ei
+      FROM embeddings),
+    x AS (
+      SELECT vec_id, t.j AS pos, ei[t.j] AS xv
+      FROM v CROSS JOIN range(1, {_D + 1}) t(j)),
+    v0 AS (
+      SELECT t.j AS pos,
+             CAST(CASE WHEN t.j = 1 THEN {_Q} ELSE 0 END AS BIGINT) AS val
+      FROM range(1, {_D + 1}) t(j)),
+    {",".join(steps)}
+    SELECT CAST(pos AS INT) AS component,
+           round(CAST(val AS DOUBLE) / {_Q}, 6) AS loading
+    FROM v{_P_ITERS}
+    ORDER BY abs(val) DESC, pos
+    LIMIT 10
+    """
+
+
+@register("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component by power iteration (4 synchronous
+    iterations of v ← normalize(XᵀXv)), EXACTLY oracle-checkable via the
+    kmeans fixed-point discipline: embeddings quantize once to 1e-6
+    integers; each iteration computes s = Xv as an integer dot (bounded
+    6.4e13), rescales s by 1e9 via floor so the gather w = Xᵀs stays
+    under 2^53 (exact in int64 AND in the double casts), and
+    renormalizes v = floor(w/max|w|·1e6) — the divisions are IEEE double
+    ops on exactly-representable integers, so both engines produce the
+    same bits. Max-norm replaces the L2 norm to avoid sqrt (same fixed
+    point, scale-free direction). Per iteration Spark runs one map-side
+    zip_with dot against the 64 broadcast literals + one posexplode
+    gather aggregated to 64 groups; the driver holds 64 integers, never
+    data. Output: top-10 |loading| components of the leading eigenvector."""
+    import math as _math
+
+    emb = t(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {_Q}, 0)"
+            " as bigint))"
+        ).alias("ei"),
+    ).cache()
+    v = [_Q if j == 0 else 0 for j in range(_D)]
+    for _ in range(_P_ITERS):
+        lit = ", ".join(f"{x}L" for x in v)
+        s = vq.select(
+            "ei",
+            F.expr(
+                f"cast(floor(cast(aggregate(zip_with(ei, array({lit}),"
+                " (a, b) -> a * b), 0L, (acc, p) -> acc + p) as double)"
+                f" / {_P_RESCALE}) as bigint)"
+            ).alias("s"),
+        )
+        w_rows = (
+            s.select("s", F.posexplode("ei").alias("pos", "xv"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("xv")).alias("w"))
+            .collect()
+        )
+        w = [0] * _D
+        for r in w_rows:
+            w[r["pos"]] = r["w"]
+        mx = max(abs(x) for x in w)
+        v = [int(_math.floor(x / mx * _Q)) for x in w]
+    idx = sorted(range(_D), key=lambda j: (-abs(v[j]), j))[:10]
+    out = [(j + 1, round(v[j] / _Q, 6)) for j in idx]
+    return spark.createDataFrame(out, "component int, loading double")
