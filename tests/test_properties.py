@@ -880,3 +880,51 @@ def test_peak_detection_finds_synthetic_apex(spark):
         """
     ).collect()
     assert [r["k"] for r in got] == [12]
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """The ml_pca_power_iteration update (integer dot → 1e9 rescale →
+    Xᵀ gather → max-norm) recovers a planted dominant direction: vectors
+    drawn along ±e₃ with small orthogonal noise must converge to
+    |loading| ≈ 1 on component 3 and ≈ noise-scale elsewhere."""
+    import math
+
+    Q = 1_000_000
+    D = 8
+    rows = []
+    for i in range(40):
+        sign = 1 if i % 2 == 0 else -1
+        vec = [0.0] * D
+        vec[2] = sign * 1.0
+        vec[(i * 3) % D if (i * 3) % D != 2 else 5] = 0.05  # tiny off-axis noise
+        rows.append((i, [int(round(x * Q)) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, ei array<bigint>").cache()
+
+    from pyspark.sql import functions as F
+
+    v = [Q if j == 0 else 0 for j in range(D)]
+    for _ in range(6):
+        lit = ", ".join(f"{x}L" for x in v)
+        s = df.select(
+            "ei",
+            F.expr(
+                f"cast(floor(cast(aggregate(zip_with(ei, array({lit}),"
+                " (a, b) -> a * b), 0L, (acc, p) -> acc + p) as double)"
+                " / 1000000000) as bigint)"
+            ).alias("s"),
+        )
+        w_rows = (
+            s.select("s", F.posexplode("ei").alias("pos", "xv"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("xv")).alias("w"))
+            .collect()
+        )
+        w = [0] * D
+        for r in w_rows:
+            w[r["pos"]] = r["w"]
+        mx = max(abs(x) for x in w)
+        v = [int(math.floor(x / mx * Q)) for x in w]
+
+    loadings = [abs(x) / Q for x in v]
+    assert loadings[2] == max(loadings) and loadings[2] >= 0.99
+    assert all(l <= 0.2 for j, l in enumerate(loadings) if j != 2)
