@@ -86,34 +86,45 @@ def _ensure_loaded() -> None:
 #: distinct names driver-green cumulatively after r4, all 50/50 green in
 #: CORRECTNESS_r04.json). Names absent from the registry are ignored.
 #:
-#: Round 5 executes the rotation plan recorded here at the end of round 4:
-#: the full adapted tpch_q01–q22 block (22), the remaining etl block (18),
-#: and 10 sources/sinks. The 6 source ops left over
-#: (src_csv_quoted_multiline, src_custom_stream_source, src_glob_recursive,
-#: src_schema_evolution, sink_compression_codecs, stream_file_source) lead
-#: the ROUND-6 window; rounds 6–8 then cover the llm, ml, udf and remaining
-#: scan/filter/agg/ts/win/graph/stream blocks — see DRIVER_COVERAGE.md
-#: (auto-generated by tools/gen_driver_coverage.py) for the authoritative
-#: never-gated pool. Keep rows-only names out of the window (they can
+#: Round 5 executed the rotation plan recorded at the end of round 4 (tpch
+#: q01–q22 + etl block + 10 sources/sinks): 50/50 green in
+#: CORRECTNESS_r05.json, frozen into tools/gen_driver_coverage.py history.
+#:
+#: ROUND 6 (this window): the 6 left-over source ops + the first 44
+#: alphabetical oracle-backed llm_* ops. Remaining-rounds plan so the
+#: never-gated pool (179 at round-6 start) finishes by round 9:
+#:   r7 — the 25 remaining llm_* ops, the 8 remaining stream_* ops (the
+#:        only §2 family with zero driver exposure so far), the 13 ml_*
+#:        ops, and 4 udf_* ops.
+#:   r8 — remaining udf_*/udtf_*/mm_*/graph_* blocks + agg_* backlog.
+#:   r9 — remaining ts_*/win_*/sql_*/scalar/misc backlog + any ops added
+#:        in rounds 6–8.
+#: See DRIVER_COVERAGE.md ("Never-gated oracle-backed pool") for the
+#: authoritative pool; keep rows-only names out of every window (they can
 #: never hash-green).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 5: never driver-gated before (mirror-green in round 4's sweep)
-    "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q05",
-    "tpch_q06", "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
-    "etl_column_profile", "etl_compaction", "etl_data_vault_hashkeys",
-    "etl_dq_audit", "etl_dynamic_overwrite", "etl_fk_orphan_audit",
-    "etl_gdpr_delete_audit", "etl_late_arriving_dim", "etl_merge_cdc_apply",
-    "etl_missing_partition_detect", "etl_partition_checksum_manifest",
-    "etl_scd2_history", "etl_scd3_prev_value", "etl_snapshot_diff",
-    "etl_time_travel_snapshots", "etl_ttl_retention_audit",
-    "etl_watermark_ingest", "etl_zorder_layout",
-    "src_csv_roundtrip", "src_json_lines", "src_json_corrupt",
-    "src_orc_roundtrip", "src_text_lines", "src_binary_files",
-    "src_custom_datasource", "src_custom_datasink",
-    "sink_parquet_part", "sink_bucketed",
+    # round 6: never driver-gated before (mirror-green in round 5's sweep)
+    "src_csv_quoted_multiline", "src_custom_stream_source",
+    "src_glob_recursive", "src_schema_evolution",
+    "sink_compression_codecs", "stream_file_source",
+    "llm_ann_recall_eval", "llm_bigram_entropy_rate", "llm_bigram_lm",
+    "llm_bm25_retrieval", "llm_chunk_overlap_dedup", "llm_collocation_pmi",
+    "llm_containment_banded", "llm_containment_dedup", "llm_contamination",
+    "llm_context_length_histogram", "llm_cross_snapshot_dedup",
+    "llm_curation_funnel", "llm_curriculum_buckets",
+    "llm_data_scaling_curve", "llm_dataset_stats_card",
+    "llm_dedup_components", "llm_dedup_survivorship", "llm_doc_fingerprint",
+    "llm_doremi_reweight_step", "llm_dsir_importance",
+    "llm_dup_cluster_size_dist", "llm_embed_near_dup",
+    "llm_embedding_quantize", "llm_embedding_stats",
+    "llm_epoch_repetition_plan", "llm_exact_dedup", "llm_gopher_repetition",
+    "llm_hard_negative_mining", "llm_hash_split", "llm_importance_resample",
+    "llm_incremental_bloom_dedup", "llm_ivf_ann", "llm_kl_divergence_split",
+    "llm_knn_all", "llm_lang_id", "llm_minhash_banding",
+    "llm_mixture_temperature", "llm_mmr_diverse_topk",
+    "llm_near_dedup_minhash", "llm_ngram_jaccard", "llm_ngram_novelty",
+    "llm_oversample_minority", "llm_perplexity_buckets",
+    "llm_perplexity_proxy",
 )
 
 

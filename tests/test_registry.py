@@ -101,5 +101,13 @@ def test_gate_window_rotates_onto_never_green_ops():
     ever_green = {
         op for verdicts in hist.values() for op, v in verdicts.items() if v == "green"
     }
+    # Also count the newest on-disk CORRECTNESS file (the driver's verdicts
+    # can land after the embedded history was frozen): a stale window that
+    # re-gates ops it just proved green must fail here.
+    disk = gdc.latest_disk_round()
+    if disk is not None:
+        ever_green |= {
+            op for op, v in gdc._disk_verdicts(disk[1]).items() if v == "green"
+        }
     regated = [n for n in registry._WINDOW_PRIORITY if n in ever_green]
     assert not regated, f"window re-gates already-green ops: {regated[:10]}"
