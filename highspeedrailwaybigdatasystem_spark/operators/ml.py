@@ -732,9 +732,10 @@ def _confusion_sql(dot: str) -> str:
     SELECT c.label, CAST(c.support AS BIGINT) AS support,
            CAST(c.tp AS BIGINT) AS tp,
            round(CAST(c.tp AS DOUBLE) / c.support, 6) AS recall,
-           round(CAST(c.tp AS DOUBLE) / p.n_pred, 6) AS precision,
-           round(CAST(2 * c.tp AS DOUBLE) / (c.support + p.n_pred), 6) AS f1
-    FROM per_class c JOIN per_pred p ON p.label = c.label
+           round(CAST(c.tp AS DOUBLE) / NULLIF(p.n_pred, 0), 6) AS precision,
+           round(CAST(2 * c.tp AS DOUBLE)
+                 / (c.support + COALESCE(p.n_pred, 0)), 6) AS f1
+    FROM per_class c LEFT JOIN per_pred p ON p.label = c.label
     ORDER BY c.label
     """
 
@@ -750,10 +751,11 @@ def ml_confusion_matrix_multiclass(spark: SparkSession, sf_dir: str) -> DataFram
     and predict that centroid's label): per-class support, true positives,
     precision, recall, F1. The 16-row centroid broadcast + map-side argmax
     is the IVF assignment pattern (bounded BNLJ); everything after is
-    |classes|²-grain aggregation. Classes missing from either axis drop
-    via the inner join — both engines agree (only labels that are both
-    predicted and true appear; full support since centroids cover
-    labels)."""
+    |classes|²-grain aggregation. Every TRUE class is reported (LEFT join
+    from per_class): a class that is never predicted keeps its support row
+    with precision NULL (0/0 undefined via NULLIF) and f1 computed with
+    n_pred=0 — the schema's row set no longer depends on which labels the
+    vec_id<16 centroid sample happens to cover."""
     return sql_q(
         spark, sf_dir, _confusion_sql(_DOT16.format(a="e.embedding", b="c.cent"))
     )
