@@ -260,11 +260,30 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
                  AS jaccard
         FROM (
-          SELECT c.doc_a, c.doc_b, count(*) AS shared
-          FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM __mh_band a JOIN __mh_band b
-                  ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                 AND a.doc_id < b.doc_id) c
+          SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, count(*) AS shared
+          -- candidate generation via ONE bucket aggregation instead of a
+          -- band self-join: collect each (band_id, band_sig) bucket's doc
+          -- list, emit ordered pairs with a higher-order transform, DISTINCT
+          -- across bands. One scan + one shuffle of the cached band view vs
+          -- the join's two scans + shuffle-both-sides (probed at sf0.1 and
+          -- amplified sf1: identical 254-pair output, ~15% faster warm).
+          -- Grain: pairs-per-bucket is quadratic either way (that IS the
+          -- candidate set); at 100 TB a degenerate hot bucket means exact
+          -- duplicates, which the production pipeline collapses linearly
+          -- BEFORE this stage (llm_dedup_survivorship twin).
+          -- BROADCAST(c): the candidate PAIR LIST (two ids/row — compact
+          -- even at 100 TB post-LSH density) broadcasts into the verify
+          -- joins, so the full shingle view is never shuffled for the
+          -- verify (0.83 s -> 0.63 s warm at sf0.1; sa/sb stay unhinted
+          -- because candidate-doc shingles are unbounded).
+          FROM (SELECT DISTINCT p.pr.doc_a, p.pr.doc_b
+                FROM (
+                  SELECT explode(flatten(transform(ds, (x, ii) ->
+                           slice(transform(ds, y -> struct(x AS doc_a, y AS doc_b)),
+                                 ii + 2, size(ds))))) AS pr
+                  FROM (SELECT sort_array(collect_list(doc_id)) AS ds
+                        FROM __mh_band GROUP BY band_id, band_sig
+                        HAVING count(*) > 1)) p) c
           JOIN __mh_shingle sa ON sa.doc_id = c.doc_a
           JOIN __mh_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
           GROUP BY c.doc_a, c.doc_b) i
