@@ -714,10 +714,11 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 (vec_id, euclid_dist) — on normalized vectors the euclidean order
     is the inverse cosine order.
 
-    Rows-only is EARNED, not a shortcut (round-4 probe): against the
-    brute-force exact top-10 the op scores recall 10/10 at sf0.001 and
-    sf0.1 but 9/10 at sf0.01 — bucket pruning genuinely excludes a true
-    neighbor (vec 334) there, so no deterministic SQL oracle can match it.
+    Rows-only is EARNED, not a shortcut (round-4 probe, re-measured
+    round 6 / 2026-08-14 against the brute-force DuckDB exact top-10):
+    recall@10 = 10/10 at sf0.001, 9/10 at sf0.01, 10/10 at sf0.1 —
+    bucket pruning genuinely excludes a true neighbor at sf0.01, so no
+    deterministic SQL oracle can match it.
     The recall/latency trade is the op's entire point; its exact-checkable
     twins are llm_ivf_ann (+ llm_ann_recall_eval, which audits recall@10
     against brute force) and llm_knn_all."""

@@ -78,7 +78,10 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++). At 100 TB
     this replaces exact distinct: constant-size sketch per group, mergeable
-    map-side. No oracle — estimates differ across engines by design."""
+    map-side. No oracle — estimates differ across engines by design.
+    Estimate-vs-exact evidence (re-measured round 6 / 2026-08-14): exact
+    150/150 every group at sf0.01; 1494 vs 1500 true (0.4% err, well
+    inside rsd=0.02) every group at sf0.1."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -611,7 +614,11 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes 100 TB distinct counting cheap (O(2^lgK) state per group,
     re-aggregatable across days/partitions without rescanning raw data).
     Estimates are deterministic for a fixed lgK + input but DuckDB's HLL
-    differs bit-for-bit → rows-only check."""
+    differs bit-for-bit → rows-only check. Estimate-vs-exact evidence
+    (re-measured round 6 / 2026-08-14): exact at sf0.01 (150 distinct per
+    group, below sketch resolution); at sf0.1 worst group 1480 vs 1500
+    true (1.33% err, consistent with lgK=12's ~1.6% RSE), union row 1488
+    vs 1500 (0.8%)."""
     e = t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
