@@ -250,7 +250,28 @@ def build() -> str:
     ]
     for i in range(0, len(pool), 4):
         lines.append(", ".join(f"`{n}`" for n in pool[i:i + 4]))
-    lines.append("")
+
+    # Planned window sequence (mirrors registry.py:_WINDOW_PRIORITY comments)
+    fam = lambda p: sorted(n for n in pool if n.startswith(p))  # noqa: E731
+    llm_rest = fam("llm_")
+    stream_rest = fam("stream_")
+    ml_rest = fam("ml_")
+    udf_rest = fam("udf_")
+    taken = set(llm_rest) | set(stream_rest) | set(ml_rest) | set(udf_rest)
+    rest = [n for n in pool if n not in taken]
+    lines += [
+        "",
+        "## Next windows (plan, recomputed from the live pool each regen)",
+        "",
+        f"- **r{max(h) + 2}**: the {len(llm_rest)} remaining `llm_*` ops, "
+        f"the {len(stream_rest)} remaining `stream_*` ops (the only §2 "
+        f"family with zero driver exposure so far), the {len(ml_rest)} "
+        f"`ml_*` ops, and `udf_*` ops up to the 50 cap.",
+        f"- **r{max(h) + 3}+**: remaining `udf_*`/`udtf_*`/`mm_*`/`graph_*` "
+        f"blocks, then the {len(rest)}-op scan/filter/agg/ts/win/sql/misc "
+        "backlog, then any ops added after this regen.",
+        "",
+    ]
     return "\n".join(lines)
 
 
