@@ -2093,3 +2093,154 @@ def agg_lift_gain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain/lift. Decile boundaries land identically in both engines because
     the cumulative counts are exact integers."""
     return sql_q(spark, sf_dir, _LIFT_SQL)
+
+
+_ANOVA_SQL = """
+    WITH grp AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mu,
+             var_samp(value) AS s2
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT sum(n) AS n_all, sum(n * mu) / sum(n) AS gm,
+             count(*) AS k
+      FROM grp),
+    ss AS (
+      SELECT sum(n * (mu - tot.gm) * (mu - tot.gm)) AS ssb,
+             sum((n - 1) * s2) AS ssw,
+             max(tot.k) AS k, max(tot.n_all) AS n_all
+      FROM grp CROSS JOIN tot)
+    SELECT CAST(k AS INT) AS n_groups,
+           CAST(n_all AS BIGINT) AS n_rows,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           CAST(k - 1 AS INT) AS df_between,
+           CAST(n_all - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (n_all - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM ss
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_SQL)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event_type groups: F statistic,
+    between/within sums of squares, and eta-squared effect size — the
+    k-group generalization of agg_welch_t_test. The entire test is
+    closed-form arithmetic on each group's (n, mean, sample variance)
+    from ONE aggregate pass over the fact table, so at 100 TB it costs a
+    single map-side-combinable shuffle of |groups| rows; the CROSS JOINs
+    are 1-row broadcasts."""
+    return sql_q(spark, sf_dir, _ANOVA_SQL)
+
+
+_LEVENE_SQL = """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type),
+    z AS (
+      SELECT e.event_type, abs(e.value - med.m) AS z
+      FROM events e JOIN med ON med.event_type = e.event_type),
+    grp AS (
+      SELECT event_type, count(*) AS n, avg(z) AS mu, var_samp(z) AS s2
+      FROM z GROUP BY event_type),
+    tot AS (
+      SELECT sum(n) AS n_all, sum(n * mu) / sum(n) AS gm, count(*) AS k
+      FROM grp),
+    ss AS (
+      SELECT sum(n * (mu - tot.gm) * (mu - tot.gm)) AS ssb,
+             sum((n - 1) * s2) AS ssw,
+             max(tot.k) AS k, max(tot.n_all) AS n_all
+      FROM grp CROSS JOIN tot)
+    SELECT CAST(k AS INT) AS n_groups,
+           CAST(n_all AS BIGINT) AS n_rows,
+           CAST(k - 1 AS INT) AS df_between,
+           CAST(n_all - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (n_all - k)), 6) AS w_stat
+    FROM ss
+"""
+
+
+@register("agg_levene_test", oracle=_LEVENE_SQL)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for homogeneity of variances, Brown–Forsythe variant
+    (deviations from the group MEDIAN — robust to heavy tails): W is the
+    one-way ANOVA F computed on z_ij = |x_ij − median_j|. Checks the
+    equal-variance assumption the classical pooled t-test / ANOVA make
+    (pairs with agg_anova_oneway). Plan: one |groups|-row exact-median
+    aggregate, broadcast back for the |x − m| pass, then the same
+    closed-form ANOVA arithmetic — two shuffles of group-grain rows
+    total; median() interpolates identically in both engines."""
+    return sql_q(spark, sf_dir, _LEVENE_SQL)
+
+
+_CRAMERS_SQL = """
+    WITH cells AS (
+      SELECT event_type AS a,
+             CAST(extract(day FROM ts) AS INT) % 7 AS b,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    marg AS (
+      SELECT a, b, n,
+             sum(n) OVER (PARTITION BY a) AS ra,
+             sum(n) OVER (PARTITION BY b) AS cb,
+             sum(n) OVER () AS nn
+      FROM cells),
+    chi AS (
+      SELECT sum((n - ra * cb / nn) * (n - ra * cb / nn) / (ra * cb / nn))
+               AS chi2,
+             count(DISTINCT a) AS r, count(DISTINCT b) AS c, max(nn) AS nn
+      FROM marg)
+    SELECT round(chi2, 6) AS chi2,
+           CAST((r - 1) * (c - 1) AS INT) AS dof,
+           CAST(nn AS BIGINT) AS n,
+           round(sqrt(chi2 / (nn * (least(r, c) - 1))), 6) AS cramers_v
+    FROM chi
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_SQL)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between two categoricals
+    (event_type × day-of-month-mod-7 cohort): the chi-square statistic of
+    the full contingency table normalized to [0, 1] — the readout that
+    makes chi2 comparable across table shapes (complements
+    agg_chi_square_independence, which stops at the raw statistic). The
+    contingency table is one |r×c|-grain aggregate; marginals come from
+    windows OVER the tiny cell set, so nothing touches row grain twice.
+    extract(day …) is engine-portable (dayofweek is NOT — Spark counts
+    Sunday=1, DuckDB Sunday=0)."""
+    return sql_q(spark, sf_dir, _CRAMERS_SQL)
+
+
+_JSD_SQL = """
+    WITH lev AS (
+      SELECT CAST(floor(value * 2) AS INT) AS b,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS ca,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS cb
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS dom FROM lev),
+    pq AS (
+      SELECT (ca + 1) / (tot.na + tot.dom) AS p,
+             (cb + 1) / (tot.nb + tot.dom) AS q
+      FROM lev CROSS JOIN tot)
+    SELECT CAST(max(tot.dom) AS INT) AS n_buckets,
+           round(sum(0.5 * p * ln(2 * p / (p + q))
+                     + 0.5 * q * ln(2 * q / (p + q))), 6) AS jsd_nats,
+           round(sqrt(sum(0.5 * p * ln(2 * p / (p + q))
+                          + 0.5 * q * ln(2 * q / (p + q)))), 6)
+             AS js_distance
+    FROM pq CROSS JOIN tot
+"""
+
+
+@register("agg_js_divergence", oracle=_JSD_SQL)
+def agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the even-user and odd-user
+    value-bucket distributions (half-unit buckets, add-1 smoothing over
+    the union domain): the SYMMETRIC, always-finite drift metric —
+    llm_kl_divergence_split's KL blows up when the held-out side misses a
+    bucket; JSD is bounded by ln 2 and is a metric after sqrt
+    (js_distance). One bucket-grain conditional aggregate builds both
+    distributions in a single corpus pass; everything after is
+    |buckets|-grain arithmetic with 1-row broadcast totals."""
+    return sql_q(spark, sf_dir, _JSD_SQL)

@@ -1297,3 +1297,80 @@ def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats
         """,
     )
+
+
+_PSI_SQL = """
+    WITH bucketed AS (
+      SELECT event_type,
+             CAST(floor(value * 2) AS INT) AS b,
+             CAST(count(*) FILTER (WHERE extract(day FROM ts) <= 15)
+                  AS DOUBLE) AS c1,
+             CAST(count(*) FILTER (WHERE extract(day FROM ts) > 15)
+                  AS DOUBLE) AS c2
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(c1) AS n1, sum(c2) AS n2, count(*) AS dom
+      FROM bucketed GROUP BY event_type),
+    psi AS (
+      SELECT b.event_type,
+             sum(((b.c2 + 1) / (t.n2 + t.dom) - (b.c1 + 1) / (t.n1 + t.dom))
+                 * ln(((b.c2 + 1) / (t.n2 + t.dom))
+                      / ((b.c1 + 1) / (t.n1 + t.dom)))) AS psi,
+             max(t.dom) AS dom
+      FROM bucketed b JOIN tot t ON t.event_type = b.event_type
+      GROUP BY b.event_type)
+    SELECT event_type, CAST(dom AS INT) AS n_buckets,
+           round(psi, 6) AS psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'major' END AS drift_band
+    FROM psi ORDER BY event_type
+"""
+
+
+@register("etl_psi_drift", oracle=_PSI_SQL)
+def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month (half-unit value buckets, add-1 smoothing
+    over each type's observed domain) — the model-monitoring drift gate
+    ('re-score when PSI > 0.25') run as a batch audit before promoting a
+    new training snapshot. ONE conditional aggregate builds both period
+    distributions in a single corpus pass (no second scan, no join back
+    to row grain); the PSI sum is |type×bucket|-grain arithmetic. At
+    100 TB this is a map-side-combinable shuffle of a few thousand rows."""
+    return sql_q(spark, sf_dir, _PSI_SQL)
+
+
+_QUARANTINE_SQL = """
+    WITH flagged AS (
+      SELECT event_id,
+             (CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN event_type NOT IN
+                      ('view', 'click', 'purchase', 'signup', 'error')
+                 THEN 2 ELSE 0 END)
+             + (CASE WHEN ts < TIMESTAMP '2024-01-01'
+                       OR ts >= TIMESTAMP '2024-02-01' THEN 4 ELSE 0 END)
+             + (CASE WHEN props IS NULL OR props NOT LIKE '{%' THEN 8
+                 ELSE 0 END) AS rule_bitmap
+      FROM events)
+    SELECT rule_bitmap,
+           CASE WHEN rule_bitmap = 0 THEN 'pass' ELSE 'quarantine' END
+             AS route,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS first_example
+    FROM flagged GROUP BY rule_bitmap ORDER BY rule_bitmap
+"""
+
+
+@register("etl_quarantine_routing", oracle=_QUARANTINE_SQL)
+def etl_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-bitmap quarantine router: every ingest row is scored against
+    four validity rules (null/negative value, unknown event type,
+    timestamp outside the loading window, malformed props payload) packed
+    into a bitmask, then routed pass/quarantine — the dead-letter-queue
+    pattern where the bitmap tells the on-call WHICH rules fired without
+    re-scanning (complements etl_dq_audit, which counts rule hits
+    independently; the bitmap exposes rule CO-occurrence). Pure map-side
+    CASE arithmetic + one |bitmap|-grain aggregate — zero joins, zero
+    Python, linear at any scale."""
+    return sql_q(spark, sf_dir, _QUARANTINE_SQL)

@@ -1831,3 +1831,44 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strict inequalities engine-exact. One hour-grain aggregation,
     lag/lead over the bounded hour series, TakeOrdered(10)."""
     return sql_q(spark, sf_dir, _PEAKS_SQL.format(ts="ts"))
+
+
+_SPRT_SQL = """
+    WITH daily AS (
+      SELECT CAST(extract(day FROM ts) AS INT) AS d,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS DOUBLE) AS k
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT d, n, k,
+             sum(k * ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE))
+                 + (n - k) * ln(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE)))
+               OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS llr
+      FROM daily)
+    SELECT d AS day, CAST(n AS BIGINT) AS n_trials,
+           CAST(k AS BIGINT) AS n_hits,
+           round(llr, 6) AS cum_llr,
+           CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum ORDER BY d
+"""
+
+
+@register("ts_sprt_sequential", oracle=_SPRT_SQL)
+def ts_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the daily purchase
+    rate (H0: p=0.18 vs H1: p=0.22, α=β=0.05 → log-boundaries ±ln 19):
+    the cumulative log-likelihood ratio per day plus the decision the
+    experimenter could have taken THAT day — the 'when could we have
+    stopped the A/B test' audit, replayed over history in one query.
+    Day-grain rollup first (one conditional aggregate), then a running
+    sum over ≤31 rows: the sequential analysis itself is free; the only
+    corpus-scale work is the first map-side-combinable pass. The ratio
+    literals are CAST to DOUBLE before dividing — bare 0.22/0.18 parses
+    as DECIMAL and the two engines round decimal division at different
+    scales (found via a 2e-3 cum_llr drift in the mirror)."""
+    return sql_q(spark, sf_dir, _SPRT_SQL)

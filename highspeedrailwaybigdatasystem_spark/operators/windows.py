@@ -919,3 +919,42 @@ def win_exponential_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_diff="unix_micros(anchor.t_max) - unix_micros(ts)",
         ).replace("CROSS JOIN anchor", "CROSS JOIN anchor AS anchor"),
     )
+
+
+_ROLLSLOPE_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(extract(day FROM ts) AS INT) AS d,
+             sum(value) AS y
+      FROM events GROUP BY 1, 2),
+    rolled AS (
+      SELECT event_type, d, y,
+             count(*) OVER w AS n,
+             sum(CAST(d AS DOUBLE)) OVER w AS sx,
+             sum(y) OVER w AS sy,
+             sum(CAST(d AS DOUBLE) * y) OVER w AS sxy,
+             sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, d AS day,
+           round(y, 2) AS daily_value,
+           CAST(n AS INT) AS n_window,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS slope_7d
+    FROM rolled ORDER BY event_type, d
+"""
+
+
+@register("win_rolling_slope", oracle=_ROLLSLOPE_SQL)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day OLS trend slope of daily value per event type — the
+    'is this metric accelerating' readout computed WITHOUT a per-window
+    regression call: the closed-form slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    needs only four running sums, so one named WINDOW over the
+    |types × days| rollup produces every day's slope in a single pass
+    (rollup-then-window layering: the corpus collapses to day grain
+    first, the frames never touch row grain). Zero-variance frames
+    (n=1) emit slope 0 by convention in both engines."""
+    return sql_q(spark, sf_dir, _ROLLSLOPE_SQL)

@@ -190,6 +190,9 @@ def test_full_surface_plan_hygiene(spark):
         "llm_curation_funnel",     # 1-row raw-count broadcast
         "agg_ks_test_two_sample",  # 1-row group-totals broadcast
         "llm_collocation_pmi",     # 1-row bigram-total broadcast
+        "agg_anova_oneway",        # 1-row grand-mean/totals broadcast
+        "agg_levene_test",         # 1-row grand-mean/totals broadcast (on |z|)
+        "agg_js_divergence",       # 1-row distribution-totals broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -214,6 +217,8 @@ def test_full_surface_plan_hygiene(spark):
         "llm_rag_context_pack",  # rank + running sum over the LIMIT-20 set
         "win_rolling_corr",  # 7-day corr frame over the daily rollup — |days| rows
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
+        "agg_cramers_v",     # marginals over the |r×c| contingency cells — ≤35 rows
+        "ts_sprt_sequential",  # running LLR over the DAY grain — ≤31 rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
