@@ -4884,3 +4884,467 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares) and llm_doremi_reweight_step (loss-driven reweighting) as
     the third mixture-planning tool."""
     return sql_q(spark, sf_dir, _MIX_TEMP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: estimator audits, weighted dedup, LSH tuning, packing
+# economics, PQ quantization, embedding drift.
+# ---------------------------------------------------------------------------
+
+_MHP = 4294967291  # same 32-bit-prime affine family as llm_minhash_banding
+
+
+def _mh_est_sql(dialect: str) -> str:
+    """MinHash estimate-vs-exact SQL in either engine's dialect. The lane
+    constants are IDENTICAL to llm_minhash_banding's, so this op audits
+    the exact signature family the production near-dedup runs."""
+    if dialect == "spark":
+        shingle = (
+            "SELECT doc_id, sh"
+            " FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)"
+            " LATERAL VIEW explode(array_distinct(transform("
+            "sequence(0, size(tk) - 3),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"
+        )
+        base_hash = "cast(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        shingle = (
+            "SELECT DISTINCT doc_id,"
+            " unnest(list_transform(generate_series(1, len(tk) - 2),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS tk"
+            " FROM documents) toks"
+        )
+        base_hash = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
+    lanes = ",\n             ".join(
+        f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {_MHP}) AS mh{s}"
+        for s in range(20)
+    )
+    if dialect == "spark":
+        band = (
+            "SELECT doc_id, bs.band_id, bs.band_sig FROM sig"
+            " LATERAL VIEW explode(array("
+            + ", ".join(
+                "struct({j} AS band_id, md5(concat_ws('|', {cols})) AS band_sig)".format(
+                    j=j,
+                    cols=", ".join(f"cast(mh{4 * j + i} AS string)" for i in range(4)),
+                )
+                for j in range(5)
+            )
+            + ")) AS bs"
+        )
+    else:
+        band = (
+            "SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,"
+            " md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_sig"
+            " FROM (SELECT doc_id, u.seed,"
+            " CASE u.seed "
+            + " ".join(f"WHEN {s} THEN mh{s}" for s in range(20))
+            + " END AS mh FROM sig CROSS JOIN"
+            " (SELECT unnest(generate_series(0, 19)) AS seed) u)"
+            " GROUP BY doc_id, seed // 4"
+        )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(20)
+    )
+    return f"""
+    WITH shingle AS ({shingle}),
+    hashed AS (SELECT doc_id, {base_hash} AS h FROM shingle),
+    sig AS (
+      SELECT doc_id, {lanes}
+      FROM hashed GROUP BY doc_id),
+    band AS ({band}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM band x JOIN band y
+        ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({agree}) AS DOUBLE) / 20 AS est_j
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(e.est_j, 6) AS est_jaccard,
+           round(CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared), 6)
+             AS exact_jaccard,
+           round(abs(e.est_j
+                     - CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared)), 6)
+             AS abs_err
+    FROM inter i
+    JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.shared AS DOUBLE) / (za.n + zb.n - i.shared) >= 0.2
+    ORDER BY exact_jaccard DESC, i.doc_a, i.doc_b
+    """
+
+
+@register("llm_minhash_jaccard_estimate", oracle=_mh_est_sql("duck"))
+def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the production MinHash family: for every
+    LSH band candidate pair, the 20-lane signature-agreement Jaccard
+    ESTIMATE next to the exact shingle-set Jaccard and the absolute error
+    — the measurement that justifies (or indicts) a signature budget
+    before a 100 TB dedup run ('is 20 lanes enough at our dup density?').
+    Same affine lane constants and banding as llm_minhash_banding, so the
+    audited estimator IS the deployed one. The signature self-join carries
+    20 small ints per row; exact verify touches shingles only for the
+    candidate set (LSH-bounded, linear in true-dup density)."""
+    return sql_q(spark, sf_dir, _mh_est_sql("spark"))
+
+
+def _idf_jaccard_sql(dialect: str) -> str:
+    if dialect == "spark":
+        shingle = (
+            "SELECT doc_id, source, sh"
+            " FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)"
+            " LATERAL VIEW explode(array_distinct(transform("
+            "sequence(0, size(tk) - 3),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"
+        )
+    else:
+        shingle = (
+            "SELECT DISTINCT doc_id, source,"
+            " unnest(list_transform(generate_series(1, len(tk) - 2),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh"
+            " FROM (SELECT doc_id, source, string_split(text, ' ') AS tk"
+            " FROM documents) toks"
+        )
+    return f"""
+    WITH shingle AS ({shingle}),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM shingle),
+    idf AS (
+      SELECT sh, ln(nn.n / count(DISTINCT doc_id)) AS w
+      FROM shingle CROSS JOIN nn GROUP BY sh, nn.n),
+    wsum AS (
+      SELECT s.doc_id, sum(idf.w) AS tw
+      FROM shingle s JOIN idf ON idf.sh = s.sh GROUP BY s.doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(idf.w) AS iw
+      FROM shingle a
+      JOIN shingle b ON b.source = a.source AND b.sh = a.sh
+                    AND a.doc_id < b.doc_id
+      JOIN idf ON idf.sh = a.sh
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.iw / (wa.tw + wb.tw - i.iw), 6) AS weighted_jaccard
+    FROM inter i
+    JOIN wsum wa ON wa.doc_id = i.doc_a
+    JOIN wsum wb ON wb.doc_id = i.doc_b
+    WHERE i.iw / (wa.tw + wb.tw - i.iw) >= 0.2
+    ORDER BY weighted_jaccard DESC, i.doc_a, i.doc_b
+    LIMIT 20
+    """
+
+
+@register("llm_idf_weighted_jaccard", oracle=_idf_jaccard_sql("duck"))
+def llm_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted shingle Jaccard for same-source doc pairs: rare
+    shingles dominate the similarity, so boilerplate shared by everything
+    (navigation chrome, legal footers) stops producing false near-dups —
+    the standard upgrade over unweighted Jaccard when a corpus has heavy
+    template reuse. weighted_J = Σ_{{A∩B}} idf / Σ_{{A∪B}} idf with
+    idf = ln(N/df). Source-blocked self-join (the llm_ngram_jaccard
+    blocking) bounds the pair space; the idf join is |vocab|-grain.
+    Top-20 pairs at ≥ 0.2."""
+    return sql_q(spark, sf_dir, _idf_jaccard_sql("spark"))
+
+
+def _lsh_tuning_sql(pairs_sql: str) -> str:
+    """Config-grid s-curve analysis over an observed near-dup pair set."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    grid AS (
+      SELECT * FROM (VALUES (20, 1), (10, 2), (5, 4), (4, 5), (2, 10),
+                            (1, 20)) AS g(b, r))
+    SELECT g.b AS n_bands, g.r AS rows_per_band,
+           round(pow(CAST(1 AS DOUBLE) / g.b,
+                     CAST(1 AS DOUBLE) / g.r), 6) AS s_star,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(1 - pow(1 - pow(p.jaccard, g.r), g.b)), 6)
+             AS expected_recall,
+           round(min(1 - pow(1 - pow(p.jaccard, g.r), g.b)), 6)
+             AS worst_pair_recall
+    FROM grid g CROSS JOIN pairs p
+    GROUP BY g.b, g.r
+    ORDER BY g.b DESC
+    """
+
+
+def _register_lsh_tuning() -> None:
+    from ..registry import all_oracles
+
+    banding_oracle = all_oracles()["llm_minhash_banding"]
+
+    @register("llm_lsh_tuning_curve", oracle=_lsh_tuning_sql(banding_oracle))
+    def llm_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LSH parameter-sweep planner: for every (bands × rows-per-band)
+        split of the 20-lane signature budget, the s-curve threshold
+        s* = (1/b)^(1/r) and the expected/worst-case detection recall
+        1−(1−J^r)^b over the OBSERVED near-dup pair population (the exact
+        Jaccards llm_minhash_banding verified) — the table an engineer
+        reads before re-banding a 100 TB dedup ('(5,4) catches 99% of our
+        actual dups; (2,10) would miss a third'). The pair set is LSH-
+        bounded and the grid is 6 literal rows, so everything after the
+        banding pipeline is broadcast arithmetic. Oracle composes the
+        banding oracle verbatim as a CTE — lockstep by construction."""
+        pairs = llm_minhash_banding(spark, sf_dir)
+        pairs.createOrReplaceTempView("__lsh_pairs")
+        return spark.sql(_lsh_tuning_sql("SELECT * FROM __lsh_pairs"))
+
+
+_register_lsh_tuning()
+
+
+_PACKING_CURVE_TEMPLATE = """
+    WITH toks AS (
+      SELECT doc_id, CAST({ntok} AS BIGINT) AS n FROM documents),
+    grid AS (SELECT * FROM (VALUES (64), (128), (256), (512)) AS g(c)),
+    percfg AS (
+      SELECT g.c,
+             count(*) AS n_docs,
+             sum(t.n) AS total_tok,
+             sum(CAST(ceil(CAST(t.n AS DOUBLE) / g.c) AS BIGINT))
+               AS seqs_padded
+      FROM grid g CROSS JOIN toks t
+      GROUP BY g.c)
+    SELECT c AS context_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tok AS BIGINT) AS total_tokens,
+           CAST(seqs_padded AS BIGINT) AS seqs_padded,
+           round(CAST(total_tok AS DOUBLE) / (seqs_padded * c), 6)
+             AS fill_rate_padded,
+           CAST(ceil(CAST(total_tok AS DOUBLE) / c) AS BIGINT)
+             AS seqs_packed,
+           round(CAST(total_tok AS DOUBLE)
+                 / (CAST(ceil(CAST(total_tok AS DOUBLE) / c) AS BIGINT) * c),
+                 6) AS fill_rate_packed,
+           round(CAST(seqs_padded AS DOUBLE)
+                 / CAST(ceil(CAST(total_tok AS DOUBLE) / c) AS BIGINT), 6)
+             AS packing_gain
+    FROM percfg
+    ORDER BY c
+"""
+
+
+@register(
+    "llm_packing_efficiency_curve",
+    oracle=_PACKING_CURVE_TEMPLATE.format(ntok="len(string_split(text, ' '))"),
+)
+def llm_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing economics across context lengths (64/128/256/512): per
+    config, the sequence count and fill rate under pad-to-context (each
+    doc ceil(n/C) sequences, rest padding) vs concat-and-pack (the
+    GPT-style streaming bin: ceil(Σn/C) sequences, zero padding except
+    the tail), and the packing_gain ratio between them — the 'how much
+    compute does packing buy us at 8k context' table that sizes a
+    pretraining run. One token-count scan, a 4-row literal grid, and
+    1-row-per-config arithmetic; pairs with llm_seq_packing (which emits
+    the actual bin assignment this table prices)."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _PACKING_CURVE_TEMPLATE.format(ntok="size(split(text, ' '))"),
+    )
+
+
+def _pq_sql(dialect: str) -> str:
+    if dialect == "spark":
+        sub = "slice(embedding, s * 16 + 1, 16)"
+        grid = "LATERAL VIEW explode(array(0, 1, 2, 3)) AS s"
+        d2 = (
+            "aggregate(zip_with(v.sub, c.sub,"
+            " (x, y) -> (cast(x AS double) - cast(y AS double))"
+            " * (cast(x AS double) - cast(y AS double))),"
+            " cast(0.0 AS double), (acc, e) -> acc + e)"
+        )
+        vecs = (
+            "SELECT vec_id, s, {sub} AS sub FROM embeddings {grid}"
+        ).format(sub=sub, grid=grid)
+        cents = (
+            "SELECT vec_id AS code, s, {sub} AS sub"
+            " FROM embeddings {grid} WHERE vec_id < 16"
+        ).format(sub=sub, grid=grid)
+    else:
+        sub = "embedding[s * 16 + 1 : s * 16 + 16]"
+        grid = "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g"
+        d2 = (
+            "list_aggregate(list_transform(list_zip(v.sub, c.sub),"
+            " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+            " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+        )
+        vecs = f"SELECT vec_id, s, {sub} AS sub FROM embeddings {grid}"
+        cents = (
+            f"SELECT vec_id AS code, s, {sub} AS sub"
+            f" FROM embeddings {grid} WHERE vec_id < 16"
+        )
+    return f"""
+    WITH vecs AS ({vecs}),
+    cents AS ({cents}),
+    assigned AS (
+      SELECT vec_id, s, code, d2 FROM (
+        SELECT v.vec_id, v.s, c.code, round({d2}, 6) AS d2,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.s
+                 ORDER BY round({d2}, 6), c.code) AS rn
+        FROM vecs v JOIN cents c ON c.s = v.s) z
+      WHERE rn = 1)
+    SELECT s AS subspace, CAST(code AS INT) AS code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(d2), 6) AS avg_sq_err,
+           round(max(d2), 6) AS max_sq_err
+    FROM assigned
+    GROUP BY s, code
+    ORDER BY s, code
+    """
+
+
+@register("llm_embedding_pq_codebook", oracle=_pq_sql("duck"))
+def llm_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: the 64-dim embedding splits into 4×16-dim
+    subspaces, each sub-vector snaps to the nearest of 16 convention
+    centroids (the vec_id<16 quantizer every IVF op here shares), and the
+    output is the per-(subspace, code) assignment histogram with mean/max
+    squared reconstruction error — the table that says whether a 4×4-bit
+    PQ code (32× compression) preserves enough geometry for ANN recall.
+    Plan: 16×4 centroid sub-vectors broadcast against the corpus ×4
+    subspace explode, argmin via ties-broken row_number — the IVF
+    assignment pattern at 4× the row grain, still one shuffle on
+    (vec_id, s). Distances round to 1e-6 before the argmin so both
+    engines pick identical codes."""
+    return sql_q(spark, sf_dir, _pq_sql("spark"))
+
+
+def _centroid_drift_sql(dialect: str) -> str:
+    if dialect == "spark":
+        rows = (
+            "SELECT vec_id, label, pos, CAST(v AS DOUBLE) AS v"
+            " FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v"
+        )
+    else:
+        rows = (
+            "SELECT vec_id, label,"
+            " CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS pos,"
+            " CAST(unnest(embedding) AS DOUBLE) AS v"
+            " FROM embeddings"
+        )
+    return f"""
+    WITH rows_ AS ({rows}),
+    means AS (
+      SELECT label, pos,
+             round(avg(v) FILTER (WHERE vec_id % 2 = 0), 6) AS ma,
+             round(avg(v) FILTER (WHERE vec_id % 2 = 1), 6) AS mb,
+             max(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS has_a,
+             max(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS has_b
+      FROM rows_ GROUP BY label, pos),
+    counts AS (
+      SELECT label,
+             count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS na,
+             count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END) AS nb
+      FROM rows_ GROUP BY label)
+    SELECT m.label,
+           CAST(c.na AS BIGINT) AS n_even, CAST(c.nb AS BIGINT) AS n_odd,
+           round(sqrt(sum((m.ma - m.mb) * (m.ma - m.mb))), 6) AS l2_drift,
+           round(sum(m.ma * m.mb)
+                 / (sqrt(sum(m.ma * m.ma)) * sqrt(sum(m.mb * m.mb))), 6)
+             AS cos_sim
+    FROM means m JOIN counts c ON c.label = m.label
+    WHERE m.has_a = 1 AND m.has_b = 1
+    GROUP BY m.label, c.na, c.nb
+    ORDER BY m.label
+    """
+
+
+@register("llm_embedding_centroid_drift", oracle=_centroid_drift_sql("duck"))
+def llm_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots (even vs odd
+    vec_ids standing in for last month's vs this month's index): per
+    label, the L2 distance and cosine similarity between the two
+    snapshots' mean vectors — the 'did the embedding distribution move
+    enough to re-train the ANN index / recalibrate thresholds' monitor.
+    The corpus collapses to (label × 64 dims) mean-grain in one
+    conditional aggregate (both snapshots in a single pass, no join at
+    row grain); drift arithmetic runs on ≤640 tiny rows. Dimension means
+    round to 1e-6 BEFORE the distance fold so both engines accumulate
+    identical summands."""
+    return sql_q(spark, sf_dir, _centroid_drift_sql("spark"))
+
+
+@register(
+    "mm_video_scene_cut_stub",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, CAST(s AS INT) AS fidx,
+             list_aggregate(list_transform(
+               range(1, len(substr(text, CAST(s * 16 + 1 AS INT), 16)) + 1),
+               i -> ord(substr(substr(text, CAST(s * 16 + 1 AS INT), 16),
+                               CAST(i AS INT), 1))), 'sum') % 997 AS feat
+      FROM documents
+      CROSS JOIN LATERAL unnest(generate_series(
+        0, CAST(ceil(CAST(length(text) AS DOUBLE) / 16) AS BIGINT) - 1))
+        AS g(s)),
+    deltas AS (
+      SELECT doc_id, fidx, feat,
+             abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY fidx))
+               AS delta
+      FROM frames)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE delta > 200) AS BIGINT) AS n_cuts,
+           round(CAST(count(*) AS DOUBLE)
+                 / (count(*) FILTER (WHERE delta > 200) + 1), 6)
+             AS mean_scene_len
+    FROM deltas GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_video_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal scene-cut detection plumbing (video stand-in): the
+    binary payload chunks into 16-byte 'frames', each frame reduces to a
+    deterministic feature (byte-sum mod 997 — a real impl swaps in a
+    decoded-frame histogram or embedding), and a cut fires where the
+    inter-frame feature delta exceeds the threshold — per doc: frame
+    count, cut count, mean scene length. The Spark-side shape is the real
+    pipeline: binary column → Arrow batches through mapInPandas → typed
+    per-doc stats out; only the feature function is fake. Pure map-side,
+    no shuffle, linear in corpus bytes. Oracle recomputes the byte math
+    via per-char codepoints (exact: the corpus is ASCII, one byte per
+    char)."""
+
+    def cuts(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "mean_scene_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                feats = [
+                    sum(buf[o : o + 16]) % 997 for o in range(0, len(buf), 16)
+                ]
+                n_cuts = sum(
+                    1 for a, b in zip(feats, feats[1:]) if abs(b - a) > 200
+                )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(feats))
+                out["n_cuts"].append(n_cuts)
+                out["mean_scene_len"].append(
+                    round(len(feats) / (n_cuts + 1), 6)
+                )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_frames": "int64", "n_cuts": "int64",
+                 "mean_scene_len": "float64"}
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        cuts,
+        "doc_id long, n_frames long, n_cuts long, mean_scene_len double",
+    ).orderBy("doc_id")

@@ -421,3 +421,81 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.sum("price_cents").alias("price_cents"),
     )
+
+
+@register(
+    "udf_cogrouped_apply",
+    oracle="""
+    WITH q AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                  AS BIGINT) AS net_i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 50 = 0)
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST((sum(net_i) + 50) // 100 AS DOUBLE) / 100 AS net_revenue,
+           round(CAST(sum(net_i) AS DOUBLE) / 10000 / max(o_totalprice), 6)
+             AS net_to_total_ratio
+    FROM q GROUP BY o_orderkey ORDER BY o_orderkey
+    """,
+)
+def udf_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided Arrow group API
+    (df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas): each order's
+    lineitems arrive as one pandas frame and the order header as another,
+    in the SAME task, letting per-key reconciliation logic run as plain
+    pandas (here: net revenue vs header total). This is the escape hatch
+    when per-key logic needs BOTH sides materialized — custom conformance
+    checks, per-entity replays — and the 1-shuffle-per-side cost is the
+    same as the equivalent join. Keys are pre-filtered (orderkey % 50)
+    BEFORE the cogroup so the filter pushes to both parquet scans.
+    Per-item nets quantize to a 1e-4 integer grid (floor(x+0.5) — round()
+    would banker's-round in numpy but half-away in SQL) before summing,
+    so the group sum is exact int64 in every engine and immune to
+    accumulation order."""
+
+    def reconcile(key, orders_pdf, items_pdf):
+        if orders_pdf.empty or items_pdf.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_items", "net_revenue",
+                         "net_to_total_ratio"]
+            )
+        net_i = int(
+            np.floor(
+                items_pdf["l_extendedprice"] * (1 - items_pdf["l_discount"])
+                * 10000 + 0.5
+            ).astype("int64").sum()
+        )
+        total = float(orders_pdf["o_totalprice"].iloc[0])
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_items": [len(items_pdf)],
+                # cent-rounding in integer space: round(x, 2) would hit
+                # .995 boundaries with banker's-vs-half-away divergence
+                "net_revenue": [(net_i + 50) // 100 / 100],
+                "net_to_total_ratio": [round(net_i / 10000 / total, 6)],
+            }
+        )
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(items.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_items long, net_revenue double,"
+            " net_to_total_ratio double",
+        )
+        .orderBy("o_orderkey")
+    )

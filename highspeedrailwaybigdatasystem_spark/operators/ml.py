@@ -905,3 +905,113 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = sorted(range(_D), key=lambda j: (-abs(v[j]), j))[:10]
     out = [(j + 1, round(v[j] / _Q, 6)) for j in idx]
     return spark.createDataFrame(out, "component int, loading double")
+
+
+def _ndcg_sql(dot: str) -> str:
+    return f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+      FROM embeddings WHERE vec_id < 5),
+    ranked AS (
+      SELECT p.probe_id, p.plabel, e.label,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({dot}, 6) DESC, e.vec_id) AS rnk
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id >= 5),
+    topk AS (
+      SELECT probe_id,
+             sum(CASE WHEN label = plabel THEN 1.0 ELSE 0.0 END
+                 / log2(CAST(rnk + 1 AS DOUBLE))) AS dcg,
+             CAST(sum(CASE WHEN label = plabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel
+      FROM ranked WHERE rnk <= 10 GROUP BY probe_id),
+    ideal AS (
+      SELECT probe_id,
+             sum(CASE WHEN i <= n_rel_total
+                 THEN 1.0 / log2(CAST(i + 1 AS DOUBLE)) ELSE 0.0 END)
+               AS idcg
+      FROM (
+        SELECT probe_id,
+               least(CAST(sum(CASE WHEN label = plabel THEN 1 ELSE 0 END)
+                          AS INT), 10) AS n_rel_total
+        FROM ranked GROUP BY probe_id) t
+      CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7),
+                                        (8), (9), (10)) AS r(i)) r
+      GROUP BY probe_id)
+    SELECT t.probe_id,
+           t.n_rel AS rel_in_top10,
+           round(CAST(t.n_rel AS DOUBLE) / 10, 6) AS precision_at_10,
+           round(t.dcg, 6) AS dcg_at_10,
+           round(i.idcg, 6) AS idcg_at_10,
+           round(t.dcg / i.idcg, 6) AS ndcg_at_10
+    FROM topk t JOIN ideal i ON i.probe_id = t.probe_id
+    ORDER BY t.probe_id
+    """
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=_ndcg_sql(_DOT16_DUCK.format(a="p.pvec", b="e.embedding")),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 (plus precision@10) of cosine-similarity retrieval for five
+    probe vectors, relevance = same-label: the position-discounted ranking
+    metric that llm_ann_recall_eval's flat recall misses (a relevant hit
+    at rank 1 is worth more than at rank 10). DCG uses the binary-gain
+    1/log2(rank+1) convention; IDCG packs the min(n_relevant, 10) ideal
+    prefix via a 10-row literal grid, so the normalization needs no
+    second sort. The 5-probe × corpus scan is one bounded broadcast
+    (the ANN-eval pattern); everything after is |probes|-grain."""
+    return sql_q(
+        spark, sf_dir, _ndcg_sql(_DOT16.format(a="p.pvec", b="e.embedding"))
+    )
+
+
+def _kfold_sql(fold_expr: str) -> str:
+    return f"""
+    WITH folds AS (
+      SELECT {fold_expr} AS fold,
+             event_type, value
+      FROM events),
+    per AS (
+      SELECT fold,
+             count(*) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS DOUBLE) AS k,
+             avg(value) AS mu
+      FROM folds GROUP BY fold),
+    tot AS (SELECT sum(n) AS n_all FROM per)
+    SELECT fold, CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n AS DOUBLE) / tot.n_all, 6) AS share,
+           round(k / n, 6) AS purchase_rate,
+           round(mu, 6) AS mean_value
+    FROM per CROSS JOIN tot
+    ORDER BY fold
+    """
+
+
+@register(
+    "ml_kfold_assignment",
+    oracle=_kfold_sql(
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))"
+        " AS BIGINT) % 5"
+    ),
+)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by content-
+    addressed hash (md5 of the row key, the llm_hash_split convention —
+    stable under reshuffling, re-ingestion, and cluster size, unlike
+    rand()-seeded splits) plus the balance audit that validates it: per
+    fold, the row share and the label/feature distribution (purchase
+    rate, mean value). A skewed fold here means the hash key correlates
+    with the target — the leakage check run before any CV loop. Pure
+    map-side hash + one fold-grain aggregate."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _kfold_sql(
+            "cast(conv(substr(md5(CAST(event_id AS STRING)), 1, 4), 16, 10)"
+            " AS BIGINT) % 5"
+        ),
+    )

@@ -193,6 +193,12 @@ def test_full_surface_plan_hygiene(spark):
         "agg_anova_oneway",        # 1-row grand-mean/totals broadcast
         "agg_levene_test",         # 1-row grand-mean/totals broadcast (on |z|)
         "agg_js_divergence",       # 1-row distribution-totals broadcast
+        "llm_idf_weighted_jaccard",  # 1-row corpus-N broadcast into idf
+        "llm_lsh_tuning_curve",    # 6-row (b,r) literal grid broadcast
+        "llm_packing_efficiency_curve",  # 4-row context-length grid broadcast
+        "ml_ndcg_at_k",            # 5-row probe-vector broadcast (ANN-eval
+                                   # pattern) + 10-row IDCG grid
+        "ml_kfold_assignment",     # 1-row corpus-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
