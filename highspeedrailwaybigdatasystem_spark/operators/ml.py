@@ -1015,3 +1015,186 @@ def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) % 5"
         ),
     )
+
+
+_LOGIT_STEPS = 3
+_LOGIT_LR = 4.0
+_LOGIT_PSCALE = 50_000_000.0  # cents normalizer (max o_totalprice ≈ 5e7 c)
+
+
+def _logit_base_sql() -> str:
+    """Shared per-row feature block: y = 1 iff the order is fulfilled
+    ('F'), x1 = totalprice cents normalized to [0, ~1] — the cents cast
+    is the repo-wide exact money quantization, the division one IEEE op
+    on an exact integer, so x1 is bit-identical in both engines."""
+    return f"""(
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE)
+               / {_LOGIT_PSCALE} AS x1
+      FROM orders)"""
+
+
+def _logit_step_sql(i: int) -> str:
+    """One unrolled GD step: per-row link + residual quantized to a 1e-6
+    integer grid, two int64 gradient sums, integer weight update."""
+    return f"""p{i} AS (
+      SELECT y, x1,
+             0.5 * (1.0 + z / (1.0 + abs(z))) AS s
+      FROM (
+        SELECT b.y, b.x1,
+               (CAST(w.w0q AS DOUBLE) + CAST(w.w1q AS DOUBLE) * b.x1)
+                 / 1000000.0 AS z
+        FROM base b CROSS JOIN w{i - 1} w)),
+    g{i} AS (
+      SELECT sum(CAST(floor((y - s) * 1000000.0 + 0.5) AS BIGINT)) AS g0,
+             sum(CAST(floor((y - s) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS g1,
+             count(*) AS n
+      FROM p{i}),
+    w{i} AS (
+      SELECT w.w0q + CAST(floor({_LOGIT_LR} * (CAST(g.g0 AS DOUBLE) / g.n)
+                                + 0.5) AS BIGINT) AS w0q,
+             w.w1q + CAST(floor({_LOGIT_LR} * (CAST(g.g1 AS DOUBLE) / g.n)
+                                + 0.5) AS BIGINT) AS w1q
+      FROM w{i - 1} w CROSS JOIN g{i} g)"""
+
+
+def _logit_oracle() -> str:
+    steps = ",\n    ".join(_logit_step_sql(i) for i in range(1, _LOGIT_STEPS + 1))
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, round(CAST(w0q AS DOUBLE) / 1000000.0, 6) AS w0,"
+        f" round(CAST(w1q AS DOUBLE) / 1000000.0, 6) AS w1 FROM w{i}"
+        for i in range(1, _LOGIT_STEPS + 1)
+    )
+    return f"""
+    WITH base AS {_logit_base_sql()},
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0q, CAST(0 AS BIGINT) AS w1q),
+    {steps}
+    SELECT * FROM ({rows}) ORDER BY step
+    """
+
+
+@register("ml_logistic_gd_steps", oracle=_logit_oracle())
+def ml_logistic_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary classifier trained by 3 synchronous full-batch gradient
+    steps (predict order fulfillment from its value), EXACTLY
+    oracle-checkable via the kmeans/PCA fixed-point discipline: weights
+    live on a 1e-6 integer grid, the per-row residual quantizes to the
+    same grid BEFORE the gradient sum (int64, order-independent), and
+    the step update floors one IEEE division of exact integers — every
+    float op is a single correctly-rounded operation on identical
+    inputs, so both engines walk the identical weight trajectory. The
+    logistic link is the algebraic sigmoid z ↦ ½(1 + z/(1+|z|))
+    (softsign): same shape and gradient signs as 1/(1+e^-z) but built
+    from +,*,/,abs only — bit-reproducible everywhere, where libm exp()
+    is not guaranteed identical across engines.
+
+    Scale shape (100 TB): per step ONE map-side projection (weights are
+    broadcast literals — no shuffle) + one map-side-combinable 2-sum
+    aggregate; the driver holds 2 integers per step, never data. This is
+    the canonical distributed full-batch GD loop (MLlib's
+    LogisticRegressionWithSGD aggregated the same way). Output: the
+    3-step weight trajectory."""
+    import math as _math
+
+    base = sql_q(
+        spark, sf_dir, f"SELECT * FROM {_logit_base_sql()} AS base"
+    ).cache()
+    w0q, w1q = 0, 0
+    out = []
+    for step in range(1, _LOGIT_STEPS + 1):
+        g = base.selectExpr(
+            f"""(CAST({w0q} AS DOUBLE) + CAST({w1q} AS DOUBLE) * x1)
+                 / 1000000.0 AS z""",
+            "y",
+            "x1",
+        ).selectExpr(
+            "y", "x1", "0.5 * (1.0 + z / (1.0 + abs(z))) AS s"
+        ).selectExpr(
+            "sum(CAST(floor((y - s) * 1000000.0 + 0.5) AS BIGINT)) AS g0",
+            "sum(CAST(floor((y - s) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS g1",
+            "count(*) AS n",
+        ).first()
+        w0q += int(_math.floor(_LOGIT_LR * (g["g0"] / g["n"]) + 0.5))
+        w1q += int(_math.floor(_LOGIT_LR * (g["g1"] / g["n"]) + 0.5))
+        out.append((step, round(w0q / 1000000.0, 6), round(w1q / 1000000.0, 6)))
+    base.unpersist()
+    return spark.createDataFrame(out, "step int, w0 double, w1 double")
+
+
+_FCM_MU = (2_000_000, 15_000_000, 35_000_000)  # init centroids, cents
+
+
+def _fcm_sql(stack: str, dialect_cast_date: str = "") -> str:
+    """Shared FCM-step SQL; ``stack`` is the engine's 3-way unpivot of the
+    per-centroid (cid, u2q) pairs (Spark ``stack``, DuckDB ``UNION ALL``)."""
+    m1, m2, m3 = _FCM_MU
+    return f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders),
+    d AS (
+      SELECT v,
+             (v - {m1}) * (v - {m1}) + 1 AS d1,
+             (v - {m2}) * (v - {m2}) + 1 AS d2,
+             (v - {m3}) * (v - {m3}) + 1 AS d3,
+             CAST(floor(CAST(v AS DOUBLE) / 1000.0) AS BIGINT) AS vk
+      FROM cents),
+    u AS (
+      SELECT vk,
+             CAST(floor((1e0 / d1) / s * 1000000e0 + 0.5e0) AS BIGINT) AS u1,
+             CAST(floor((1e0 / d2) / s * 1000000e0 + 0.5e0) AS BIGINT) AS u2,
+             CAST(floor((1e0 / d3) / s * 1000000e0 + 0.5e0) AS BIGINT) AS u3
+      FROM (
+        SELECT vk, d1, d2, d3,
+               1e0 / d1 + 1e0 / d2 + 1e0 / d3 AS s
+        FROM d)),
+    k AS (
+      SELECT vk,
+             CAST(floor(CAST(u1 * u1 AS DOUBLE) / 1000000.0) AS BIGINT) AS q1,
+             CAST(floor(CAST(u2 * u2 AS DOUBLE) / 1000000.0) AS BIGINT) AS q2,
+             CAST(floor(CAST(u3 * u3 AS DOUBLE) / 1000000.0) AS BIGINT) AS q3
+      FROM u),
+    long AS ({stack}),
+    agg AS (
+      SELECT cid, sum(q * vk) AS num, sum(q) AS den
+      FROM long GROUP BY cid),
+    tot AS (SELECT sum(den) AS dall FROM agg)
+    SELECT CAST(cid AS INT) AS cid,
+           round(CAST(num AS DOUBLE) / den * 10.0, 2) AS centroid_dollars,
+           round(CAST(den AS DOUBLE) / tot.dall, 6) AS mass_share
+    FROM agg CROSS JOIN tot
+    ORDER BY cid
+    """
+
+
+_FCM_STACK_DUCK = """
+      SELECT vk, 1 AS cid, q1 AS q FROM k
+      UNION ALL SELECT vk, 2, q2 FROM k
+      UNION ALL SELECT vk, 3, q3 FROM k"""
+_FCM_STACK_SPARK = """
+      SELECT vk, s.cid, s.q
+      FROM k LATERAL VIEW stack(3, 1, q1, 2, q2, 3, q3) s AS cid, q"""
+
+
+@register("ml_fuzzy_cmeans_step", oracle=_fcm_sql(_FCM_STACK_DUCK))
+def ml_fuzzy_cmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous fuzzy c-means update (Bezdek FCM, m=2, K=3) over
+    the 1-D order-value distribution: membership u_k ∝ 1/d_k² against
+    fixed init centroids, new centroid = Σu²v / Σu² — the soft-clustering
+    counterpart of ml_kmeans_lloyd's hard argmin, and the same exact
+    fixed-point discipline: distances are pure int64 (+1 epsilon so a
+    zero distance needs no branch), memberships quantize to a 1e-6 grid
+    and their squares to 1e-6 via an exact double division (operands
+    < 2^53, one correctly-rounded op — both engines produce the same
+    bits), kilocent values bound Σu²·v under int64 at sf100. Float
+    literals here are e-notation (``1e0``) on purpose: Spark types
+    ``1.0`` as DECIMAL, so ``1.0/bigint`` runs DECIMAL division (NOT
+    IEEE double — measured 367/150 000 rows off by one grid unit vs
+    DuckDB), while ``1e0`` is DOUBLE in both engines. The 3-way
+    per-centroid unpivot is Spark ``stack`` / DuckDB UNION ALL — both
+    map-side; the only shuffle is the final 3-group aggregate.
+
+    Scale shape (100 TB): one projection + one K-group sum; no per-row
+    state, no row-grain shuffle (memberships normalize INSIDE the row via
+    the d1/d2/d3 triple, not via a per-row group-by)."""
+    return sql_q(spark, sf_dir, _fcm_sql(_FCM_STACK_SPARK))

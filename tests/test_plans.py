@@ -199,6 +199,7 @@ def test_full_surface_plan_hygiene(spark):
         "ml_ndcg_at_k",            # 5-row probe-vector broadcast (ANN-eval
                                    # pattern) + 10-row IDCG grid
         "ml_kfold_assignment",     # 1-row corpus-total broadcast
+        "ml_fuzzy_cmeans_step",    # 1-row membership-mass-total broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
