@@ -1872,3 +1872,55 @@ def ts_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DECIMAL and the two engines round decimal division at different
     scales (found via a 2e-3 cum_llr drift in the mirror)."""
     return sql_q(spark, sf_dir, _SPRT_SQL)
+
+
+def _xcorr_sql(tscol: str, dadd: str) -> str:
+    """Shared template; ``dadd`` is the engine's date-shift spelling
+    (Spark ``date_add(x.d, l.lag)``, DuckDB ``x.d + l.lag``)."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST({tscol} AS DATE) AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'click')
+                  AS BIGINT) AS a,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS b
+      FROM events GROUP BY 1),
+    lags AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS l(lag)),
+    pairs AS (
+      SELECT l.lag, x.a AS xa, y.b AS yb
+      FROM lags l
+      CROSS JOIN daily x
+      JOIN daily y ON y.d = {dadd}),
+    stats AS (
+      SELECT lag, count(*) AS n,
+             sum(xa) AS sa, sum(yb) AS sb, sum(xa * yb) AS sab,
+             sum(xa * xa) AS saa, sum(yb * yb) AS sbb
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           round(CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS xcorr
+    FROM stats
+    ORDER BY lag
+    """
+
+
+@register(
+    "ts_cross_correlation",
+    oracle=_xcorr_sql(EVENTS_TS_US, "x.d + l.lag"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series (lag 0–3 days): does click volume LEAD
+    purchase volume, and by how many days — the lead-lag scan run
+    before any 'marketing drives revenue' claim, and the distributed
+    form of ts_autocorr_lag generalized to two series. Pearson r comes
+    out of the closed-form integer sums (counts are exact int64, the
+    single sqrt/division at lag grain), so the oracle matches exactly.
+
+    Scale shape (100 TB): ONE map-side-combinable conditional aggregate
+    collapses the corpus to day grain; the 4-lag self-join and the
+    correlation arithmetic run on ≤31-row inputs — the lag sweep is free
+    no matter the corpus size."""
+    return sql_q(spark, sf_dir, _xcorr_sql("ts", "date_add(x.d, l.lag)"))

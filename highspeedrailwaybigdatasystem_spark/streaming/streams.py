@@ -550,3 +550,88 @@ def stream_cdc_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, last_value double, last_ts timestamp, n_applied long"
     )
+
+
+@register(
+    "stream_left_outer_join",
+    oracle=f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events),
+    c AS (SELECT user_id, ts AS cts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+    mx AS (
+      SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+               - INTERVAL 10 MINUTE AS w
+      FROM (SELECT 1) one),
+    pm AS (
+      SELECT c.user_id, count(*) AS nm
+      FROM c JOIN p ON p.user_id = c.user_id
+                   AND p.pts >= c.cts
+                   AND p.pts <= c.cts + INTERVAL 10 MINUTE
+      GROUP BY c.user_id),
+    um AS (
+      SELECT c.user_id, count(*) AS nu
+      FROM c CROSS JOIN mx
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.pts >= c.cts
+                AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+        AND c.cts + INTERVAL 10 MINUTE < mx.w
+      GROUP BY c.user_id)
+    SELECT coalesce(pm.user_id, um.user_id) AS user_id,
+           4 * coalesce(pm.nm, 0) AS n_matched,
+           2 * coalesce(um.nu, 0) AS n_unmatched
+    FROM pm FULL OUTER JOIN um ON um.user_id = pm.user_id
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click pairs with the same
+    user's purchases within the next 10 minutes; clicks that never
+    match emit a null-padded row ONCE their state can no longer match —
+    i.e. when the watermark passes click_ts + 10 min. This is the
+    semantics inner stream_stream_join cannot give you ('which clicks
+    did NOT convert' on an unbounded stream), and the watermark is what
+    makes it possible at all: without it unmatched rows could never be
+    declared final.
+
+    Exact oracle via the stream_watermark_late replay discipline (two
+    identical file copies, maxFilesPerTrigger=1, dual-watermark lag):
+    batch 1 joins copy-1×copy-1 at watermark 0 (no state evicted — the
+    operating watermark lags one batch); batch 2 therefore still holds
+    ALL of copy-1's state, so matches total 2×2 = 4 per original pair;
+    eviction then advances and null-emits both copies of every
+    unmatched click with click_ts + 10 min < W. The load-bearing
+    detail (found empirically — a click 3 h 55 m before corpus end was
+    NOT emitted): W is the GLOBAL watermark = min over BOTH sides of
+    (that side's post-filter max event time − its delay), i.e.
+    least(max click_ts, max purchase_ts) − 10 min — each side's
+    watermark is computed on its own filtered stream, and Spark's
+    multiple-watermark policy (spark.sql.streaming.multipleWatermarkPolicy,
+    default 'min') takes the minimum. The memory-sink aggregation
+    counts both populations per user."""
+    clicks = (
+        _stream_events(spark, sf_dir, copies=2, tag="lsoj_c")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, copies=2, tag="lsoj_p")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    _run_to_memory(joined, "stream_left_outer_join_sink", "append")
+    return spark.sql(
+        "SELECT user_id, count(purchase_ts) AS n_matched,"
+        " sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched"
+        " FROM stream_left_outer_join_sink GROUP BY user_id"
+    )
