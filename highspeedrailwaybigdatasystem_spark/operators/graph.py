@@ -741,3 +741,64 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         LIMIT 10
         """
     )
+
+
+def _lpa_sql() -> str:
+    """2 unrolled synchronous label-propagation rounds (shared verbatim by
+    both engines — the algorithm is pure integer arithmetic, so there is
+    no float divergence surface at all)."""
+    rounds = []
+    for k in (1, 2):
+        rounds.append(
+            f"""cnt{k} AS (
+      SELECT e.a AS v, l.lbl, count(*) AS c
+      FROM und e JOIN l{k - 1} l ON l.user_id = e.b
+      GROUP BY e.a, l.lbl),
+    mx{k} AS (SELECT v, max(c) AS mc FROM cnt{k} GROUP BY v),
+    l{k} AS (
+      SELECT c.v AS user_id, min(c.lbl) AS lbl
+      FROM cnt{k} c JOIN mx{k} m ON m.v = c.v AND c.c = m.mc
+      GROUP BY c.v)"""
+        )
+    return f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    edges AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
+      FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    und AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst, src FROM edges),
+    l0 AS (SELECT user_id, user_id AS lbl FROM users),
+    {",".join(rounds)}
+    SELECT lbl AS community_label,
+           CAST(count(*) AS BIGINT) AS community_size
+    FROM l2
+    GROUP BY lbl
+    ORDER BY community_size DESC, community_label
+    LIMIT 10
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by 2 synchronous label-propagation rounds
+    (Raghavan LPA) over the seeded deterministic graph the pagerank/BFS
+    family shares: every vertex starts as its own label, then adopts its
+    neighbors' most frequent label with ties broken to the SMALLEST
+    label — the deterministic variant of the usually randomized LPA
+    (random tie-breaks could never be oracle-checked). Output: the 10
+    largest community labels after round 2.
+
+    Scale shape (100 TB): each round is one edges⋈labels shuffle join on
+    the vertex key + two map-side-combinable aggregates (count per
+    (vertex,label), max per vertex) — the standard Pregel superstep cost,
+    identical to graph_pagerank's; the label table stays vertex-sized and
+    the undirected edge table keeps its partitioning across rounds. Pure
+    integer arithmetic end to end: the SQL text is shared verbatim by
+    Spark and the DuckDB oracle."""
+    return sql_q(spark, sf_dir, _lpa_sql())

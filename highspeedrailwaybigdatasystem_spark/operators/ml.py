@@ -1198,3 +1198,93 @@ def ml_fuzzy_cmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, no row-grain shuffle (memberships normalize INSIDE the row via
     the d1/d2/d3 triple, not via a per-row group-by)."""
     return sql_q(spark, sf_dir, _fcm_sql(_FCM_STACK_SPARK))
+
+
+_BOOST_SQL = """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                             AS DOUBLE) / 10000e0) AS BIGINT) AS y
+      FROM lineitem),
+    grid AS (SELECT * FROM (VALUES (5), (10), (15), (20), (25), (30),
+                                   (35), (40), (45)) AS g(thr)),
+    eval1 AS (
+      SELECT g.thr,
+             count(*) FILTER (WHERE b.x < g.thr) AS nl,
+             sum(b.y) FILTER (WHERE b.x < g.thr) AS sl,
+             sum(b.y * b.y) FILTER (WHERE b.x < g.thr) AS ql,
+             count(*) FILTER (WHERE b.x >= g.thr) AS nr,
+             sum(b.y) FILTER (WHERE b.x >= g.thr) AS sr,
+             sum(b.y * b.y) FILTER (WHERE b.x >= g.thr) AS qr
+      FROM grid g CROSS JOIN base b
+      GROUP BY g.thr),
+    best1 AS (
+      SELECT thr, nl, sl, nr, sr,
+             (ql - CAST(sl AS DOUBLE) * sl / nl)
+               + (qr - CAST(sr AS DOUBLE) * sr / nr) AS sse
+      FROM eval1 ORDER BY sse, thr LIMIT 1),
+    pred1 AS (
+      SELECT thr,
+             CAST(floor(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pl,
+             CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS pr,
+             nl, sse
+      FROM best1),
+    resid AS (
+      SELECT b.x,
+             b.y - CASE WHEN b.x < p.thr THEN p.pl ELSE p.pr END AS y
+      FROM base b CROSS JOIN pred1 p),
+    eval2 AS (
+      SELECT g.thr,
+             count(*) FILTER (WHERE r.x < g.thr) AS nl,
+             sum(r.y) FILTER (WHERE r.x < g.thr) AS sl,
+             sum(r.y * r.y) FILTER (WHERE r.x < g.thr) AS ql,
+             count(*) FILTER (WHERE r.x >= g.thr) AS nr,
+             sum(r.y) FILTER (WHERE r.x >= g.thr) AS sr,
+             sum(r.y * r.y) FILTER (WHERE r.x >= g.thr) AS qr
+      FROM grid g CROSS JOIN resid r
+      GROUP BY g.thr),
+    best2 AS (
+      SELECT thr, nl, sl, nr, sr,
+             (ql - CAST(sl AS DOUBLE) * sl / nl)
+               + (qr - CAST(sr AS DOUBLE) * sr / nr) AS sse
+      FROM eval2 ORDER BY sse, thr LIMIT 1),
+    pred2 AS (
+      SELECT thr,
+             CAST(floor(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pl,
+             CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS pr,
+             nl, sse
+      FROM best2)
+    SELECT * FROM (
+      SELECT 1 AS round, CAST(thr AS INT) AS threshold,
+             CAST(nl AS BIGINT) AS n_left,
+             pl * 100 AS pred_left_dollars, pr * 100 AS pred_right_dollars,
+             round(sse, 2) AS sse
+      FROM pred1
+      UNION ALL
+      SELECT 2, CAST(thr AS INT), CAST(nl AS BIGINT), pl * 100, pr * 100,
+             round(sse, 2)
+      FROM pred2)
+    ORDER BY round
+"""
+
+
+@register("ml_boosted_stumps_2round", oracle=_BOOST_SQL)
+def ml_boosted_stumps_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting, two rounds of depth-1 regression trees
+    (stumps), as pure set operations: round 1 fits the best
+    SSE-minimizing split of lineitem price (hundred-dollar integer
+    units) on quantity over a 9-point literal threshold grid, round 2
+    fits a second stump on the INTEGER residuals — the exact shape every
+    distributed GBDT (XGBoost/LightGBM on Spark) runs per tree level:
+    one histogram/stats pass per candidate split, an argmin, a residual
+    update. Determinism: targets quantize to integer units (sums and
+    sum-of-squares exact int64 under sf100 bounds), leaf means are
+    floored integer divisions, the only doubles are the per-threshold
+    SSE (exact-int inputs, two correctly-rounded divisions) and the
+    (sse, thr) argmin ORDER BY, identical in both engines.
+
+    Scale shape (100 TB): per round ONE map-side-combinable 9×6-stat
+    conditional aggregate over the broadcast grid (no shuffle of the
+    fact), a 1-row argmin, and a broadcast residual projection — no
+    row-grain state anywhere."""
+    return sql_q(spark, sf_dir, _BOOST_SQL)

@@ -201,6 +201,7 @@ def test_full_surface_plan_hygiene(spark):
         "ml_kfold_assignment",     # 1-row corpus-total broadcast
         "ml_fuzzy_cmeans_step",    # 1-row membership-mass-total broadcast
         "ts_cross_correlation",    # 4-row lag grid × day-grain (≤31-row) series
+        "ml_boosted_stumps_2round",  # 9-row threshold-grid + 1-row stump broadcasts
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
