@@ -1158,12 +1158,19 @@ def _fcm_sql(stack: str, dialect_cast_date: str = "") -> str:
     agg AS (
       SELECT cid, sum(q * vk) AS num, sum(q) AS den
       FROM long GROUP BY cid),
+    init AS (SELECT * FROM (VALUES (1, {m1}), (2, {m2}), (3, {m3}))
+             AS i(cid, mu)),
     tot AS (SELECT sum(den) AS dall FROM agg)
-    SELECT CAST(cid AS INT) AS cid,
-           round(CAST(num AS DOUBLE) / den * 10.0, 2) AS centroid_dollars,
-           round(CAST(den AS DOUBLE) / tot.dall, 6) AS mass_share
-    FROM agg CROSS JOIN tot
-    ORDER BY cid
+    SELECT CAST(a.cid AS INT) AS cid,
+           CASE WHEN a.den = 0
+                THEN round(CAST(i.mu AS DOUBLE) / 100e0, 2)
+                ELSE round(CAST(a.num AS DOUBLE) / a.den * 10.0, 2)
+           END AS centroid_dollars,
+           round(CAST(a.den AS DOUBLE) / tot.dall, 6) AS mass_share
+    FROM agg a
+    JOIN init i ON i.cid = a.cid
+    CROSS JOIN tot
+    ORDER BY a.cid
     """
 
 
@@ -1192,7 +1199,10 @@ def ml_fuzzy_cmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE double — measured 367/150 000 rows off by one grid unit vs
     DuckDB), while ``1e0`` is DOUBLE in both engines. The 3-way
     per-centroid unpivot is Spark ``stack`` / DuckDB UNION ALL — both
-    map-side; the only shuffle is the final 3-group aggregate.
+    map-side; the only shuffle is the final 3-group aggregate. A cluster
+    whose quantized mass is zero (degenerate corpus concentrated away
+    from it) keeps its init centroid — the classic FCM empty-cluster
+    rule, and what keeps the reporting division ANSI-safe.
 
     Scale shape (100 TB): one projection + one K-group sum; no per-row
     state, no row-grain shuffle (memberships normalize INSIDE the row via
