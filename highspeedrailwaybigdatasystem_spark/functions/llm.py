@@ -5348,3 +5348,95 @@ def mm_video_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts,
         "doc_id long, n_frames long, n_cuts long, mean_scene_len double",
     ).orderBy("doc_id")
+
+
+_CDC_DIVISOR = 16  # expected chunk length ≈ divisor tokens
+
+_CDC_SPARK = f"""
+    WITH d AS (
+      SELECT doc_id, source, split(text, ' ') AS tk,
+             size(split(text, ' ')) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, source, tk, n,
+             concat(
+               array(0),
+               CASE WHEN n >= 4 THEN
+                 filter(sequence(3, n - 1), i ->
+                   pmod(cast(conv(substr(md5(concat_ws(' ',
+                          tk[i - 3], tk[i - 2], tk[i - 1])), 1, 4), 16, 10)
+                        AS BIGINT), {_CDC_DIVISOR}) = 0)
+               ELSE array() END,
+               array(n)) AS bs
+      FROM d),
+    ch AS (
+      SELECT doc_id, source, c.h AS h, c.len AS len
+      FROM b
+      LATERAL VIEW explode(
+        transform(sequence(1, size(bs) - 1), j -> struct(
+          md5(concat_ws(' ',
+            slice(tk, element_at(bs, j) + 1,
+                  element_at(bs, j + 1) - element_at(bs, j)))) AS h,
+          element_at(bs, j + 1) - element_at(bs, j) AS len))) t AS c)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+           round(1e0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+             AS dup_chunk_rate,
+           round(avg(CAST(len AS DOUBLE)), 2) AS avg_chunk_tokens
+    FROM ch
+    GROUP BY source
+    ORDER BY source
+"""
+
+_CDC_DUCK = f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, source, tk, n,
+             list_concat(list_concat([0],
+               list_filter(range(3, n), i ->
+                 CAST(('0x' || substr(md5(array_to_string(
+                        tk[(i - 2):(i)], ' ')), 1, 4)) AS BIGINT)
+                   % {_CDC_DIVISOR} = 0)),
+               [n]) AS bs
+      FROM d),
+    ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(2, len(bs) + 1), j -> struct_pack(
+               h := md5(array_to_string(tk[(bs[j - 1] + 1):(bs[j])], ' ')),
+               len := bs[j] - bs[j - 1]))) AS c
+      FROM b)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT c.h) AS BIGINT) AS distinct_chunks,
+           round(1e0 - CAST(count(DISTINCT c.h) AS DOUBLE) / count(*), 6)
+             AS dup_chunk_rate,
+           round(avg(CAST(c.len AS DOUBLE)), 2) AS avg_chunk_tokens
+    FROM ch
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("llm_cdc_chunking", oracle=_CDC_DUCK)
+def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync family): chunk boundaries
+    fall AFTER any token whose trailing 3-token rolling window hashes to
+    0 mod 16 — so boundaries are decided by CONTENT, not position, and
+    an insertion near a document's head re-chunks only its local
+    neighborhood instead of shifting every downstream window (the
+    failure mode of llm_window_chunking's fixed stride that makes
+    chunk-level dedup miss shifted duplicates). Per source: chunk count,
+    distinct-chunk count (md5 identity), the chunk-level dup rate the
+    dedup pipeline would harvest, and mean chunk length (≈ the 16-token
+    divisor). Pure map-side higher-order functions (split → boundary
+    filter → slice+md5 per chunk) then one source-grain aggregate with
+    two count-distincts — no shuffle before the final 5-row grain.
+    Boundary hash is the portable md5-prefix integer (ml_kfold
+    convention) so Spark and DuckDB agree bit-for-bit."""
+    return sql_q(spark, sf_dir, _CDC_SPARK)
