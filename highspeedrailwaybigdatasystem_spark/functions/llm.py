@@ -5440,3 +5440,167 @@ def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boundary hash is the portable md5-prefix integer (ml_kfold
     convention) so Spark and DuckDB agree bit-for-bit."""
     return sql_q(spark, sf_dir, _CDC_SPARK)
+
+
+_DECON_SPARK = """
+    WITH toks AS (
+      SELECT doc_id, source, split(text, ' ') AS tk,
+             CASE WHEN doc_id % 17 = 0 THEN 'eval' ELSE 'train' END AS split
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, split,
+             md5(array_join(slice(tk, i, 13), ' ')) AS g
+      FROM toks
+      LATERAL VIEW explode(sequence(1, size(tk) - 12)) s AS i
+      WHERE size(tk) >= 13),
+    eg AS (SELECT DISTINCT g FROM grams WHERE split = 'eval'),
+    hits AS (
+      SELECT tg.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, g FROM grams WHERE split = 'train') tg
+      JOIN eg ON tg.g = eg.g
+      GROUP BY tg.doc_id),
+    tr AS (
+      SELECT doc_id, source, count(*) AS n_grams
+      FROM grams WHERE split = 'train' GROUP BY doc_id, source)
+    SELECT tr.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated_docs,
+           round(CAST(count(h.doc_id) AS DOUBLE) / count(*), 6)
+             AS contamination_rate,
+           CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS n_contaminated_grams
+    FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    GROUP BY tr.source
+    ORDER BY tr.source
+"""
+
+_DECON_DUCK = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk,
+             CASE WHEN doc_id % 17 = 0 THEN 'eval' ELSE 'train' END AS split
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, split,
+             md5(array_to_string(tk[i:i + 12], ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, len(tk) - 12)) AS s(i)
+      WHERE len(tk) >= 13),
+    eg AS (SELECT DISTINCT g FROM grams WHERE split = 'eval'),
+    hits AS (
+      SELECT tg.doc_id, count(*) AS n_hit
+      FROM (SELECT doc_id, g FROM grams WHERE split = 'train') tg
+      JOIN eg ON tg.g = eg.g
+      GROUP BY tg.doc_id),
+    tr AS (
+      SELECT doc_id, source, count(*) AS n_grams
+      FROM grams WHERE split = 'train' GROUP BY doc_id, source)
+    SELECT tr.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated_docs,
+           round(CAST(count(h.doc_id) AS DOUBLE) / count(*), 6)
+             AS contamination_rate,
+           CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS n_contaminated_grams
+    FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    GROUP BY tr.source
+    ORDER BY tr.source
+"""
+
+
+@register("llm_decontamination", oracle=_DECON_DUCK)
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark/eval-set decontamination audit (the GPT-3 / The-Pile
+    13-gram protocol): docs with doc_id % 17 = 0 stand in for a held-out
+    eval split; a TRAIN doc is contaminated when it shares at least one
+    verbatim 13-token n-gram (stride 1) with any eval doc. Per source:
+    train-doc count, contaminated-doc count and rate, and the number of
+    distinct contaminated 13-grams — the report a curation pipeline signs
+    off before training. Scale shape: n-grams are md5'd map-side so the
+    join carries 32-byte keys, the eval-side gram set is DISTINCT'd
+    first (eval splits are tiny by construction → broadcast), and the
+    train side never self-joins — linear in corpus tokens, one shuffle
+    on the gram hash. The stop-gram caveat from llm_chunk_overlap_dedup
+    applies at 100 TB: ultra-common grams (boilerplate) would inflate
+    hit counts and get a doc-frequency cap in production."""
+    return sql_q(spark, sf_dir, _DECON_SPARK)
+
+
+_PPL_SPARK = """
+    WITH toks AS (SELECT doc_id, source, split(text, ' ') AS tk FROM documents),
+    big AS (
+      SELECT doc_id, source,
+             element_at(tk, i) AS u, element_at(tk, i + 1) AS v
+      FROM toks
+      LATERAL VIEW explode(sequence(1, size(tk) - 1)) s AS i
+      WHERE size(tk) >= 2),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs
+      FROM (SELECT explode(tk) AS w FROM toks)),
+    bc AS (SELECT u, v, count(*) AS cuv FROM big GROUP BY u, v),
+    uc AS (SELECT u, count(*) AS cu FROM big GROUP BY u),
+    doch AS (
+      SELECT b.doc_id, b.source,
+             -avg(log2((bc.cuv + 1e0) / (uc.cu + vocab.vs))) AS h
+      FROM big b
+      JOIN bc ON b.u = bc.u AND b.v = bc.v
+      JOIN uc ON b.u = uc.u
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.source),
+    cm AS (SELECT avg(h) AS m FROM doch)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 6) AS mean_xent,
+           round(max(h), 6) AS max_xent,
+           round(avg(power(2e0, h)), 2) AS mean_ppl,
+           CAST(sum(CASE WHEN h > cm.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_corpus_mean
+    FROM doch CROSS JOIN cm
+    GROUP BY source
+    ORDER BY source
+"""
+
+_PPL_DUCK = """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    big AS (
+      SELECT doc_id, source, tk[i] AS u, tk[i + 1] AS v
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS s(i)
+      WHERE len(tk) >= 2),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs
+      FROM (SELECT unnest(tk) AS w FROM toks)),
+    bc AS (SELECT u, v, count(*) AS cuv FROM big GROUP BY u, v),
+    uc AS (SELECT u, count(*) AS cu FROM big GROUP BY u),
+    doch AS (
+      SELECT b.doc_id, b.source,
+             -avg(log2((bc.cuv + 1e0) / (uc.cu + vocab.vs))) AS h
+      FROM big b
+      JOIN bc ON b.u = bc.u AND b.v = bc.v
+      JOIN uc ON b.u = uc.u
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.source),
+    cm AS (SELECT avg(h) AS m FROM doch)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 6) AS mean_xent,
+           round(max(h), 6) AS max_xent,
+           round(avg(pow(2e0, h)), 2) AS mean_ppl,
+           CAST(sum(CASE WHEN h > cm.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_corpus_mean
+    FROM doch CROSS JOIN cm
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@register("llm_perplexity_filter", oracle=_PPL_DUCK)
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality scoring (the CCNet/Gopher filter shape,
+    with the corpus's own add-1-smoothed bigram LM standing in for the
+    external KenLM): per-doc cross-entropy H = -mean log2 P(v|u) with
+    P(v|u) = (c(uv)+1)/(c(u)+|V|), then per source the mean/max H, mean
+    perplexity 2^H, and how many docs score above the corpus-mean H —
+    the high-perplexity tail a curation pipeline routes to quarantine.
+    Shares the count-table shape with llm_bigram_lm: two linear
+    explode→groupBy passes build c(uv)/c(u), then each doc's bigrams
+    join those tables on the token keys (at 100 TB the unigram table
+    broadcasts; the bigram table is the one real shuffle join). 1e0/2e0
+    literals keep both engines in DOUBLE division (decimal-literal
+    trap, see memory)."""
+    return sql_q(spark, sf_dir, _PPL_SPARK)
