@@ -2244,3 +2244,44 @@ def agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions in a single corpus pass; everything after is
     |buckets|-grain arithmetic with 1-row broadcast totals."""
     return sql_q(spark, sf_dir, _JSD_SQL)
+
+
+_KENDALL_SQL = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY CAST(ts AS DATE)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    p AS (
+      SELECT CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM d a JOIN d b ON a.day < b.day),
+    tx AS (SELECT coalesce(sum(k * (k - 1) / 2), 0e0) AS n1
+           FROM (SELECT count(*) AS k FROM d GROUP BY x) g),
+    ty AS (SELECT coalesce(sum(k * (k - 1) / 2), 0e0) AS n2
+           FROM (SELECT count(*) AS k FROM d GROUP BY y) g)
+    SELECT n.nd AS n_days, p.c AS concordant, p.d AS discordant,
+           round((p.c - p.d)
+                 / sqrt((n.nd * (n.nd - 1) / 2 - tx.n1)
+                        * (n.nd * (n.nd - 1) / 2 - ty.n2)), 6) AS tau_b
+    FROM p CROSS JOIN n CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_SQL)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) between daily
+    event volume and daily revenue — the robust monotone-association
+    companion to agg_spearman_rho, preferred when the series is short
+    and ties matter (tau's pairwise definition has no rank-interpolation
+    ambiguity). Concordant/discordant pairs are counted over the
+    DAY-grain rollup (≤31 rows — the ts_cross_correlation bounded-grain
+    discipline), so the O(n²) pair join is a constant-size broadcast
+    nested loop over ~500 pairs no matter the corpus scale; the only
+    corpus-sized pass is the linear day rollup with exact integer-cents
+    sums. Tie terms n1/n2 use the standard Σk(k−1)/2 per tied-value
+    group; all arithmetic is integer until the final tau division."""
+    return sql_q(spark, sf_dir, _KENDALL_SQL)

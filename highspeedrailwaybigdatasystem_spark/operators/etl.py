@@ -1374,3 +1374,40 @@ def etl_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE arithmetic + one |bitmap|-grain aggregate — zero joins, zero
     Python, linear at any scale."""
     return sql_q(spark, sf_dir, _QUARANTINE_SQL)
+
+
+_KANON_SQL = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS ng FROM g),
+    ks AS (SELECT k FROM (VALUES (2), (5), (10), (20)) AS t(k))
+    SELECT ks.k,
+           CAST(sum(CASE WHEN g.sz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END) AS BIGINT)
+             AS n_risk_rows,
+           round(CAST(sum(CASE WHEN g.sz < ks.k THEN g.sz ELSE 0 END)
+                      AS DOUBLE) / max(tot.n), 6) AS risk_share,
+           CAST(max(tot.ng) AS BIGINT) AS n_groups,
+           CAST(min(g.sz) AS BIGINT) AS min_group_size
+    FROM g CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k
+    ORDER BY ks.k
+"""
+
+
+@register("etl_k_anonymity_audit", oracle=_KANON_SQL)
+def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (c_nationkey, c_mktsegment)
+    quasi-identifier pair — the privacy-governance gate a warehouse runs
+    before releasing a 'de-identified' extract: for k ∈ {2,5,10,20},
+    how many equivalence classes fall below k members, how many ROWS sit
+    in those classes (the re-identifiable population), and their share —
+    plus the global class count and the worst (smallest) class. One
+    linear groupBy to the ≤125-cell class grain, then a 4-row k-grid
+    broadcast over those cells (BNLJ allowlisted as a literal-grid
+    pattern); nothing row-scale ever joins. GDPR companion to
+    etl_gdpr_delete_audit / llm_pii_scrub."""
+    return sql_q(spark, sf_dir, _KANON_SQL)

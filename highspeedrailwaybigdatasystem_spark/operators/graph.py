@@ -802,3 +802,101 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic end to end: the SQL text is shared verbatim by
     Spark and the DuckDB oracle."""
     return sql_q(spark, sf_dir, _lpa_sql())
+
+
+_CC_ORACLE = """
+    WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+    b AS (
+      SELECT u,
+             CASE WHEN u = 0
+                    OR CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 3 = 0
+                  THEN u END AS brk
+      FROM users),
+    comp AS (
+      SELECT u,
+             max(brk) OVER (ORDER BY u
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS comp
+      FROM b),
+    sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+    SELECT sz AS component_size, CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz ORDER BY sz
+"""
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by iterated hash-min label propagation WITH
+    pointer jumping (lbl ← lbl[lbl], the shortcutting step that makes
+    GraphFrames'/Kiveris' large-star–small-star family converge in
+    O(log diameter) supersteps instead of O(diameter)) — run to an
+    EXACT fixed point with a changed-count early stop, not a fixed
+    round budget. The graph is a deterministic segment graph on the
+    user-id line: edge u−1 ↔ u exists unless u is a 'break' (md5-prefix
+    integer of u ≡ 0 mod 3, the portable ml_kfold hash convention), so
+    components are maximal runs between breaks and the oracle computes
+    them in closed form as a running max of break ids — the iterative
+    engine is validated against independent non-iterative math, not
+    against a replica of itself. Output: the component-size histogram
+    (bounded grain: max run length ~log N).
+
+    Scale shape (100 TB): per superstep one edges⋈labels shuffle join on
+    the vertex key + a min-combiner aggregate, then one labels⋈labels
+    join for the pointer jump — both map-side-combinable, label table
+    vertex-sized, edge table keeps its hash partitioning across rounds;
+    localCheckpoint truncates lineage so round k's plan is one superstep
+    deep. The changed-count driver scalar is one long per round."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    hash_u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 3
+    )
+    brk = users.select(
+        "user_id",
+        ((F.col("user_id") == 0) | (hash_u == 0)).alias("is_brk"),
+    )
+    edges = (
+        brk.where((~F.col("is_brk")) & (F.col("user_id") > 0))
+        .select(
+            (F.col("user_id") - 1).alias("src"), F.col("user_id").alias("dst")
+        )
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    lbl = users.select("user_id", F.col("user_id").alias("lbl")).localCheckpoint()
+    for _ in range(50):
+        nmin = (
+            lbl.join(edges, lbl.user_id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+            .select(F.col("dst").alias("user_id"), "nlbl")
+        )
+        stepped = (
+            lbl.join(nmin, "user_id", "left")
+            .select("user_id", F.least("lbl", "nlbl").alias("lbl"))
+        )
+        ptr = stepped.select(
+            F.col("user_id").alias("pu"), F.col("lbl").alias("plbl")
+        )
+        jumped = (
+            stepped.join(ptr, stepped.lbl == ptr.pu)
+            .select("user_id", F.least("lbl", "plbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lbl.alias("o"), "user_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = jumped
+        if changed == 0:
+            break
+    sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("component_size")
+    )

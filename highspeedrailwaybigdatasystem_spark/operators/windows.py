@@ -958,3 +958,52 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, the frames never touch row grain). Zero-variance frames
     (n=1) emit slope 0 by convention in both engines."""
     return sql_q(spark, sf_dir, _ROLLSLOPE_SQL)
+
+
+_RSI_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY date_trunc('day', ts)),
+    dl AS (
+      SELECT day, cents,
+             cents - lag(cents) OVER (ORDER BY day) AS delta,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM d),
+    g AS (
+      SELECT day, rn,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+      FROM dl),
+    w AS (
+      SELECT day, rn,
+             avg(gain) OVER (ORDER BY day
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+             avg(loss) OVER (ORDER BY day
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al
+      FROM g)
+    SELECT day,
+           round(ag, 2) AS avg_gain_cents,
+           round(al, 2) AS avg_loss_cents,
+           round(CASE WHEN al = 0 THEN 100
+                      ELSE 100 - 100 / (1 + ag / al) END, 6) AS rsi_14
+    FROM w
+    WHERE rn >= 15
+    ORDER BY day
+"""
+
+
+@register("win_rsi", oracle=_RSI_SQL)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index over daily revenue (Cutler's SMA variant —
+    the simple-moving-average form, chosen over Wilder's recursive
+    smoothing because it is exactly expressible as a 14-row window frame
+    with no running recurrence, so Spark and DuckDB agree bit-for-bit
+    on integer-cents input). Day-over-day deltas split into gain/loss
+    legs, 14-day trailing averages, RSI = 100 − 100/(1+RS); the
+    all-loss-free edge (avg_loss = 0) pins RSI to 100 exactly. Emitted
+    only once 14 true deltas exist (rn ≥ 15). Scale shape: one linear
+    day rollup, then every window runs on the ≤31-row day grain — the
+    win_moving_avg bounded-grain discipline (global window allowlisted
+    for exactly that reason)."""
+    return sql_q(spark, sf_dir, _RSI_SQL)

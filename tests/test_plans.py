@@ -202,6 +202,9 @@ def test_full_surface_plan_hygiene(spark):
         "ml_fuzzy_cmeans_step",    # 1-row membership-mass-total broadcast
         "ts_cross_correlation",    # 4-row lag grid × day-grain (≤31-row) series
         "ml_boosted_stumps_2round",  # 9-row threshold-grid + 1-row stump broadcasts
+        "agg_kendall_tau",         # day-grain (≤31-row) pair theta join + 1-row totals
+        "llm_perplexity_filter",   # 1-row vocab-size + corpus-mean broadcasts
+        "etl_k_anonymity_audit",   # 4-row k-grid × ≤125 QI classes + 1-row totals
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -228,6 +231,7 @@ def test_full_surface_plan_hygiene(spark):
         "etl_ttl_retention_audit",  # cumulative window over the DAY grain — |days| rows
         "agg_cramers_v",     # marginals over the |r×c| contingency cells — ≤35 rows
         "ts_sprt_sequential",  # running LLR over the DAY grain — ≤31 rows
+        "win_rsi",           # lag + 14-row frame over the DAY grain — ≤31 rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
