@@ -2285,3 +2285,90 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums. Tie terms n1/n2 use the standard Σk(k−1)/2 per tied-value
     group; all arithmetic is integer until the final tau division."""
     return sql_q(spark, sf_dir, _KENDALL_SQL)
+
+
+_BLOOM_M = 16384  # filter width in bits
+_BLOOM_K = 3      # hash functions
+
+_BLOOM_SPARK = f"""
+    WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    probes AS (
+      SELECT c_custkey AS key FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.key = c.c_custkey)),
+    mpos AS (
+      SELECT DISTINCT
+             pmod(CAST(conv(substr(md5(concat(CAST(key AS STRING), '#',
+                                              CAST(i AS STRING))), 1, 8),
+                            16, 10) AS BIGINT), {_BLOOM_M}) AS pos
+      FROM mem LATERAL VIEW explode(sequence(1, {_BLOOM_K})) s AS i),
+    ppos AS (
+      SELECT key,
+             pmod(CAST(conv(substr(md5(concat(CAST(key AS STRING), '#',
+                                              CAST(i AS STRING))), 1, 8),
+                            16, 10) AS BIGINT), {_BLOOM_M}) AS pos
+      FROM probes LATERAL VIEW explode(sequence(1, {_BLOOM_K})) s AS i),
+    hits AS (
+      SELECT p.key, count(b.pos) AS nhit
+      FROM ppos p LEFT JOIN mpos b ON p.pos = b.pos
+      GROUP BY p.key)
+    SELECT CAST((SELECT count(*) FROM mem) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM mpos) AS BIGINT) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN nhit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           round(CAST(sum(CASE WHEN nhit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS fpr_measured,
+           round(power(1e0 - exp(-({_BLOOM_K}e0 * (SELECT count(*) FROM mem))
+                                 / {_BLOOM_M}), {_BLOOM_K}), 6) AS fpr_expected
+    FROM hits
+"""
+
+_BLOOM_DUCK = f"""
+    WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    probes AS (
+      SELECT c_custkey AS key FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.key = c.c_custkey)),
+    mpos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                      || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM mem, UNNEST(generate_series(1, {_BLOOM_K})) AS s(i)),
+    ppos AS (
+      SELECT key,
+             CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
+                                      || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM probes, UNNEST(generate_series(1, {_BLOOM_K})) AS s(i)),
+    hits AS (
+      SELECT p.key, count(b.pos) AS nhit
+      FROM ppos p LEFT JOIN mpos b ON p.pos = b.pos
+      GROUP BY p.key)
+    SELECT CAST((SELECT count(*) FROM mem) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM mpos) AS BIGINT) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN nhit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           round(CAST(sum(CASE WHEN nhit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS fpr_measured,
+           round(power(1e0 - exp(-({_BLOOM_K}e0 * (SELECT count(*) FROM mem))
+                                 / {_BLOOM_M}), {_BLOOM_K}), 6) AS fpr_expected
+    FROM hits
+"""
+
+
+@register("agg_bloom_fpr_audit", oracle=_BLOOM_DUCK)
+def agg_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit, exactly oracle-checkable
+    because the filter is built IN SQL from deterministic md5-prefix
+    hashes (k=3 functions over a 16384-bit domain) instead of an opaque
+    sketch object: members = customers with orders, probes = customers
+    without; a probe is a false positive iff all k of its bit positions
+    were set by some member. Reports measured FPR against the textbook
+    expectation (1 − e^{-kn/m})^k — the calibration check a platform
+    runs before trusting join_bloom_filter-style semi-join pruning at
+    100 TB. Scale shape: the distinct bit-position table is ≤ m rows
+    (16384) → broadcast to the probe side; both hash expansions are
+    map-side lateral explodes, one shuffle each for the DISTINCT and
+    the per-probe count."""
+    return sql_q(spark, sf_dir, _BLOOM_SPARK)

@@ -635,3 +635,98 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched"
         " FROM stream_left_outer_join_sink GROUP BY user_id"
     )
+
+
+@register(
+    "stream_full_outer_join",
+    oracle=f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events),
+    c AS (SELECT user_id, ts AS cts FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS pts FROM e WHERE event_type = 'purchase'),
+    mx AS (
+      SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+               - INTERVAL 10 MINUTE AS w
+      FROM (SELECT 1) one),
+    pm AS (
+      SELECT c.user_id, count(*) AS nm
+      FROM c JOIN p ON p.user_id = c.user_id
+                   AND p.pts >= c.cts
+                   AND p.pts <= c.cts + INTERVAL 10 MINUTE
+      GROUP BY c.user_id),
+    um AS (
+      SELECT c.user_id, count(*) AS nu
+      FROM c CROSS JOIN mx
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p
+              WHERE p.user_id = c.user_id
+                AND p.pts >= c.cts
+                AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+        AND c.cts + INTERVAL 10 MINUTE < mx.w
+      GROUP BY c.user_id),
+    up AS (
+      SELECT p.user_id, count(*) AS np
+      FROM p CROSS JOIN mx
+      WHERE NOT EXISTS (
+              SELECT 1 FROM c
+              WHERE c.user_id = p.user_id
+                AND p.pts >= c.cts
+                AND p.pts <= c.cts + INTERVAL 10 MINUTE)
+        AND p.pts < mx.w
+      GROUP BY p.user_id),
+    u AS (
+      SELECT user_id, nm, 0 AS nu, 0 AS np FROM pm
+      UNION ALL SELECT user_id, 0, nu, 0 FROM um
+      UNION ALL SELECT user_id, 0, 0, np FROM up)
+    SELECT user_id,
+           CAST(4 * sum(nm) AS BIGINT) AS n_matched,
+           CAST(2 * sum(nu) AS BIGINT) AS n_unmatched_clicks,
+           CAST(2 * sum(np) AS BIGINT) AS n_unmatched_purchases
+    FROM u GROUP BY user_id
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — both 'which clicks never
+    converted' AND 'which purchases arrived with no attributable click'
+    from one operator, the completeness audit an attribution pipeline
+    runs on the click↔purchase feed. Same deterministic two-copy replay
+    discipline as stream_left_outer_join (maxFilesPerTrigger=1,
+    watermark-lag eviction): matched pairs emit 2×2 = 4 per original
+    pair, unmatched CLICKS null-emit (×2) once W passes click_ts +
+    10 min, and unmatched PURCHASES null-emit (×2) once W passes
+    purchase_ts — the purchase side's state horizon is its own event
+    time because the join condition bounds matching clicks to
+    [pts − 10 min, pts], all of which are below W once pts < W. W is
+    the GLOBAL min-of-both-sides watermark (multipleWatermarkPolicy
+    'min'), exactly as pinned empirically for the left-outer op. The
+    memory-sink aggregation keys on coalesce of the two sides' user
+    ids (purchase-only rows carry NULL on the click side)."""
+    clicks = (
+        _stream_events(spark, sf_dir, copies=2, tag="foj_c")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, copies=2, tag="foj_p")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    _run_to_memory(joined, "stream_full_outer_join_sink", "append")
+    return spark.sql(
+        "SELECT coalesce(user_id, p_user_id) AS user_id,"
+        " sum(CASE WHEN click_ts IS NOT NULL AND purchase_ts IS NOT NULL"
+        "          THEN 1 ELSE 0 END) AS n_matched,"
+        " sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched_clicks,"
+        " sum(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched_purchases"
+        " FROM stream_full_outer_join_sink"
+        " GROUP BY coalesce(user_id, p_user_id)"
+    )
