@@ -2372,3 +2372,46 @@ def agg_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side lateral explodes, one shuffle each for the DISTINCT and
     the per-probe count."""
     return sql_q(spark, sf_dir, _BLOOM_SPARK)
+
+
+_CRONBACH_SQL = """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    cnt AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type),
+    m AS (
+      SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS score
+      FROM users u CROSS JOIN types t
+      LEFT JOIN cnt c ON c.user_id = u.user_id
+                     AND c.event_type = t.event_type),
+    iv AS (
+      SELECT event_type, var_samp(score) AS v
+      FROM m GROUP BY event_type),
+    tv AS (
+      SELECT var_samp(total) AS v
+      FROM (SELECT user_id, sum(score) AS total FROM m GROUP BY user_id) t)
+    SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS k_items,
+           round(sum(iv.v), 6) AS sum_item_var,
+           round(max(tv.v), 6) AS total_var,
+           round((count(*) * 1e0 / (count(*) - 1))
+                 * (1e0 - sum(iv.v) / max(tv.v)), 6) AS cronbach_alpha
+    FROM iv CROSS JOIN tv
+"""
+
+
+@register("agg_cronbach_alpha", oracle=_CRONBACH_SQL)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over the
+    user × event-type count matrix (each event type is an 'item', a
+    user's per-type activity count is the item score): alpha =
+    k/(k−1) · (1 − Σ item variances / variance of user totals) — the
+    metrics-health check an analytics platform runs on a composite
+    engagement score before publishing it. The dense matrix is
+    densified with a users × 5-type spine (the type side is a bounded
+    enum → broadcast; zeros must be REAL rows or every variance is
+    biased). One linear count groupBy, spine left-join at user grain,
+    then item-grain and user-grain variance aggregates — all
+    map-side-combinable."""
+    return sql_q(spark, sf_dir, _CRONBACH_SQL)

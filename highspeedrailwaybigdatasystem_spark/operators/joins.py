@@ -770,3 +770,100 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY name_a, name_b LIMIT 100
         """,
     )
+
+
+_GEO_DENSITY_SPARK = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 4), 16, 10)
+                   AS INT) % 2000) / 100e0 - 10 AS lat,
+             (CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 5, 4), 16, 10)
+                   AS INT) % 36000) / 100e0 - 180 AS lon
+      FROM customer),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+    cells AS (
+      SELECT CAST(floor(lat) AS INT) AS cy, CAST(floor(lon) AS INT) AS cx,
+             CAST(count(*) AS BIGINT) AS n_points,
+             round(avg(lat), 6) AS centroid_lat,
+             round(avg(lon), 6) AS centroid_lon
+      FROM pts GROUP BY CAST(floor(lat) AS INT), CAST(floor(lon) AS INT))
+    SELECT cy, cx, n_points, centroid_lat, centroid_lon,
+           round(CAST(n_points AS DOUBLE) / tot.n, 6) AS density_share
+    FROM cells CROSS JOIN tot
+    ORDER BY n_points DESC, cy, cx
+    LIMIT 15
+"""
+
+_GEO_DENSITY_DUCK = """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT)
+              % 2000) / 100.0 - 10 AS lat,
+             (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4) AS INT)
+              % 36000) / 100.0 - 180 AS lon
+      FROM customer),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+    cells AS (
+      SELECT CAST(floor(lat) AS INT) AS cy, CAST(floor(lon) AS INT) AS cx,
+             CAST(count(*) AS BIGINT) AS n_points,
+             round(avg(lat), 6) AS centroid_lat,
+             round(avg(lon), 6) AS centroid_lon
+      FROM pts GROUP BY CAST(floor(lat) AS INT), CAST(floor(lon) AS INT))
+    SELECT cy, cx, n_points, centroid_lat, centroid_lon,
+           round(CAST(n_points AS DOUBLE) / tot.n, 6) AS density_share
+    FROM cells CROSS JOIN tot
+    ORDER BY n_points DESC, cy, cx
+    LIMIT 15
+"""
+
+
+@register("geo_grid_density", oracle=_GEO_DENSITY_DUCK)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap: the 15 densest 1°×1° grid cells over the
+    geo_grid_join md5-derived point cloud, with point count, centroid,
+    and share of all points — the aggregation a mapping layer requests
+    before rendering a choropleth, and the skew diagnostic run before
+    geo_grid_join itself (a cell this op flags as hot is exactly the
+    bucket whose O(density²) pair work dominates the spatial join).
+    One linear map-side cell assignment + one cell-grain groupBy; the
+    1-row total broadcasts into the share projection (allowlisted
+    pattern). Deterministic top-15 via (n_points, cy, cx) ordering."""
+    return sql_q(spark, sf_dir, _GEO_DENSITY_SPARK)
+
+
+_BASKET_SQL = """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+    s AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS brand_a, c.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+      GROUP BY a.brand, c.brand)
+    SELECT brand_a, brand_b, n_co,
+           round(n_co * 1e0 / n.n_orders, 6) AS support,
+           round(n_co * 1e0 / sa.nb, 6) AS confidence_a_to_b,
+           round(n_co * 1e0 * n.n_orders / (sa.nb * sb.nb), 6) AS lift
+    FROM pr
+    JOIN s sa ON pr.brand_a = sa.brand
+    JOIN s sb ON pr.brand_b = sb.brand
+    CROSS JOIN n
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 15
+"""
+
+
+@register("agg_market_basket_lift", oracle=_BASKET_SQL)
+def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand grain: for brand
+    pairs co-occurring in the same order, support, confidence(A→B) and
+    lift = P(AB)/(P(A)P(B)); top 15 by lift (rounded before ordering so
+    the cut is engine-deterministic, ties broken on the pair). The
+    within-order self-join is the classic co-occurrence shape: shuffle
+    once on l_orderkey, and the per-order item multiplicity is bounded
+    (≤7 lineitems in TPC-H), so the 'quadratic' pair step is O(49) per
+    order — linear overall, never all-pairs across orders. Brand
+    support table is 25 rows → broadcast into the rule projection."""
+    return sql_q(spark, sf_dir, _BASKET_SQL)

@@ -1298,3 +1298,52 @@ def ml_boosted_stumps_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact), a 1-row argmin, and a broadcast residual projection — no
     row-grain state anywhere."""
     return sql_q(spark, sf_dir, _BOOST_SQL)
+
+
+_DBSCAN_EPS = 300   # dollars of c_acctbal gap that breaks a cluster
+_DBSCAN_MINPTS = 50
+
+_DBSCAN_SQL = f"""
+    WITH lv AS (
+      SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY CAST(floor(c_acctbal) AS BIGINT)),
+    g AS (
+      SELECT v, n,
+             CASE WHEN v - lag(v) OVER (ORDER BY v) > {_DBSCAN_EPS}
+                    OR lag(v) OVER (ORDER BY v) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM lv),
+    c AS (
+      SELECT v, n,
+             sum(brk) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cid
+      FROM g),
+    cl AS (
+      SELECT cid, min(v) AS cluster_start, max(v) AS cluster_end,
+             CAST(sum(n) AS BIGINT) AS n_points
+      FROM c GROUP BY cid)
+    SELECT cluster_start, cluster_end, n_points,
+           CASE WHEN n_points >= {_DBSCAN_MINPTS} THEN 'cluster'
+                ELSE 'noise' END AS status
+    FROM cl
+    ORDER BY cluster_start
+"""
+
+
+@register("ml_dbscan_1d", oracle=_DBSCAN_SQL)
+def ml_dbscan_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (the 1-D DBSCAN specialization) over the
+    customer account-balance distribution: consecutive occupied dollar
+    levels belong to one cluster until a gap > eps (300) splits them —
+    in one dimension, DBSCAN's ball-overlap reachability reduces
+    EXACTLY to this sorted-gap rule, which is why the exact oracle is a
+    lag + running-sum window instead of an iterative region-grow.
+    Segments with fewer than minPts (50) members are noise. Scale
+    shape: one linear groupBy collapses the corpus to the occupied
+    dollar-level grain — bounded by the acctbal DOMAIN (≤11k levels,
+    the ml_roc_auc bounded-domain discipline) regardless of row count —
+    and every window runs on that grain (global window allowlisted for
+    exactly that reason)."""
+    return sql_q(spark, sf_dir, _DBSCAN_SQL)

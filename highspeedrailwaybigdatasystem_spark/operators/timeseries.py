@@ -1924,3 +1924,63 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation arithmetic run on ≤31-row inputs — the lag sweep is free
     no matter the corpus size."""
     return sql_q(spark, sf_dir, _xcorr_sql("ts", "date_add(x.d, l.lag)"))
+
+
+_HURST_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY date_trunc('day', ts)),
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    ws AS (SELECT w FROM (VALUES (4), (8), (16)) AS t(w)),
+    blk AS (
+      SELECT ws.w, CAST(floor((r.rn - 1) / ws.w) AS BIGINT) AS b, r.rn, r.cents
+      FROM r CROSS JOIN ws),
+    bs AS (
+      SELECT w, b FROM blk GROUP BY w, b HAVING count(*) = max(w)),
+    kept AS (
+      SELECT blk.w, blk.b, blk.rn, blk.cents
+      FROM blk JOIN bs ON blk.w = bs.w AND blk.b = bs.b),
+    bm AS (
+      SELECT w, b, avg(cents) AS mu, stddev_pop(cents) AS s
+      FROM kept GROUP BY w, b),
+    z AS (
+      SELECT kept.w, kept.b,
+             sum(kept.cents - bm.mu)
+               OVER (PARTITION BY kept.w, kept.b ORDER BY kept.rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zt
+      FROM kept JOIN bm ON kept.w = bm.w AND kept.b = bm.b),
+    rng AS (SELECT w, b, max(zt) - min(zt) AS rg FROM z GROUP BY w, b),
+    rsj AS (
+      SELECT rng.w, avg(rng.rg / bm.s) AS rs_mean,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM rng JOIN bm ON rng.w = bm.w AND rng.b = bm.b
+      WHERE bm.s > 0
+      GROUP BY rng.w),
+    h AS (
+      SELECT covar_pop(ln(w * 1e0), ln(rs_mean))
+               / var_pop(ln(w * 1e0)) AS hurst
+      FROM rsj)
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_days,
+           round(max(CASE WHEN w = 4 THEN rs_mean END), 6) AS rs_w4,
+           round(max(CASE WHEN w = 8 THEN rs_mean END), 6) AS rs_w8,
+           round(max(CASE WHEN w = 16 THEN rs_mean END), 6) AS rs_w16,
+           round(max(h.hurst), 6) AS hurst_exponent
+    FROM rsj CROSS JOIN h
+"""
+
+
+@register("ts_hurst_rs", oracle=_HURST_SQL)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis over
+    the daily revenue series: for block sizes w ∈ {4,8,16}, each
+    complete block contributes R/S = (max−min of the cumulative
+    mean-deviation walk) / population std; the Hurst exponent is the
+    log-log OLS slope of mean R/S against w (H≈0.5 random walk,
+    >0.5 trending/persistent, <0.5 mean-reverting) — the long-memory
+    diagnostic behind capacity forecasting. Scale shape: one linear
+    day rollup, then EVERYTHING runs on the ≤31-row day grain × 3-size
+    literal grid; the cumulative-walk window is partitioned by (w,
+    block) and the within-block sum order is pinned by rn, so the
+    float walk is engine-identical on integer-cents input."""
+    return sql_q(spark, sf_dir, _HURST_SQL)

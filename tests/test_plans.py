@@ -204,6 +204,10 @@ def test_full_surface_plan_hygiene(spark):
         "ml_boosted_stumps_2round",  # 9-row threshold-grid + 1-row stump broadcasts
         "agg_kendall_tau",         # day-grain (≤31-row) pair theta join + 1-row totals
         "llm_perplexity_filter",   # 1-row vocab-size + corpus-mean broadcasts
+        "geo_grid_density",        # 1-row point-total broadcast
+        "agg_market_basket_lift",  # 1-row order-total broadcast
+        "agg_cronbach_alpha",      # 5-row event-type spine + 1-row total-var broadcasts
+        "ts_hurst_rs",             # 3-row block-size grid × ≤31-row day grain + 1-row slope
         "etl_k_anonymity_audit",   # 4-row k-grid × ≤125 QI classes + 1-row totals
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
@@ -232,6 +236,8 @@ def test_full_surface_plan_hygiene(spark):
         "agg_cramers_v",     # marginals over the |r×c| contingency cells — ≤35 rows
         "ts_sprt_sequential",  # running LLR over the DAY grain — ≤31 rows
         "win_rsi",           # lag + 14-row frame over the DAY grain — ≤31 rows
+        "ml_dbscan_1d",      # gap-split windows over the dollar-level DOMAIN grain — ≤11k rows
+        "ts_hurst_rs",       # row_number over the DAY grain — ≤31 rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
