@@ -2415,3 +2415,92 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     then item-grain and user-grain variance aggregates — all
     map-side-combinable."""
     return sql_q(spark, sf_dir, _CRONBACH_SQL)
+
+
+_JARQUE_BERA_SQL = """
+    WITH m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m1,
+             avg(value * value) AS m2r,
+             avg(value * value * value) AS m3r,
+             avg(value * value * value * value) AS m4r
+      FROM events GROUP BY event_type),
+    sk AS (
+      SELECT event_type, n,
+             (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+               / power(m2r - m1 * m1, 1.5) AS s,
+             (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                  - 3 * m1 * m1 * m1 * m1)
+               / power(m2r - m1 * m1, 2) - 3 AS k
+      FROM m)
+    SELECT event_type, n,
+           round(s, 6) AS skewness,
+           round(k, 6) AS excess_kurtosis,
+           round(n * (s * s + k * k / 4) / 6, 6) AS jb_stat,
+           CAST(n * (s * s + k * k / 4) / 6 > 5.991464547107979 AS BOOLEAN)
+             AS reject_normality_5pct
+    FROM sk
+    ORDER BY event_type
+"""
+
+
+@register("agg_jarque_bera", oracle=_JARQUE_BERA_SQL)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: JB = n/6 * (S^2 +
+    K^2/4) from population skewness S and excess kurtosis K, with the
+    5% chi-square(2) rejection decision (critical value 5.9915) — the
+    gate a metrics platform runs before applying z-score thresholds
+    that assume Gaussian tails. Moments come from raw power sums (the
+    agg_skew_kurtosis formulation) rather than builtin skewness()/
+    kurtosis(), because the raw-moment algebra is engine-portable AND
+    one-pass map-side-combinable: the shuffle carries 4 doubles + a
+    count per group regardless of row count — at 100 TB this costs the
+    same as a plain avg()."""
+    return sql_q(spark, sf_dir, _JARQUE_BERA_SQL)
+
+
+_HHI_SQL = """
+    WITH rev AS (
+      SELECT 'Manufacturer#' || substr(p.p_brand, 7, 1) AS mfgr,
+             p.p_brand AS brand,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 'Manufacturer#' || substr(p.p_brand, 7, 1), p.p_brand),
+    tot AS (
+      SELECT mfgr, sum(cents) AS tot_cents,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM rev GROUP BY mfgr)
+    SELECT r.mfgr AS mfgr, t.n_brands,
+           round(t.tot_cents / 100e0, 2) AS mfgr_revenue,
+           round(sum((r.cents * 1e0 / t.tot_cents)
+                     * (r.cents * 1e0 / t.tot_cents)), 6) AS hhi,
+           round(1e0 / sum((r.cents * 1e0 / t.tot_cents)
+                           * (r.cents * 1e0 / t.tot_cents)), 6)
+             AS effective_n_brands,
+           CASE WHEN sum((r.cents * 1e0 / t.tot_cents)
+                         * (r.cents * 1e0 / t.tot_cents)) > 0.25
+                THEN 'concentrated'
+                WHEN sum((r.cents * 1e0 / t.tot_cents)
+                         * (r.cents * 1e0 / t.tot_cents)) > 0.15
+                THEN 'moderate' ELSE 'competitive' END AS hhi_band
+    FROM rev r JOIN tot t ON r.mfgr = t.mfgr
+    GROUP BY r.mfgr, t.n_brands, t.tot_cents
+    ORDER BY mfgr
+"""
+
+
+@register("agg_herfindahl_index", oracle=_HHI_SQL)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of brand revenue within
+    each manufacturer (derived from p_brand 'Brand#MN', M = mfgr digit —
+    this corpus carries no p_mfgr column): HHI = sum of squared revenue
+    shares, plus the
+    effective number of brands (1/HHI) and the DOJ-style concentration
+    band — the market-structure rollup a marketplace analytics team
+    ships weekly. Two-level reaggregation: one linear lineitem⋈part
+    join (fact shuffled once on l_partkey, part is the small build
+    side), a (mfgr, brand)-grain revenue rollup (25 mfgr x brand cells),
+    then the 5-row mfgr totals join back — everything past the first
+    rollup is bounded-enum grain. Revenue summed in integer cents so
+    both engines square identical shares."""
+    return sql_q(spark, sf_dir, _HHI_SQL)

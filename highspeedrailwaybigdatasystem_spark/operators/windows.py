@@ -1007,3 +1007,96 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_moving_avg bounded-grain discipline (global window allowlisted
     for exactly that reason)."""
     return sql_q(spark, sf_dir, _RSI_SQL)
+
+
+_STOCH_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY date_trunc('day', ts)),
+    w AS (
+      SELECT day, cents,
+             min(cents) OVER (ORDER BY day
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo14,
+             max(cents) OVER (ORDER BY day
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi14,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nw
+      FROM d),
+    k AS (
+      SELECT day, nw,
+             round(100e0 * (cents - lo14) / (hi14 - lo14), 6) AS pct_k
+      FROM w WHERE hi14 > lo14),
+    s AS (
+      SELECT day, nw, pct_k,
+             avg(pct_k) OVER (ORDER BY day
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS pct_d,
+             count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nd
+      FROM k)
+    SELECT day, pct_k, round(pct_d, 6) AS pct_d,
+           CASE WHEN pct_k > 80 THEN 'overbought'
+                WHEN pct_k < 20 THEN 'oversold' ELSE 'neutral' END AS signal
+    FROM s
+    WHERE nw = 14 AND nd = 3
+    ORDER BY day
+"""
+
+
+@register("win_stochastic_oscillator", oracle=_STOCH_SQL)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K / %D) over daily revenue: %K = 100 *
+    (close - 14-day low) / (14-day high - 14-day low), %D = 3-day SMA
+    of %K, with the classic overbought/oversold bands — the momentum
+    indicator shape (rolling extrema + a window over a window-derived
+    series). Daily revenue is summed in integer cents so min/max/diffs
+    are exact on both engines; the only floating division is the final
+    ratio, rounded at 6. Full-window gating (nw = 14, nd = 3) instead
+    of NULL-padded warmup rows. Scale shape: one linear day rollup,
+    then every frame runs on the <=31-row day grain (win_moving_avg
+    bounded-grain discipline, global window allowlisted)."""
+    return sql_q(spark, sf_dir, _STOCH_SQL)
+
+
+_VWAP_SQL = """
+    WITH d AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             date_trunc('day', l_shipdate) AS day,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pv_cents,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS vol
+      FROM lineitem
+      GROUP BY date_trunc('month', l_shipdate), date_trunc('day', l_shipdate)),
+    c AS (
+      SELECT month, day,
+             sum(pv_cents) OVER (PARTITION BY month ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_pv,
+             sum(vol) OVER (PARTITION BY month ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_vol,
+             pv_cents, vol
+      FROM d)
+    SELECT month, day,
+           round(pv_cents / 100e0 / vol, 6) AS day_avg_price,
+           round(cum_pv / 100e0 / cum_vol, 6) AS vwap_anchored,
+           CAST(pv_cents * 1e0 / vol > cum_pv * 1e0 / cum_vol AS BOOLEAN)
+             AS above_vwap
+    FROM c
+    ORDER BY month, day
+"""
+
+
+@register("win_vwap_anchored", oracle=_VWAP_SQL)
+def win_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-anchored VWAP over lineitem: cumulative volume-weighted
+    average unit price within each ship month (anchor resets at month
+    start), plus the day-above-VWAP execution flag — the canonical
+    anchored-VWAP shape every execution-analytics stack computes.
+    Both running sums accumulate exact integers (price-volume in cents,
+    volume in units) so the two engines' running-sum association order
+    cannot produce differing floats; the division happens once per
+    output row. Scale shape: one linear (month, day) rollup collapses
+    the fact table to calendar grain (<=84 months x 31 days regardless
+    of SF), then the window partitions by month — dozens of rows per
+    partition, no global window, no skew."""
+    return sql_q(spark, sf_dir, _VWAP_SQL)

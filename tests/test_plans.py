@@ -236,6 +236,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_cramers_v",     # marginals over the |r×c| contingency cells — ≤35 rows
         "ts_sprt_sequential",  # running LLR over the DAY grain — ≤31 rows
         "win_rsi",           # lag + 14-row frame over the DAY grain — ≤31 rows
+        "win_stochastic_oscillator",  # 14-row extrema frames over the DAY grain — ≤31 rows
         "ml_dbscan_1d",      # gap-split windows over the dollar-level DOMAIN grain — ≤11k rows
         "ts_hurst_rs",       # row_number over the DAY grain — ≤31 rows
     }
