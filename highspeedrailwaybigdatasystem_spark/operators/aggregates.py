@@ -2504,3 +2504,80 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is bounded-enum grain. Revenue summed in integer cents so
     both engines square identical shares."""
     return sql_q(spark, sf_dir, _HHI_SQL)
+
+
+_THEIL_SQL = """
+    WITH x AS (
+      SELECT c_mktsegment AS segment, c_acctbal AS v
+      FROM customer WHERE c_acctbal > 0),
+    m AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             avg(v) AS mu, sum(v * ln(v)) AS sxlx
+      FROM x GROUP BY segment)
+    SELECT segment, n,
+           round(mu, 2) AS mean_balance,
+           round(sxlx / (n * mu) - ln(mu), 6) AS theil_t,
+           round(1e0 - exp(-(sxlx / (n * mu) - ln(mu))), 6)
+             AS atkinson_equiv
+    FROM m
+    ORDER BY segment
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_SQL)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of positive account balances per market
+    segment, via the decomposable one-pass identity T = Σx·ln(x) /
+    (n·μ) − ln(μ) (the form that needs only two sums — no second pass
+    over deviations), plus the Atkinson(1) equivalent 1 − e^{−T}. The
+    Theil index is the inequality measure that decomposes exactly into
+    within-group + between-group terms, which is why economics pipelines
+    prefer it to Gini at warehouse scale: the shuffle carries (count,
+    Σx, Σx·ln x) per group — map-side-combinable, same cost as avg().
+    Negative/zero balances excluded by definition of the log form
+    (pushed-down filter). Complements agg_gini_concentration."""
+    return sql_q(spark, sf_dir, _THEIL_SQL)
+
+
+_HELLINGER_SQL = """
+    WITH b AS (
+      SELECT source, least(CAST(floor(n_chars / 250e0) AS INT), 9) AS bucket
+      FROM documents),
+    src AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY source, bucket),
+    st AS (SELECT source, sum(n) AS tot FROM src GROUP BY source),
+    corp AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY bucket),
+    ct AS (SELECT sum(n) AS tot FROM corp),
+    bc AS (
+      SELECT s.source,
+             sum(sqrt((s.n * 1e0 / st.tot) * (c.n * 1e0 / ct.tot))) AS coef
+      FROM src s
+      JOIN st ON s.source = st.source
+      JOIN corp c ON s.bucket = c.bucket
+      CROSS JOIN ct
+      GROUP BY s.source)
+    SELECT source,
+           round(coef, 6) AS bhattacharyya_coef,
+           round(sqrt(1e0 - least(coef, 1e0)), 6) AS hellinger_dist,
+           round(-ln(coef), 6) AS bhattacharyya_dist
+    FROM bc
+    ORDER BY source
+"""
+
+
+@register("agg_hellinger_distance", oracle=_HELLINGER_SQL)
+def agg_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger + Bhattacharyya distance between each source's
+    document-length distribution (10 fixed 250-char buckets, top bucket
+    open) and the whole-corpus distribution — the drift/skew measure a
+    data-curation pipeline uses to decide whether a source needs
+    resampling before training (bounded [0,1], symmetric, unlike KL it
+    tolerates empty buckets). Two linear bucket rollups (source grain
+    and corpus grain), then all arithmetic on the ≤ sources×10 bucket
+    cells; the 10-row corpus distribution broadcasts. Complements
+    etl_psi_drift (PSI) and agg_js_divergence (JS) with the metric that
+    is a true metric."""
+    return sql_q(spark, sf_dir, _HELLINGER_SQL)

@@ -1411,3 +1411,54 @@ def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); nothing row-scale ever joins. GDPR companion to
     etl_gdpr_delete_audit / llm_pii_scrub."""
     return sql_q(spark, sf_dir, _KANON_SQL)
+
+
+_SURVIVOR_SQL = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_recent,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CASE WHEN value > 0 THEN 0 ELSE 1 END,
+                                         ts DESC, event_id DESC) AS rn_value
+      FROM events),
+    freq AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn_mode
+      FROM events GROUP BY user_id, event_type),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS first_seen, max(ts) AS last_seen
+      FROM events GROUP BY user_id)
+    SELECT a.user_id, a.n_events, a.first_seen, a.last_seen,
+           r.event_type AS latest_type,
+           round(v.value, 2) AS latest_positive_value,
+           f.event_type AS modal_type, f.n AS modal_count
+    FROM agg a
+    JOIN (SELECT user_id, event_type FROM ranked WHERE rn_recent = 1) r
+      ON a.user_id = r.user_id
+    JOIN (SELECT user_id, value FROM ranked WHERE rn_value = 1) v
+      ON a.user_id = v.user_id
+    JOIN (SELECT user_id, event_type, n FROM freq WHERE rn_mode = 1) f
+      ON a.user_id = f.user_id
+    ORDER BY a.user_id
+    LIMIT 200
+"""
+
+
+@register("etl_survivorship_golden_record", oracle=_SURVIVOR_SQL)
+def etl_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record survivorship: collapse each user's event
+    history into one record under the three standard survivorship
+    rules side by side — recency wins (latest event type by (ts,
+    event_id) — the deterministic tiebreak matters: max_by/arg_max are
+    tie-unstable across engines), non-null/valid wins (latest POSITIVE
+    value, invalid zeros demoted not dropped), and frequency wins
+    (modal event type, ties to the lexicographically first). This is
+    the consolidation step every customer-360 pipeline runs after
+    identity resolution. Scale shape: all three rules are windows or
+    groupBys partitioned BY THE SAME user_id key — one shuffle,
+    co-partitioned self-joins at the user grain after; first 200 users
+    for a bounded result."""
+    return sql_q(spark, sf_dir, _SURVIVOR_SQL)

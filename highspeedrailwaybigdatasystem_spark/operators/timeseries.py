@@ -1984,3 +1984,52 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block) and the within-block sum order is pinned by rn, so the
     float walk is engine-identical on integer-cents input."""
     return sql_q(spark, sf_dir, _HURST_SQL)
+
+
+_PERM_ENTROPY_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY date_trunc('day', ts)),
+    l AS (
+      SELECT day, cents,
+             lag(cents, 2) OVER (ORDER BY day) AS a,
+             lag(cents, 1) OVER (ORDER BY day) AS b
+      FROM d),
+    pat AS (
+      SELECT concat(CASE WHEN a < b THEN '<' WHEN a = b THEN '=' ELSE '>' END,
+                    CASE WHEN b < cents THEN '<' WHEN b = cents THEN '='
+                         ELSE '>' END,
+                    CASE WHEN a < cents THEN '<' WHEN a = cents THEN '='
+                         ELSE '>' END) AS pattern
+      FROM l WHERE a IS NOT NULL),
+    pc AS (
+      SELECT pattern, CAST(count(*) AS BIGINT) AS n FROM pat
+      GROUP BY pattern),
+    tot AS (SELECT sum(n) AS t FROM pc),
+    h AS (
+      SELECT sum(-(n * 1e0 / t) * ln(n * 1e0 / t)) AS ent,
+             CAST(count(*) AS BIGINT) AS n_patterns
+      FROM pc CROSS JOIN tot)
+    SELECT n_patterns,
+           CAST((SELECT t FROM tot) AS BIGINT) AS n_windows,
+           round(ent, 6) AS perm_entropy,
+           round(ent / ln(6e0), 6) AS normalized_pe,
+           CAST(ent / ln(6e0) < 0.9 AS BOOLEAN) AS structured_signal
+    FROM h
+"""
+
+
+@register("ts_permutation_entropy", oracle=_PERM_ENTROPY_SQL)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt–Pompe, order 3) of the daily revenue
+    series: every 3-day window is classified by the ordinal pattern of
+    its comparisons (the '<=>' triple encodes all rank orders including
+    ties exactly — integer cents make ties well-defined), then Shannon
+    entropy over the ≤13 observed pattern frequencies, normalized by
+    ln(3!) — the standard complexity-vs-randomness score regime
+    detectors run on metric streams (white noise → 1.0, monotone trend
+    → 0). Scale shape: one linear day rollup, two lags on the ≤31-row
+    day grain, then constant-size pattern arithmetic; at 100 TB the
+    only data-sized stage is the first groupBy."""
+    return sql_q(spark, sf_dir, _PERM_ENTROPY_SQL)

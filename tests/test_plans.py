@@ -208,6 +208,8 @@ def test_full_surface_plan_hygiene(spark):
         "agg_market_basket_lift",  # 1-row order-total broadcast
         "agg_cronbach_alpha",      # 5-row event-type spine + 1-row total-var broadcasts
         "ts_hurst_rs",             # 3-row block-size grid × ≤31-row day grain + 1-row slope
+        "agg_hellinger_distance",  # 1-row corpus-total broadcast over ≤src×10 bucket cells
+        "ts_permutation_entropy",  # 1-row total broadcast over ≤13 pattern rows
         "etl_k_anonymity_audit",   # 4-row k-grid × ≤125 QI classes + 1-row totals
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
@@ -237,6 +239,7 @@ def test_full_surface_plan_hygiene(spark):
         "ts_sprt_sequential",  # running LLR over the DAY grain — ≤31 rows
         "win_rsi",           # lag + 14-row frame over the DAY grain — ≤31 rows
         "win_stochastic_oscillator",  # 14-row extrema frames over the DAY grain — ≤31 rows
+        "ts_permutation_entropy",  # two lags over the DAY grain — ≤31 rows
         "ml_dbscan_1d",      # gap-split windows over the dollar-level DOMAIN grain — ≤11k rows
         "ts_hurst_rs",       # row_number over the DAY grain — ≤31 rows
     }
