@@ -90,41 +90,46 @@ def _ensure_loaded() -> None:
 #: q01–q22 + etl block + 10 sources/sinks): 50/50 green in
 #: CORRECTNESS_r05.json, frozen into tools/gen_driver_coverage.py history.
 #:
-#: ROUND 6 (this window): the 6 left-over source ops + the first 44
-#: alphabetical oracle-backed llm_* ops. Remaining-rounds plan so the
-#: never-gated pool (179 at round-6 start) finishes by round 9:
-#:   r7 — the 25 remaining llm_* ops, the 8 remaining stream_* ops (the
-#:        only §2 family with zero driver exposure so far), the 13 ml_*
-#:        ops, and 4 udf_* ops.
-#:   r8 — remaining udf_*/udtf_*/mm_*/graph_* blocks + agg_* backlog.
-#:   r9 — remaining ts_*/win_*/sql_*/scalar/misc backlog + any ops added
-#:        in rounds 6–8.
+#: ROUND 7 (this window): the 10 never-gated ``stream_*`` ops FIRST
+#: (stateful streaming is the family where the local mirror least
+#: resembles the driver's environment — r6 verdict task #2), then the 19
+#: ``ml_*``, 8 ``udf_*``, 3 ``udtf_*``, 7 ``mm_*`` ops and the first 3
+#: ``graph_*`` ops, exactly filling the 50-slot window from the
+#: never-gated oracle-backed pool (175 at round-7 start).
+#: Remaining-rounds plan so the pool finishes by round 9:
+#:   r8 — the 6 remaining graph_* ops, the 34 remaining llm_* ops, and
+#:        the first 10 agg_* backlog ops (alphabetical).
+#:   r9 — the remaining agg_*/ts_*/win_*/sql_*/etl_*/scalar/misc backlog
+#:        (~75 post-r8) + any ops added in rounds 7–8; overflow to r10.
 #: See DRIVER_COVERAGE.md ("Never-gated oracle-backed pool") for the
 #: authoritative pool; keep rows-only names out of every window (they can
 #: never hash-green).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 6: never driver-gated before (mirror-green in round 5's sweep)
-    "src_csv_quoted_multiline", "src_custom_stream_source",
-    "src_glob_recursive", "src_schema_evolution",
-    "sink_compression_codecs", "stream_file_source",
-    "llm_ann_recall_eval", "llm_bigram_entropy_rate", "llm_bigram_lm",
-    "llm_bm25_retrieval", "llm_chunk_overlap_dedup", "llm_collocation_pmi",
-    "llm_containment_banded", "llm_containment_dedup", "llm_contamination",
-    "llm_context_length_histogram", "llm_cross_snapshot_dedup",
-    "llm_curation_funnel", "llm_curriculum_buckets",
-    "llm_data_scaling_curve", "llm_dataset_stats_card",
-    "llm_dedup_components", "llm_dedup_survivorship", "llm_doc_fingerprint",
-    "llm_doremi_reweight_step", "llm_dsir_importance",
-    "llm_dup_cluster_size_dist", "llm_embed_near_dup",
-    "llm_embedding_quantize", "llm_embedding_stats",
-    "llm_epoch_repetition_plan", "llm_exact_dedup", "llm_gopher_repetition",
-    "llm_hard_negative_mining", "llm_hash_split", "llm_importance_resample",
-    "llm_incremental_bloom_dedup", "llm_ivf_ann", "llm_kl_divergence_split",
-    "llm_knn_all", "llm_lang_id", "llm_minhash_banding",
-    "llm_mixture_temperature", "llm_mmr_diverse_topk",
-    "llm_near_dedup_minhash", "llm_ngram_jaccard", "llm_ngram_novelty",
-    "llm_oversample_minority", "llm_perplexity_buckets",
-    "llm_perplexity_proxy",
+    # stateful streaming block — zero driver exposure before round 7
+    "stream_cdc_latest_upsert", "stream_custom_state", "stream_dedup",
+    "stream_dedup_ttl", "stream_foreachbatch", "stream_full_outer_join",
+    "stream_left_outer_join", "stream_static_join",
+    "stream_topk_per_window", "stream_watermark_late",
+    # ml block
+    "ml_binary_metrics", "ml_boosted_stumps_2round", "ml_calibration_ece",
+    "ml_confusion_matrix_multiclass", "ml_dbscan_1d", "ml_decision_stump",
+    "ml_feature_scaling", "ml_fuzzy_cmeans_step", "ml_kfold_assignment",
+    "ml_kmeans_lloyd", "ml_knn_classifier_eval", "ml_logistic_gd_steps",
+    "ml_mcnemar_paired_test", "ml_naive_bayes_langid", "ml_ndcg_at_k",
+    "ml_pca_power_iteration", "ml_pr_auc_trapezoid", "ml_roc_auc",
+    "ml_silhouette_simplified",
+    # python-boundary block (udf/udtf)
+    "udf_arrow_optimized", "udf_cogrouped_apply", "udf_map_in_arrow",
+    "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_iterator",
+    "udf_pandas_scalar", "udf_python_scalar",
+    "udtf_analyze_polymorphic", "udtf_apply_in_pandas", "udtf_python",
+    # multimodal block
+    "mm_audio_chunk_stub", "mm_decode_stub", "mm_embed_sim_stub",
+    "mm_frame_sample", "mm_image_resize_stub", "mm_modality_router",
+    "mm_video_scene_cut_stub",
+    # first graph ops (rest rotate in r8)
+    "graph_assortativity", "graph_bfs_distance",
+    "graph_clustering_coefficient",
 )
 
 

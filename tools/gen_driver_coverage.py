@@ -127,6 +127,28 @@ _R5_WINDOW = [
 ]
 
 
+_R6_WINDOW = [
+    "llm_ann_recall_eval", "llm_bigram_entropy_rate", "llm_bigram_lm",
+    "llm_bm25_retrieval", "llm_chunk_overlap_dedup", "llm_collocation_pmi",
+    "llm_containment_banded", "llm_containment_dedup", "llm_contamination",
+    "llm_context_length_histogram", "llm_cross_snapshot_dedup",
+    "llm_curation_funnel", "llm_curriculum_buckets", "llm_data_scaling_curve",
+    "llm_dataset_stats_card", "llm_dedup_components", "llm_dedup_survivorship",
+    "llm_doc_fingerprint", "llm_doremi_reweight_step", "llm_dsir_importance",
+    "llm_dup_cluster_size_dist", "llm_embed_near_dup", "llm_embedding_quantize",
+    "llm_embedding_stats", "llm_epoch_repetition_plan", "llm_exact_dedup",
+    "llm_gopher_repetition", "llm_hard_negative_mining", "llm_hash_split",
+    "llm_importance_resample", "llm_incremental_bloom_dedup", "llm_ivf_ann",
+    "llm_kl_divergence_split", "llm_knn_all", "llm_lang_id",
+    "llm_minhash_banding", "llm_mixture_temperature", "llm_mmr_diverse_topk",
+    "llm_near_dedup_minhash", "llm_ngram_jaccard", "llm_ngram_novelty",
+    "llm_oversample_minority", "llm_perplexity_buckets", "llm_perplexity_proxy",
+    "sink_compression_codecs", "src_csv_quoted_multiline",
+    "src_custom_stream_source", "src_glob_recursive", "src_schema_evolution",
+    "stream_file_source",
+]
+
+
 def history() -> dict[int, dict[str, str]]:
     h: dict[int, dict[str, str]] = {}
     h[1] = {n: _R1_NONGREEN.get(n, "green") for n in _R1_WINDOW}
@@ -136,6 +158,9 @@ def history() -> dict[int, dict[str, str]]:
     # r5: 50/50 green in CORRECTNESS_r05.json (verified on disk at round-6
     # start; frozen here because the driver overwrites the file each round).
     h[5] = {n: "green" for n in _R5_WINDOW}
+    # r6: 50/50 green in CORRECTNESS_r06.json (verified on disk at round-7
+    # start; the window was the 6 left-over source ops + 44 llm_* ops).
+    h[6] = {n: "green" for n in _R6_WINDOW}
     return h
 
 
@@ -181,7 +206,17 @@ def current_round() -> int:
     return embedded_max + 1
 
 
-def build() -> str:
+def build(fold_live: bool = True) -> str:
+    """Render the ledger.
+
+    ``fold_live=True`` (default) folds the live round's on-disk CORRECTNESS
+    file, if any, into its verdict column; ``fold_live=False`` renders the
+    live round as "pending" regardless. The committed DRIVER_COVERAGE.md is
+    necessarily the ``pending`` variant (the driver's artifact lands AFTER
+    the round's last commit), so tests/test_registry.py accepts either
+    rendering — that is what stops the red-at-round-start churn flagged by
+    the r5 and r6 verdicts.
+    """
     h = history()
     live_round = current_round()
     live_window = [
@@ -193,7 +228,7 @@ def build() -> str:
     # fold its verdicts in instead of "pending".
     live_file = REPO / f"CORRECTNESS_r{live_round:02d}.json"
     live_verdicts: dict[str, str] = {}
-    if live_file.exists():
+    if fold_live and live_file.exists():
         live_verdicts = _disk_verdicts(live_file)
     h[live_round] = {
         n: live_verdicts.get(n, "pending") for n in live_window
