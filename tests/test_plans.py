@@ -452,3 +452,24 @@ def test_q21_single_fact_scan(spark):
     assert "CartesianProduct" not in s
     # supplier attaches to the |orders|-grain aggregate via broadcast
     assert "BroadcastHashJoin" in s
+
+
+def test_lpa_builds_edges_once(spark):
+    """Round-6 finding: graph_label_propagation ran its shared oracle SQL
+    through sql_q, and Spark re-executed the CTE edge build for every
+    reference — 113 shuffle exchanges for one op. The rewrite builds the
+    undirected edge multiset ONCE (localCheckpoint) and runs the two LPA
+    rounds as DataFrame supersteps: the final plan must contain no
+    events scan at all (the checkpointed RDD replaces it) and a bounded
+    shuffle count (2 rounds x join+2 aggs + final agg)."""
+    import re
+
+    s = plan_of(spark, "graph_label_propagation")
+    # the undirected edge multiset enters as the checkpointed RDD, never
+    # as a live parquet re-scan; the only events.parquet occurrences are
+    # the printed build plan under the cached users InMemoryRelation
+    assert "Scan ExistingRDD" in s, "edge build must be localCheckpointed"
+    assert "InMemoryTableScan" in s, "users must be cached (l0 seed)"
+    assert s.count("events.parquet") <= 2, "live events re-scan appeared"
+    n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", s))
+    assert n_shuffles <= 8, f"LPA shuffle count regressed: {n_shuffles}"
