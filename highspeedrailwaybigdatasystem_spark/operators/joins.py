@@ -831,10 +831,13 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(spark, sf_dir, _GEO_DENSITY_SPARK)
 
 
-_BASKET_SQL = """
-    WITH b AS (
-      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+_BASKET_B = """SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"""
+
+
+def _basket_sql(b_src: str) -> str:
+    return f"""
+    WITH b AS ({b_src}),
     n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
     s AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY brand),
     pr AS (
@@ -852,10 +855,10 @@ _BASKET_SQL = """
     CROSS JOIN n
     ORDER BY lift DESC, brand_a, brand_b
     LIMIT 15
-"""
+    """
 
 
-@register("agg_market_basket_lift", oracle=_BASKET_SQL)
+@register("agg_market_basket_lift", oracle=_basket_sql(_BASKET_B))
 def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules at the brand grain: for brand
     pairs co-occurring in the same order, support, confidence(A→B) and
@@ -865,5 +868,16 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on l_orderkey, and the per-order item multiplicity is bounded
     (≤7 lineitems in TPC-H), so the 'quadratic' pair step is O(49) per
     order — linear overall, never all-pairs across orders. Brand
-    support table is 25 rows → broadcast into the rule projection."""
-    return sql_q(spark, sf_dir, _BASKET_SQL)
+    support table is 25 rows → broadcast into the rule projection.
+
+    Plan note (r6 verdict task #4): the (order × brand) distinct basket
+    was referenced 4× through the shared CTE (12 exchanges, 5 lineitem
+    scans); it is now a cached temp view — one lineitem⋈part pass, and
+    the n/s/pr stages read the cache. `_basket_sql(_BASKET_B)` stays the
+    DuckDB oracle text."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    b = spark.sql(_BASKET_B).cache()
+    b.createOrReplaceTempView("__basket_b")
+    return spark.sql(_basket_sql("SELECT ok, brand FROM __basket_b"))

@@ -1926,11 +1926,14 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_q(spark, sf_dir, _xcorr_sql("ts", "date_add(x.d, l.lag)"))
 
 
-_HURST_SQL = """
-    WITH d AS (
-      SELECT date_trunc('day', ts) AS day,
+_HURST_DAY = """SELECT date_trunc('day', ts) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS cents
-      FROM events GROUP BY date_trunc('day', ts)),
+      FROM events GROUP BY date_trunc('day', ts)"""
+
+
+def _hurst_sql(day_src: str) -> str:
+    return f"""
+    WITH d AS ({day_src}),
     r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
     ws AS (SELECT w FROM (VALUES (4), (8), (16)) AS t(w)),
     blk AS (
@@ -1967,10 +1970,10 @@ _HURST_SQL = """
            round(max(CASE WHEN w = 16 THEN rs_mean END), 6) AS rs_w16,
            round(max(h.hurst), 6) AS hurst_exponent
     FROM rsj CROSS JOIN h
-"""
+    """
 
 
-@register("ts_hurst_rs", oracle=_HURST_SQL)
+@register("ts_hurst_rs", oracle=_hurst_sql(_HURST_DAY))
 def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent by classical rescaled-range (R/S) analysis over
     the daily revenue series: for block sizes w ∈ {4,8,16}, each
@@ -1982,8 +1985,18 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     day rollup, then EVERYTHING runs on the ≤31-row day grain × 3-size
     literal grid; the cumulative-walk window is partitioned by (w,
     block) and the within-block sum order is pinned by rn, so the
-    float walk is engine-identical on integer-cents input."""
-    return sql_q(spark, sf_dir, _HURST_SQL)
+    float walk is engine-identical on integer-cents input.
+
+    Plan note (r6 verdict task #4): the shared-CTE execution re-ran the
+    events day-rollup for every reference (13 exchanges / 13 events
+    scans); the rollup is now a cached temp view and every downstream
+    CTE recomputes over its <=31 cached rows only."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    day = spark.sql(_HURST_DAY).cache()
+    day.createOrReplaceTempView("__hurst_day")
+    return spark.sql(_hurst_sql("SELECT day, cents FROM __hurst_day"))
 
 
 _PERM_ENTROPY_SQL = """

@@ -69,6 +69,34 @@ def _dedup_cached_blocks(plan: str) -> str:
     return "\n".join(out)
 
 
+# Bounded-grain justifications for every op at >=10 deduped exchanges
+# (r6 verdict task #4: each such row must either drop or carry one).
+# Counts are distinct EXECUTED stages — cached-stage builds count once;
+# none of these re-runs a corpus-sized stage per reference.
+_NOTES = {
+    "llm_curation_funnel": "9 funnel steps over one cached token/feature "
+    "stage; each stagelet is a source-grain or doc-grain agg on the cache",
+    "llm_data_scaling_curve": "cached doc-feature stage; per-budget-point "
+    "stagelets aggregate the cache at source grain",
+    "llm_semdedup_sqrtn": "cached collapse + assignment stages; exchanges "
+    "are the distinct cluster-grain aggs and LSH-bounded verify joins",
+    "llm_containment_banded": "cached shingle stage; exchanges are the "
+    "band/candidate/verify stagelets, each LSH-bounded",
+    "llm_idf_weighted_jaccard": "cached shingle/idf/wsum stages (r7 "
+    "re-plan, was 14 with recompute); pair stage is source-blocked",
+    "ml_naive_bayes_langid": "cached token stage; exchanges are the "
+    "model-building aggs (lang x vocab grain) + one doc-grain scoring agg",
+    "agg_market_basket_lift": "cached (order x brand) basket (r7 re-plan); "
+    "pair step bounded at <=7 items/order",
+    "ts_hurst_rs": "cached day rollup (r7 re-plan, was 13 events scans); "
+    "all downstream stages run on <=31 cached rows",
+    "llm_minhash_jaccard_estimate": "cached shingle/signature/candidate "
+    "stages (r7 re-plan); verify joins are LSH-candidate-bounded",
+    "llm_perplexity_filter": "cached bigram + doc-entropy stages (r7 "
+    "re-plan, was 8 documents scans); scoring join is the one real shuffle",
+}
+
+
 def main() -> None:
     spark = build_session("shuffle_audit", shuffle_partitions=16)
     rows = []
@@ -106,11 +134,15 @@ def main() -> None:
             f"**{total_shuffles}** (mean {total_shuffles / max(len(rows), 1):.2f}/op) · "
             f"cartesian products: **{sum(1 for r in rows if r[4])}** · "
             f"ops with ≥4 shuffles: **{len(heavy)}**\n\n"
-            "| operator | shuffles | broadcasts | python-boundary | cartesian |\n"
-            "|---|---|---|---|---|\n"
+            "| operator | shuffles | broadcasts | python-boundary | cartesian | note (>=10 shuffles) |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for name, sh, bc, py, cart in rows:
-            f.write(f"| `{name}` | {sh} | {bc} | {py} | {'YES' if cart else ''} |\n")
+            note = _NOTES.get(name, "") if sh >= 10 else ""
+            f.write(
+                f"| `{name}` | {sh} | {bc} | {py} | "
+                f"{'YES' if cart else ''} | {note} |\n"
+            )
         if errors:
             f.write("\n## Build errors\n\n")
             for e in errors:
