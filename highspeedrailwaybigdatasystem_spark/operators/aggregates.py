@@ -2581,3 +2581,195 @@ def agg_hellinger_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     etl_psi_drift (PSI) and agg_js_divergence (JS) with the metric that
     is a true metric."""
     return sql_q(spark, sf_dir, _HELLINGER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Round 7 — statistical-audit additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_TUKEY_SQL = """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS mu, var_samp(value) AS v
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT sum((n - 1) * v) / (sum(n) - count(*)) AS msw FROM g)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.mu - b.mu, 6) AS mean_diff,
+           round(abs(a.mu - b.mu)
+                 / sqrt(w.msw * (1e0 / a.n + 1e0 / b.n) / 2), 6) AS q_stat,
+           CAST(abs(a.mu - b.mu)
+                / sqrt(w.msw * (1e0 / a.n + 1e0 / b.n) / 2)
+                > 3.858 AS BOOLEAN) AS significant_5pct
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    CROSS JOIN w
+    ORDER BY type_a, type_b
+"""
+
+
+@register("agg_tukey_hsd", oracle=_TUKEY_SQL)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparison after agg_anova_oneway:
+    for every event-type pair the mean difference and the studentized
+    range statistic q = |mu_a - mu_b| / sqrt(MSW/2 * (1/n_a + 1/n_b)),
+    flagged against the k=5, df=inf 5% critical value 3.858 — the
+    follow-up every metrics review runs once ANOVA rejects ('WHICH
+    groups differ?'). Scale shape: one map-side-combinable (n, mean,
+    var) pass over the fact, then all arithmetic on the C(5,2) = 10
+    pair rows; the 1-row mean-square-within broadcasts. Shared SQL text
+    on both engines; only round-6 floats cross the comparison."""
+    return sql_q(spark, sf_dir, _TUKEY_SQL)
+
+
+_DIVERSITY_SQL = """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    t AS (
+      SELECT source, sum(n) AS tot, CAST(count(*) AS BIGINT) AS k
+      FROM c GROUP BY source)
+    SELECT c.source, max(t.k) AS n_langs,
+           round(sum(-(c.n * 1e0 / t.tot) * ln(c.n * 1e0 / t.tot)), 6)
+             AS shannon_h,
+           round(CASE WHEN max(t.k) = 1 THEN 1e0
+                      ELSE sum(-(c.n * 1e0 / t.tot) * ln(c.n * 1e0 / t.tot))
+                           / ln(max(t.k)) END, 6) AS pielou_evenness,
+           round(1e0 - sum((c.n * 1e0 / t.tot) * (c.n * 1e0 / t.tot)), 6)
+             AS gini_simpson,
+           round(1e0 / sum((c.n * 1e0 / t.tot) * (c.n * 1e0 / t.tot)), 6)
+             AS inverse_simpson
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source
+    ORDER BY c.source
+"""
+
+
+@register("agg_shannon_diversity", oracle=_DIVERSITY_SQL)
+def agg_shannon_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity profile per source: Shannon entropy H, Pielou
+    evenness H/ln(k), Gini-Simpson 1-sum(p^2) and inverse-Simpson
+    effective language count — the corpus-composition card a
+    multilingual curation pipeline tracks per crawl source (a source
+    whose evenness collapses is drifting monolingual). Scale shape: one
+    linear (source, lang) count rollup, then every index is arithmetic
+    on the <= sources x langs bounded cell grid. Single-language edge
+    pinned: evenness defined as 1 (maximal) when k = 1."""
+    return sql_q(spark, sf_dir, _DIVERSITY_SQL)
+
+
+_HILL_SQL = """
+    WITH top_m AS (
+      SELECT o_totalprice AS v FROM orders
+      ORDER BY o_totalprice DESC LIMIT 101),
+    thr AS (SELECT min(v) AS xm FROM top_m),
+    hs AS (
+      SELECT avg(ln(t.v / thr.xm)) AS hill_h
+      FROM (SELECT v FROM top_m ORDER BY v DESC LIMIT 100) t
+      CROSS JOIN thr)
+    SELECT CAST(100 AS BIGINT) AS m_order_stats,
+           round((SELECT xm FROM thr), 2) AS threshold,
+           round(hill_h, 6) AS hill_h,
+           round(1e0 / hill_h, 6) AS tail_alpha,
+           CAST(1e0 / hill_h < 2 AS BOOLEAN) AS infinite_variance_regime
+    FROM hs
+"""
+
+
+@register("agg_hill_tail_index", oracle=_HILL_SQL)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values: with
+    the top m = 100 order statistics, H = mean ln(x_(i) / x_(m+1)) and
+    alpha = 1/H, plus the alpha < 2 infinite-variance flag — the
+    heavy-tail diagnostic that decides whether mean-based SLAs/alerts
+    are even meaningful on a revenue stream. Tie-safe: a boundary value
+    tied with the threshold contributes ln(1) = 0 whichever copy the
+    LIMIT keeps, so the estimate is deterministic under ties. Scale
+    shape: TakeOrdered(101) is the only corpus-touching step (no global
+    sort); everything after runs on 100 driver-side-bounded rows."""
+    return sql_q(spark, sf_dir, _HILL_SQL)
+
+
+_BOWLEY_SQL = """
+    WITH q AS (
+      SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             {q1} AS q1, {q2} AS q2, {q3} AS q3
+      FROM customer GROUP BY c_mktsegment)
+    SELECT segment, n, q1, q2, q3,
+           round((q3 + q1 - 2 * q2) / nullif(q3 - q1, 0), 6)
+             AS bowley_skew,
+           round((q3 - q1) / nullif(q3 + q1, 0), 6)
+             AS quartile_coeff_dispersion
+    FROM q ORDER BY segment
+"""
+
+
+@register(
+    "agg_bowley_quartile_skew",
+    oracle=_BOWLEY_SQL.format(
+        q1="quantile_disc(c_acctbal, 0.25)",
+        q2="quantile_disc(c_acctbal, 0.50)",
+        q3="quantile_disc(c_acctbal, 0.75)",
+    ),
+)
+def agg_bowley_quartile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness and the quartile coefficient of
+    dispersion of account balances per market segment — the robust
+    shape summary that, unlike moment skewness (agg_skew_kurtosis),
+    cannot be hijacked by a single whale account. DISCRETE quantiles on
+    both engines (actual member values, no interpolation) so the
+    quartiles match bit-for-bit and the only floats are two rounded
+    ratios. One shuffle to the segment grain; at 100 TB the exact
+    quantiles swap for approx_percentile with the same downstream
+    algebra."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _BOWLEY_SQL.format(
+            q1="percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)",
+            q2="percentile_disc(0.50) WITHIN GROUP (ORDER BY c_acctbal)",
+            q3="percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)",
+        ),
+    )
+
+
+_MADZ_SQL = """
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, max(med.m) AS m,
+             median(abs(e.value - med.m)) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(mad.m), 6) AS median_value,
+           round(max(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (e.value - mad.m)
+                             / nullif(mad.mad, 0)) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN abs(0.6745 * (e.value - mad.m)
+                              / nullif(mad.mad, 0)) > 3.5
+                          THEN 1e0 ELSE 0e0 END) / count(*), 6)
+             AS outlier_share
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""
+
+
+@register("agg_mad_robust_z", oracle=_MADZ_SQL)
+def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier detection per event type: modified
+    z-score 0.6745 * (x - median) / MAD with the Iglewicz-Hoaglin 3.5
+    cutoff — the outlier gate that survives the exact contamination
+    that breaks mean/stddev z-scores (agg_iqr_outlier_fences'
+    breakdown-point sibling). Exact medians on both engines (the
+    agg_levene_test discipline); zero-MAD degenerate groups emit zero
+    outliers via NULLIF. Scale shape: two median passes + one counting
+    pass, each one shuffle on the same |types| key; the 5-row
+    median/MAD table broadcasts into the scoring scan. At 100 TB the
+    medians swap for approx_percentile, cutoff algebra unchanged."""
+    return sql_q(spark, sf_dir, _MADZ_SQL)
