@@ -2046,3 +2046,264 @@ def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     day grain, then constant-size pattern arithmetic; at 100 TB the
     only data-sized stage is the first groupBy."""
     return sql_q(spark, sf_dir, _PERM_ENTROPY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Round 7 — time-series additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_DAY_CENTS = """SELECT date_trunc('day', ts) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY date_trunc('day', ts)"""
+
+
+_LJUNG_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(avg(cents)) AS BIGINT) AS mu FROM r),
+    dev AS (SELECT r.rn, r.cents - st.mu AS dv FROM r CROSS JOIN st),
+    den AS (SELECT sum(dv * dv) AS s0 FROM dev),
+    ac AS (
+      SELECT k.k, sum(a.dv * b.dv) AS sk
+      FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+            UNION ALL SELECT 7) k
+      JOIN dev a ON 1 = 1
+      JOIN dev b ON b.rn = a.rn + k.k
+      GROUP BY k.k),
+    q AS (
+      SELECT sum((ac.sk * 1e0 / den.s0) * (ac.sk * 1e0 / den.s0)
+                 / (st.n - ac.k)) AS qsum
+      FROM ac CROSS JOIN den CROSS JOIN st)
+    SELECT st.n AS n_days,
+           CAST(7 AS BIGINT) AS n_lags,
+           round(st.n * (st.n + 2) * q.qsum, 6) AS ljung_box_q,
+           CAST(st.n * (st.n + 2) * q.qsum > 14.067140449340169 AS BOOLEAN)
+             AS reject_white_noise_5pct
+    FROM st CROSS JOIN q
+"""
+
+
+@register("ts_ljung_box", oracle=_LJUNG_SQL)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on daily revenue (lags
+    1..7): Q = n(n+2) * sum r_k^2/(n-k) against the chi-square(7) 5%
+    critical value 14.0671 — the 'is there ANY autocorrelation worth
+    modeling' gate run before fitting seasonal forecasts. Determinism:
+    the series is demeaned on an INTEGER grid (mu = round(mean cents)),
+    so every autocovariance numerator and the variance denominator are
+    exact int64 sums — the float division happens once per lag on
+    identical integers in both engines. Scale shape: one linear day
+    rollup; the 7 lag products are self-joins on the <=31-row day
+    grain; everything else is 1-row arithmetic."""
+    return sql_q(spark, sf_dir, _LJUNG_SQL)
+
+
+_DFT_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(round(avg(cents)) AS BIGINT) AS mu FROM r),
+    dev AS (SELECT r.rn, r.cents - st.mu AS dv FROM r CROSS JOIN st),
+    grid AS (
+      SELECT p FROM (SELECT 2 AS p UNION ALL SELECT 3 UNION ALL SELECT 4
+                     UNION ALL SELECT 5 UNION ALL SELECT 6
+                     UNION ALL SELECT 7) g),
+    terms AS (
+      SELECT g.p,
+             sum(dev.dv * CAST(round(cos(6.283185307179586 *
+                   (dev.rn % g.p) / g.p) * 1000000) AS BIGINT)) AS cs,
+             sum(dev.dv * CAST(round(sin(6.283185307179586 *
+                   (dev.rn % g.p) / g.p) * 1000000) AS BIGINT)) AS sn
+      FROM grid g CROSS JOIN dev
+      GROUP BY g.p),
+    pw AS (
+      SELECT t.p,
+             (t.cs * 1e0 / 1000000 / st.n) * (t.cs * 1e0 / 1000000 / st.n)
+             + (t.sn * 1e0 / 1000000 / st.n) * (t.sn * 1e0 / 1000000 / st.n)
+               AS power
+      FROM terms t CROSS JOIN st),
+    tot AS (SELECT sum(power) AS tp FROM pw)
+    SELECT pw.p AS period_days,
+           round(pw.power / 10000e0, 6) AS power_hundredths,
+           round(pw.power / tot.tp, 6) AS power_share,
+           CAST(pw.power = (SELECT max(power) FROM pw) AS BOOLEAN)
+             AS dominant_period
+    FROM pw CROSS JOIN tot
+    ORDER BY period_days
+"""
+
+
+@register("ts_dft_power_topk", oracle=_DFT_SQL)
+def ts_dft_power_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style single-bin DFT power at candidate periods 2..7
+    days over demeaned daily revenue — the periodicity detector behind
+    'is this metric weekly-seasonal' (period 7 dominating = weekday
+    cycle), reported as per-period power share + dominant-period flag.
+    Determinism: cos/sin weights are quantized to a 1e-6 integer grid
+    BEFORE multiplication (the ml_naive_bayes_langid _LLQ discipline)
+    and the deviations are integer cents, so each bin's correlation
+    sums are exact int64 in both engines; arguments hit the same <=7
+    rational angle classes (rn mod p) so the quantized weights agree.
+    Scale shape: one linear day rollup; the 6-period grid crosses the
+    <=31-row day grain (<=186 product rows), then 1-row arithmetic."""
+    return sql_q(spark, sf_dir, _DFT_SQL)
+
+
+_BINSEG_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s,
+             sum(cents * cents) AS ss FROM r),
+    pre AS (
+      SELECT rn, day,
+             sum(cents) OVER (ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS ps,
+             sum(cents * cents) OVER (ORDER BY rn
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS pss
+      FROM r),
+    cand AS (
+      SELECT p.rn, p.day,
+             (p.pss - p.ps * 1e0 * p.ps / p.rn)
+             + ((t.ss - p.pss)
+                - (t.s - p.ps) * 1e0 * (t.s - p.ps) / (t.n - p.rn))
+               AS sse_split,
+             t.ss - t.s * 1e0 * t.s / t.n AS sse_total,
+             p.ps * 1e0 / p.rn AS mean_left,
+             (t.s - p.ps) * 1e0 / (t.n - p.rn) AS mean_right
+      FROM pre p CROSS JOIN tot t
+      WHERE p.rn < t.n)
+    SELECT CAST(rn AS BIGINT) AS split_after_rn,
+           day AS split_day,
+           round(mean_left / 100, 2) AS mean_before_dollars,
+           round(mean_right / 100, 2) AS mean_after_dollars,
+           round(sse_total / 1e8, 4) AS sse_total_m,
+           round(sse_split / 1e8, 4) AS sse_split_m,
+           round(1e0 - sse_split / sse_total, 6) AS sse_reduction_share,
+           CAST(1e0 - sse_split / sse_total > 0.3 AS BOOLEAN)
+             AS changepoint_detected
+    FROM cand
+    ORDER BY sse_split, rn
+    LIMIT 1
+"""
+
+
+@register("ts_changepoint_binseg", oracle=_BINSEG_SQL)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One binary-segmentation step: the single split of the daily
+    revenue series that minimizes SSE_left + SSE_right (computed in
+    closed form from prefix sums — no per-candidate rescan), with the
+    before/after means and the variance-explained share; detection
+    fires when the split removes >30% of total SSE. This is the inner
+    step every recursive changepoint detector (binseg / PELT-style)
+    repeats. Determinism: prefix sums and sums of squares are exact
+    int64 over integer cents (daily cents <= ~1e8 -> squares <= 1e16,
+    31-row sums < 9.2e18), so every candidate SSE is arithmetic on
+    identical integers; argmin ties break on rn. Scale shape: one
+    linear day rollup, two running-sum windows on the <=31-row day
+    grain, LIMIT 1."""
+    return sql_q(spark, sf_dir, _BINSEG_SQL)
+
+
+_M4_SQL = """
+    WITH x AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           min_by(cents, event_id) AS first_cents,
+           max_by(cents, event_id) AS last_cents
+    FROM x GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register(
+    "ts_downsample_m4",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
+             event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           min_by(cents, event_id) AS first_cents,
+           max_by(cents, event_id) AS last_cents
+    FROM x GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per pixel-bucket
+    the min / max / first / last of the series — the four values that
+    make a line chart of N points pixel-identical to the full series,
+    and the standard server-side reduction every monitoring stack runs
+    before shipping points to a browser. Buckets key on event_id mod 16
+    (the corpus's arrival sequence); first/last are min_by/max_by on
+    the unique event_id, so every aggregate is tie-free and integer-
+    exact on both engines. Scale shape: ONE map-side-combinable groupBy
+    carrying 4 int64s + a count per bucket — the shuffle payload is
+    O(buckets), not O(rows), exactly how it must behave at 100 TB."""
+    return sql_q(spark, sf_dir, _M4_SQL)
+
+
+_VR_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    d1 AS (
+      SELECT b.cents - a.cents AS dv
+      FROM r a JOIN r b ON b.rn = a.rn + 1),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             sum(dv) AS s1, sum(dv * dv) AS ss1 FROM d1),
+    qs AS (SELECT q FROM (SELECT 2 AS q UNION ALL SELECT 4
+                          UNION ALL SELECT 8) g),
+    dq AS (
+      SELECT qs.q, b.cents - a.cents AS dv
+      FROM qs JOIN r a ON 1 = 1
+      JOIN r b ON b.rn = a.rn + qs.q),
+    aggq AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS nq,
+             sum(dv) AS sq, sum(dv * dv) AS ssq
+      FROM dq GROUP BY q)
+    SELECT a.q AS horizon_days,
+           a.nq AS n_obs,
+           round(((a.ssq * 1e0 / a.nq) - (a.sq * 1e0 / a.nq) * (a.sq * 1e0 / a.nq))
+                 / (a.q * ((b.ss1 * 1e0 / b.n1)
+                           - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1))), 6)
+             AS variance_ratio,
+           CAST(((a.ssq * 1e0 / a.nq) - (a.sq * 1e0 / a.nq) * (a.sq * 1e0 / a.nq))
+                / (a.q * ((b.ss1 * 1e0 / b.n1)
+                          - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1))) > 1
+                AS BOOLEAN) AS trending_regime
+    FROM aggq a CROSS JOIN base b
+    ORDER BY horizon_days
+"""
+
+
+@register("ts_variance_ratio", oracle=_VR_SQL)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily revenue: VR(q) =
+    Var(q-day change) / (q * Var(1-day change)) for q in {2, 4, 8} — a
+    random walk sits at 1, persistence/trending pushes above, mean
+    reversion below; the standard complement to ts_hurst_rs run on the
+    same series (two independent long-memory diagnostics should agree).
+    Overlapping q-day differences (the Lo-MacKinlay estimator's
+    standard choice). Determinism: every difference, sum and sum of
+    squares is exact int64 on integer cents; the variance algebra runs
+    once per q on identical integers in both engines. Scale shape: one
+    linear day rollup; the lag joins are on the <=31-row day grain."""
+    return sql_q(spark, sf_dir, _VR_SQL)

@@ -211,6 +211,12 @@ def test_full_surface_plan_hygiene(spark):
         "agg_hellinger_distance",  # 1-row corpus-total broadcast over ≤src×10 bucket cells
         "ts_permutation_entropy",  # 1-row total broadcast over ≤13 pattern rows
         "etl_k_anonymity_audit",   # 4-row k-grid × ≤125 QI classes + 1-row totals
+        "agg_tukey_hsd",           # 1-row MSW broadcast over the 10 pair rows
+        "agg_hill_tail_index",     # 1-row threshold broadcast over the 100-row tail
+        "ts_changepoint_binseg",   # 1-row totals broadcast over ≤31 candidate rows
+        "ts_dft_power_topk",       # 6-row period grid × ≤31-row day grain
+        "ts_ljung_box",            # 7-row lag grid × ≤31-row day grain + 1-row totals
+        "ts_variance_ratio",       # 3-row q grid × ≤31-row day grain + 1-row base
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -242,6 +248,10 @@ def test_full_surface_plan_hygiene(spark):
         "ts_permutation_entropy",  # two lags over the DAY grain — ≤31 rows
         "ml_dbscan_1d",      # gap-split windows over the dollar-level DOMAIN grain — ≤11k rows
         "ts_hurst_rs",       # row_number over the DAY grain — ≤31 rows
+        "ts_ljung_box",      # row_number over the DAY grain — ≤31 rows
+        "ts_dft_power_topk", # row_number over the DAY grain — ≤31 rows
+        "ts_changepoint_binseg",  # prefix-sum windows over the DAY grain
+        "ts_variance_ratio", # row_number over the DAY grain — ≤31 rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
