@@ -1347,3 +1347,252 @@ def ml_dbscan_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every window runs on that grain (global window allowlisted for
     exactly that reason)."""
     return sql_q(spark, sf_dir, _DBSCAN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Round 7 — experimentation / model-selection additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_ZTEST_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c
+      FROM u GROUP BY user_id % 2)
+    SELECT a.n AS n_control, b.n AS n_treatment,
+           a.c AS conv_control, b.c AS conv_treatment,
+           round(a.c * 1e0 / a.n, 6) AS rate_control,
+           round(b.c * 1e0 / b.n, 6) AS rate_treatment,
+           round(b.c * 1e0 / b.n - a.c * 1e0 / a.n, 6) AS uplift,
+           round((b.c * 1e0 / b.n - a.c * 1e0 / a.n)
+                 / sqrt(((a.c + b.c) * 1e0 / (a.n + b.n))
+                        * (1e0 - (a.c + b.c) * 1e0 / (a.n + b.n))
+                        * (1e0 / a.n + 1e0 / b.n)), 6) AS z_stat,
+           CAST(abs((b.c * 1e0 / b.n - a.c * 1e0 / a.n)
+                    / sqrt(((a.c + b.c) * 1e0 / (a.n + b.n))
+                           * (1e0 - (a.c + b.c) * 1e0 / (a.n + b.n))
+                           * (1e0 / a.n + 1e0 / b.n)))
+                > 1.959963984540054 AS BOOLEAN) AS significant_5pct
+    FROM (SELECT n, c FROM g WHERE grp = 0) a
+    CROSS JOIN (SELECT n, c FROM g WHERE grp = 1) b
+"""
+
+
+@register("ml_two_proportion_ztest", oracle=_ZTEST_SQL)
+def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on user conversion (a purchase
+    event above $100 — every user has SOME purchase in this corpus, so
+    the qualified definition keeps both rates interior and the pooled
+    SE nonzero), control = even user ids vs treatment = odd — the A/B
+    readout every experimentation platform ships: rates, uplift, pooled
+    z and the 5% two-sided decision. Everything derives from four exact
+    integer counts, so the float path is a fixed arithmetic expression
+    on identical inputs in both engines. Scale shape: one user-grain
+    conversion rollup (map-side max), a 2-row group aggregate, then
+    1-row algebra — the shuffle payload is O(users) once, O(1) after."""
+    return sql_q(spark, sf_dir, _ZTEST_SQL)
+
+
+_BETABIN_SQL = """
+    WITH conv AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o.has_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey,
+                        max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                          AS has_f
+                 FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment),
+    mom AS (
+      SELECT avg(c * 1e0 / n) AS m,
+             var_samp(c * 1e0 / n) AS v
+      FROM conv),
+    prior AS (
+      SELECT m, v,
+             m * (m * (1e0 - m) / v - 1e0) AS alpha,
+             (1e0 - m) * (m * (1e0 - m) / v - 1e0) AS beta
+      FROM mom)
+    SELECT conv.segment, conv.n AS n_customers, conv.c AS n_converted,
+           round(conv.c * 1e0 / conv.n, 6) AS raw_rate,
+           round(p.alpha, 6) AS prior_alpha,
+           round(p.beta, 6) AS prior_beta,
+           round((p.alpha + conv.c) / (p.alpha + p.beta + conv.n), 6)
+             AS shrunk_rate,
+           round(abs((p.alpha + conv.c) / (p.alpha + p.beta + conv.n)
+                     - conv.c * 1e0 / conv.n), 6) AS shrinkage_pull
+    FROM conv CROSS JOIN prior p
+    ORDER BY segment
+"""
+
+
+@register("ml_beta_binomial_shrinkage", oracle=_BETABIN_SQL)
+def ml_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-segment customer
+    conversion (converted = any finished order): the method-of-moments
+    Beta prior is fit from the five observed segment rates, and each
+    segment's rate shrinks to the posterior mean (alpha+c)/(alpha+beta+n)
+    — the small-cell stabilizer every dashboard needs before ranking
+    segments by rate. Exact integer (n, c) per segment; prior moments
+    over exactly 5 rate values; all float algebra runs on identical
+    inputs in both engines. Scale shape: one customer-grain conversion
+    rollup (the orders side pre-aggregates to o_custkey grain before
+    the join), a 5-row segment aggregate, then broadcast 1-row prior."""
+    return sql_q(spark, sf_dir, _BETABIN_SQL)
+
+
+_RIDGE_SQL = """
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem),
+    grid AS (SELECT lam FROM (SELECT 0e0 AS lam UNION ALL SELECT 10e0
+                              UNION ALL SELECT 100e0
+                              UNION ALL SELECT 1000e0) g)
+    SELECT g.lam AS lambda_per_row,
+           round((s.sxy * 1e0 - s.sx * 1e0 * s.sy / s.n)
+                 / (s.sxx * 1e0 - s.sx * 1e0 * s.sx / s.n + g.lam * s.n), 6)
+             AS ridge_slope_cents_per_unit,
+           round(((s.sxy * 1e0 - s.sx * 1e0 * s.sy / s.n)
+                  / (s.sxx * 1e0 - s.sx * 1e0 * s.sx / s.n + g.lam * s.n))
+                 / ((s.sxy * 1e0 - s.sx * 1e0 * s.sy / s.n)
+                    / (s.sxx * 1e0 - s.sx * 1e0 * s.sx / s.n)), 6)
+             AS shrink_factor
+    FROM grid g CROSS JOIN s
+    ORDER BY lambda_per_row
+"""
+
+
+@register("ml_ridge_regression_grid", oracle=_RIDGE_SQL)
+def ml_ridge_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 1-D ridge regression path (price-cents ~ quantity)
+    over the per-row penalty grid lambda in {0, 10, 100, 1000}:
+    slope_ridge = Sxy_c / (Sxx_c + lambda*n) with exactly one
+    sufficient-statistics pass — the regularization-path shape every
+    distributed linear solver reduces to for a single feature, and the
+    lambda=0 row IS the OLS slope (shrink_factor 1). All five
+    sufficient statistics are exact int64 sums (quantity units x price
+    cents stay < 2^63 at any plausible SF); the double algebra runs on
+    identical integers in both engines. Scale shape: ONE map-side
+    combinable aggregate over the fact — the shuffle carries 5 numbers;
+    the 4-row grid is a literal broadcast."""
+    return sql_q(spark, sf_dir, _RIDGE_SQL)
+
+
+_ELBOW_SQL = """
+    WITH lv AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY CAST(floor(o_totalprice) AS BIGINT)),
+    ext AS (SELECT min(v) AS lo, max(v) AS hi FROM lv),
+    ks AS (SELECT k FROM (SELECT 2 AS k UNION ALL SELECT 4
+                          UNION ALL SELECT 8) g),
+    asg AS (
+      SELECT ks.k, lv.v, lv.n,
+             least(ks.k - 1, greatest(0,
+               CAST(floor((lv.v - ext.lo) * 1e0 * ks.k
+                          / (ext.hi - ext.lo + 1)) AS BIGINT))) AS j
+      FROM ks CROSS JOIN lv CROSS JOIN ext),
+    cen AS (
+      SELECT a.k, a.j, a.v, a.n,
+             ext.lo + CAST(round((ext.hi - ext.lo + 1) * 1e0
+                                 * (2 * a.j + 1) / (2 * a.k)) AS BIGINT)
+               AS c
+      FROM asg a CROSS JOIN ext),
+    sse AS (
+      SELECT k, sum(n * (v - c) * (v - c)) AS wss,
+             CAST(count(*) AS BIGINT) AS n_levels
+      FROM cen GROUP BY k)
+    SELECT s.k, s.n_levels,
+           round(s.wss / 1e6, 4) AS wss_millions,
+           round(s.wss * 1e0 / nullif(p.wss, 0), 6) AS wss_vs_prev_k,
+           CAST(s.wss * 1e0 / nullif(p.wss, 0) > 0.5 AS BOOLEAN)
+             AS diminishing_return
+    FROM sse s
+    LEFT JOIN sse p ON p.k = s.k / 2
+    ORDER BY s.k
+"""
+
+
+@register("ml_elbow_k_sweep", oracle=_ELBOW_SQL)
+def ml_elbow_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-selection elbow sweep: within-cluster SSE of the order-value
+    distribution for k in {2, 4, 8} under an equal-width grid
+    clustering (deterministic centroids at the k cell midpoints — the
+    init every k-means run starts from; a full Lloyd refinement is
+    ml_kmeans_lloyd's job), with the WSS ratio to the previous k as the
+    marginal-return elbow signal. Determinism: values collapse to the
+    DOLLAR-LEVEL domain grain first (<= value domain, the ml_dbscan_1d
+    discipline), centroids round to integer dollars, so every n*(v-c)^2
+    term and its sum are exact int64 in both engines. Scale shape: one
+    linear groupBy to the level grain; the 3xk grid math runs on
+    <= 3x|levels| bounded rows."""
+    return sql_q(spark, sf_dir, _ELBOW_SQL)
+
+
+_KAPPA_SQL = """
+    WITH med AS (
+      SELECT {median_disc} AS m FROM orders),
+    r AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r1,
+             CASE WHEN o_totalprice > med.m THEN 1 ELSE 0 END AS r2
+      FROM orders CROSS JOIN med),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM r)
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) * 1e0 / n, 6) AS observed_agreement,
+           round(((n11 + n10) * 1e0 / n) * ((n11 + n01) * 1e0 / n)
+                 + ((n01 + n00) * 1e0 / n) * ((n10 + n00) * 1e0 / n), 6)
+             AS expected_agreement,
+           round(((n11 + n00) * 1e0 / n
+                  - (((n11 + n10) * 1e0 / n) * ((n11 + n01) * 1e0 / n)
+                     + ((n01 + n00) * 1e0 / n) * ((n10 + n00) * 1e0 / n)))
+                 / (1e0
+                    - (((n11 + n10) * 1e0 / n) * ((n11 + n01) * 1e0 / n)
+                       + ((n01 + n00) * 1e0 / n) * ((n10 + n00) * 1e0 / n))),
+                 6) AS cohens_kappa
+    FROM cells
+"""
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=_KAPPA_SQL.format(median_disc="quantile_disc(o_totalprice, 0.5)"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two deterministic
+    labeling rules on orders — rater 1: status = 'F' (fulfilled),
+    rater 2: value above the corpus median (DISCRETE quantile, so both
+    engines pick the same member value) — the chance-corrected
+    agreement score used to audit whether a cheap heuristic label can
+    stand in for an expensive one before training on it. Kappa derives
+    entirely from the four exact contingency counts. Scale shape: one
+    median pass + one counting pass over the fact; all algebra on a
+    single 5-integer row."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _KAPPA_SQL.format(
+            median_disc="percentile_disc(0.5) WITHIN GROUP"
+            " (ORDER BY o_totalprice)"
+        ),
+    )

@@ -217,6 +217,11 @@ def test_full_surface_plan_hygiene(spark):
         "ts_dft_power_topk",       # 6-row period grid × ≤31-row day grain
         "ts_ljung_box",            # 7-row lag grid × ≤31-row day grain + 1-row totals
         "ts_variance_ratio",       # 3-row q grid × ≤31-row day grain + 1-row base
+        "ml_two_proportion_ztest", # 1-row control × 1-row treatment algebra
+        "ml_beta_binomial_shrinkage",  # 1-row MoM prior × 5 segment rows
+        "ml_ridge_regression_grid",    # 4-row λ grid × 1-row sufficient stats
+        "ml_elbow_k_sweep",        # 3-row k grid + 1-row extrema × level grain
+        "ml_cohens_kappa",         # 1-row median broadcast into the rating scan
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
