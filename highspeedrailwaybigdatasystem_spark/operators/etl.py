@@ -1462,3 +1462,213 @@ def etl_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFram
     co-partitioned self-joins at the user grain after; first 200 users
     for a bounded result."""
     return sql_q(spark, sf_dir, _SURVIVOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# Round 7 — pipeline-hardening additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_STATE_MERGE_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    st AS (
+      SELECT event_type, half, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             min(cents) AS mn, max(cents) AS mx
+      FROM h GROUP BY event_type, half),
+    merged AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s, min(mn) AS mn, max(mx) AS mx
+      FROM st GROUP BY event_type),
+    fullagg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             min(cents) AS mn, max(cents) AS mx
+      FROM h GROUP BY event_type)
+    SELECT m.event_type,
+           CAST((SELECT count(*) FROM st s2
+                 WHERE s2.event_type = m.event_type) AS BIGINT)
+             AS n_partial_states,
+           m.n AS n_merged, f.n AS n_full,
+           round(m.s / 100e0, 2) AS sum_merged,
+           CAST(m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx
+                AS BOOLEAN) AS merge_consistent
+    FROM merged m JOIN fullagg f ON m.event_type = f.event_type
+    ORDER BY m.event_type
+"""
+
+
+@register("etl_incremental_state_merge_audit", oracle=_STATE_MERGE_SQL)
+def etl_incremental_state_merge_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Algebraic-state merge audit — the correctness property every
+    incremental pipeline rests on: (count, sum, min, max) states built
+    separately per half-month must MERGE (sum/sum/min/max) to exactly
+    the full recompute. A mismatch means someone snuck a non-mergeable
+    aggregate (median, distinct) into an incremental rollup. All
+    integer-cents arithmetic, so consistency is exact equality, not a
+    tolerance. Scale shape: two map-side-combinable passes over the
+    fact + |types x 2| state rows — merge algebra is free; at 100 TB
+    this is the pattern that replaces full recomputes."""
+    return sql_q(spark, sf_dir, _STATE_MERGE_SQL)
+
+
+_FRESH_SQL = """
+    WITH wm AS (SELECT max({us}) AS w FROM events),
+    p AS (
+      SELECT event_type, max({us}) AS last_us,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type)
+    SELECT p.event_type, p.n_rows,
+           round((wm.w - p.last_us) / 3600e6, 4) AS lag_hours,
+           CAST((wm.w - p.last_us) > 24 * 3600e6 AS BOOLEAN)
+             AS breach_24h,
+           CAST((wm.w - p.last_us) > 72 * 3600e6 AS BOOLEAN)
+             AS breach_72h
+    FROM p CROSS JOIN wm
+    ORDER BY p.event_type
+"""
+
+
+@register(
+    "etl_freshness_sla_audit",
+    oracle=_FRESH_SQL.format(us="epoch_us(CAST(ts AS TIMESTAMP))"),
+)
+def etl_freshness_sla_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness SLA audit: per event stream, the lag between its
+    newest record and the table-level watermark (global max ts), with
+    24 h / 72 h breach flags — the staleness monitor that catches one
+    upstream topic silently falling behind while the table as a whole
+    looks fresh. Integer-microsecond lag arithmetic (epoch_us /
+    unix_micros), float only in the rounded hour display. Scale shape:
+    two max/count aggregates, both map-side-combinable; the 1-row
+    watermark broadcasts."""
+    return sql_q(spark, sf_dir, _FRESH_SQL.format(us="unix_micros(ts)"))
+
+
+_NULLDRIFT_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+             CASE WHEN value = 0 THEN 1 ELSE 0 END AS is_zero,
+             CASE WHEN props IS NULL OR props = '{}' OR props = ''
+                  THEN 1 ELSE 0 END AS is_empty_props
+      FROM events),
+    r AS (
+      SELECT event_type, half, CAST(count(*) AS BIGINT) AS n,
+             sum(is_zero) * 1e0 / count(*) AS zero_rate,
+             sum(is_empty_props) * 1e0 / count(*) AS empty_props_rate
+      FROM h GROUP BY event_type, half)
+    SELECT a.event_type,
+           a.n AS n_first_half, b.n AS n_second_half,
+           round(a.zero_rate, 6) AS zero_rate_h1,
+           round(b.zero_rate, 6) AS zero_rate_h2,
+           round(abs(b.zero_rate - a.zero_rate), 6) AS zero_rate_drift,
+           round(abs(b.empty_props_rate - a.empty_props_rate), 6)
+             AS empty_props_drift,
+           CAST(abs(b.zero_rate - a.zero_rate) > 0.05
+                OR abs(b.empty_props_rate - a.empty_props_rate) > 0.05
+                AS BOOLEAN) AS drift_alert
+    FROM r a JOIN r b ON a.event_type = b.event_type
+                     AND a.half = 1 AND b.half = 2
+    ORDER BY a.event_type
+"""
+
+
+@register("etl_null_rate_drift", oracle=_NULLDRIFT_SQL)
+def etl_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift between ingest halves: per event stream the
+    zero-value rate and empty-props rate in the first vs second half of
+    the month, with a 5-point drift alert — the 'a producer silently
+    started dropping a field' tripwire that schema checks cannot catch
+    (the column is still there, just empty). One conditional-aggregate
+    pass builds both halves' rates; all comparisons on the |types x 2|
+    grain. Complements etl_column_profile (static profile) and
+    etl_psi_drift (distributional drift) with the missing-data axis."""
+    return sql_q(spark, sf_dir, _NULLDRIFT_SQL)
+
+
+_BACKFILL_SQL = """
+    WITH ingest AS (
+      SELECT date_trunc('day', ts) AS day, event_id FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts) AS day, event_id FROM events
+      WHERE day(ts) = 5),
+    raw AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_raw
+      FROM ingest GROUP BY day),
+    ded AS (
+      SELECT day, CAST(count(DISTINCT event_id) AS BIGINT) AS n_dedup
+      FROM ingest GROUP BY day),
+    orig AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_orig
+      FROM events GROUP BY date_trunc('day', ts))
+    SELECT r.day, r.n_raw, d.n_dedup, o.n_orig,
+           r.n_raw - d.n_dedup AS n_dup_rows,
+           CAST(d.n_dedup = o.n_orig AS BOOLEAN) AS idempotent
+    FROM raw r
+    JOIN ded d ON d.day = r.day
+    JOIN orig o ON o.day = r.day
+    WHERE r.n_raw <> d.n_dedup
+    ORDER BY r.day
+"""
+
+
+@register("etl_backfill_idempotency_audit", oracle=_BACKFILL_SQL)
+def etl_backfill_idempotency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill idempotency proof: day 5 is ingested TWICE (the classic
+    re-run-the-backfill-job accident), then key-dedup on event_id must
+    restore exactly the original per-day counts — the audit a pipeline
+    runs to certify that replaying any partition is safe. Emits only
+    the damaged partitions (raw != dedup) with dup-row counts and the
+    per-day idempotent verdict. Scale shape: the double-ingest is a
+    filtered union (no extra full scan at the storage layer — same
+    file, second predicate-pruned read), then two day-grain counting
+    aggregates; dedup-by-key is the one real shuffle."""
+    return sql_q(spark, sf_dir, _BACKFILL_SQL)
+
+
+_BINPACK_SQL = """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY date_trunc('day', ts)),
+    tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(ceil(sum(n_rows) / 8e0) AS BIGINT) AS target
+      FROM d),
+    packed AS (
+      SELECT d.day, d.n_rows, tot.target,
+             CAST(floor((sum(d.n_rows) OVER (ORDER BY d.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - d.n_rows) * 1e0 / tot.target) AS BIGINT)
+               AS file_id
+      FROM d CROSS JOIN tot)
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min(day) AS first_day, max(day) AS last_day,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(sum(n_rows) * 1e0 / max(target), 6) AS fill_ratio
+    FROM packed
+    GROUP BY file_id
+    ORDER BY file_id
+"""
+
+
+@register("etl_bin_packing_plan", oracle=_BINPACK_SQL)
+def etl_bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNING table (the decision step before
+    etl_compaction executes): greedy first-fit packing of per-day
+    partitions into ~8 equal-row output files via a running-sum
+    cutpoint rule (file_id = floor(rows_before / target)) — per planned
+    file the day range, row count and fill ratio. Deterministic: the
+    greedy rule is pure integer prefix-sum arithmetic ordered by day.
+    Scale shape: one linear day-grain count, one prefix-sum window on
+    the <=31-row day grain — the plan costs nothing next to the
+    rewrite it schedules, exactly as a table service should."""
+    return sql_q(spark, sf_dir, _BINPACK_SQL)

@@ -222,6 +222,8 @@ def test_full_surface_plan_hygiene(spark):
         "ml_ridge_regression_grid",    # 4-row λ grid × 1-row sufficient stats
         "ml_elbow_k_sweep",        # 3-row k grid + 1-row extrema × level grain
         "ml_cohens_kappa",         # 1-row median broadcast into the rating scan
+        "etl_bin_packing_plan",    # 1-row total/target broadcast over ≤31 day rows
+        "etl_freshness_sla_audit", # 1-row watermark broadcast over |types| rows
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -257,6 +259,7 @@ def test_full_surface_plan_hygiene(spark):
         "ts_dft_power_topk", # row_number over the DAY grain — ≤31 rows
         "ts_changepoint_binseg",  # prefix-sum windows over the DAY grain
         "ts_variance_ratio", # row_number over the DAY grain — ≤31 rows
+        "etl_bin_packing_plan",  # prefix-sum window over the DAY grain — ≤31 rows
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
