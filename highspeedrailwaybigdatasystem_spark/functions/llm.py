@@ -5793,3 +5793,240 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — curation additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_FERTILITY_SQL = """
+    WITH d AS (
+      SELECT lang,
+             n_chars,
+             CAST({ws_tokens} AS BIGINT) AS ws_tok,
+             CAST({bpe_tokens} AS BIGINT) AS bpe_tok
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
+           round(sum(bpe_tok) * 1e0 / sum(ws_tok), 6) AS fertility,
+           round(sum(n_chars) * 1e0 / sum(bpe_tok), 6) AS chars_per_token
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=_FERTILITY_SQL.format(
+        ws_tokens="len(string_split(text, ' '))",
+        bpe_tokens="len(regexp_extract_all(text,"
+        " '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))",
+    ),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: BPE-ish tokens (word
+    runs + isolated non-alphanumerics, the llm_token_bpe regex family)
+    per whitespace token, and characters per token — the
+    cross-language cost metric every multilingual tokenizer evaluation
+    reports (a language whose fertility is 2x pays 2x context budget
+    for the same text). Token counts are exact integers from
+    regexp_extract_all lengths; the two ratios are the only floats.
+    Scale shape: one linear map-side scan (counts only — the token
+    strings are never materialized corpus-wide), then a |langs|-grain
+    aggregate."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _FERTILITY_SQL.format(
+            ws_tokens="size(split(text, ' '))",
+            bpe_tokens="size(regexp_extract_all(text,"
+            " '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0))",
+        ),
+    )
+
+
+_BOILER_DUCK = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+            FROM documents) t
+      WHERE len(tk) >= 3),
+    nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+           FROM sh GROUP BY source),
+    df AS (
+      SELECT sh.source, sh.g, CAST(count(*) AS BIGINT) AS df
+      FROM sh GROUP BY sh.source, sh.g)
+    SELECT nd.source, nd.docs AS n_docs,
+           CAST(count(CASE WHEN df.df * 2 >= nd.docs THEN 1 END) AS BIGINT)
+             AS n_boilerplate_shingles,
+           CAST(sum(CASE WHEN df.df * 2 >= nd.docs THEN df.df ELSE 0 END)
+                AS BIGINT) AS boilerplate_occurrences,
+           round(sum(CASE WHEN df.df * 2 >= nd.docs THEN df.df ELSE 0 END)
+                 * 1e0 / sum(df.df), 6) AS boilerplate_share
+    FROM df JOIN nd ON df.source = nd.source
+    GROUP BY nd.source, nd.docs
+    ORDER BY nd.source
+"""
+
+
+@register("llm_template_boilerplate_detect", oracle=_BOILER_DUCK)
+def llm_template_boilerplate_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Template/boilerplate detector per source: a 3-shingle that
+    appears in at least HALF the source's documents is boilerplate
+    (navigation chrome, legal footers, scraper artifacts — the text
+    that IDF-weighting down-ranks and a curation pipeline strips
+    before training); reports the boilerplate shingle count and the
+    share of the source's shingle mass it owns. Per-doc-DISTINCT
+    shingles so a doc repeating its own footer doesn't vote twice.
+    The corpus-sized shingle stage is CACHED (temp view) and read
+    twice (doc counts, doc-frequency table) via InMemoryTableScan —
+    the round-6 CTE-recompute lesson applied from birth. Scale shape:
+    shingle explode is map-side; one (source, shingle) shuffle; the
+    boilerplate cut is a per-source threshold on the df grain."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    sh = spark.sql(
+        """
+        SELECT DISTINCT doc_id, source, g
+        FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+        LATERAL VIEW explode(transform(sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+        WHERE size(tk) >= 3
+        """
+    ).cache()
+    sh.createOrReplaceTempView("__boiler_sh")
+    return spark.sql(
+        """
+        SELECT nd.source, nd.docs AS n_docs,
+               CAST(count(CASE WHEN df.df * 2 >= nd.docs THEN 1 END)
+                    AS BIGINT) AS n_boilerplate_shingles,
+               CAST(sum(CASE WHEN df.df * 2 >= nd.docs THEN df.df ELSE 0 END)
+                    AS BIGINT) AS boilerplate_occurrences,
+               round(sum(CASE WHEN df.df * 2 >= nd.docs
+                              THEN df.df ELSE 0 END)
+                     * 1e0 / sum(df.df), 6) AS boilerplate_share
+        FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS df
+              FROM __boiler_sh GROUP BY source, g) df
+        JOIN (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+              FROM __boiler_sh GROUP BY source) nd
+          ON df.source = nd.source
+        GROUP BY nd.source, nd.docs
+        ORDER BY nd.source
+        """
+    )
+
+
+_TRUNC_SQL = """
+    WITH d AS (
+      SELECT CAST({ws_tokens} AS BIGINT) AS n_tok FROM documents),
+    grid AS (SELECT L FROM (SELECT 64 AS L UNION ALL SELECT 128
+                            UNION ALL SELECT 256 UNION ALL SELECT 512) g)
+    SELECT g.L AS context_limit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.n_tok > g.L THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           round(sum(CASE WHEN d.n_tok > g.L THEN 1e0 ELSE 0e0 END)
+                 / count(*), 6) AS doc_truncation_rate,
+           CAST(sum(greatest(d.n_tok - g.L, 0)) AS BIGINT) AS tokens_lost,
+           round(sum(greatest(d.n_tok - g.L, 0)) * 1e0 / sum(d.n_tok), 6)
+             AS token_loss_share
+    FROM grid g CROSS JOIN d
+    GROUP BY g.L
+    ORDER BY context_limit
+"""
+
+
+@register(
+    "llm_truncation_loss_curve",
+    oracle=_TRUNC_SQL.format(ws_tokens="len(string_split(text, ' '))"),
+)
+def llm_truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-truncation loss curve: at context limits 64/128/256/512
+    tokens, how many documents get cut and what share of corpus tokens
+    falls off the end — the budget table that decides between
+    truncation and chunking (llm_window_chunking) for a training run.
+    Integer token counts; the grid is a 4-row literal broadcast over
+    one map-side count scan (the llm_packing_efficiency_curve shape,
+    measuring the LOSS side instead of the packing side)."""
+    return sql_q(
+        spark, sf_dir, _TRUNC_SQL.format(ws_tokens="size(split(text, ' '))")
+    )
+
+
+_FORMAT_SQL = """
+    WITH f AS (
+      SELECT source,
+             CASE WHEN position('|' in text) > 0 THEN 1 ELSE 0 END AS has_pipe,
+             CASE WHEN position('?' in text) > 0 THEN 1 ELSE 0 END AS has_q,
+             CASE WHEN position(':' in text) > 0 THEN 1 ELSE 0 END AS has_colon,
+             CASE WHEN position('(' in text) > 0
+                    AND position(')' in text) > 0 THEN 1 ELSE 0 END
+               AS has_parens,
+             CASE WHEN position('.' in text) > 0 THEN 1 ELSE 0 END AS has_period
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(has_pipe) * 1e0 / count(*), 6) AS table_markup_rate,
+           round(sum(has_q) * 1e0 / count(*), 6) AS question_rate,
+           round(sum(has_colon) * 1e0 / count(*), 6) AS keyvalue_rate,
+           round(sum(has_parens) * 1e0 / count(*), 6) AS parenthetical_rate,
+           round(sum(has_period) * 1e0 / count(*), 6) AS sentence_rate
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_format_detect", oracle=_FORMAT_SQL)
+def llm_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-format fingerprint per source: rates of table markup
+    (pipes), interrogatives, key:value structure, parentheticals and
+    sentence punctuation — the cheap structural signals a curation
+    router uses to split prose / tabular / Q&A / code-ish shards
+    before format-specific cleaning (full regex taggers run after
+    this triage, on the shards it selects). Pure position() presence
+    tests — one map-side scan, |sources|-grain aggregate, exact
+    integer counts under the rounded rates; identical SQL text on
+    both engines."""
+    return sql_q(spark, sf_dir, _FORMAT_SQL)
+
+
+_CHARMIX_SQL = """
+    WITH c AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS total,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', ''{g}))
+                  AS BIGINT) AS letters,
+             CAST(length(regexp_replace(text, '[^0-9]', ''{g}))
+                  AS BIGINT) AS digits,
+             CAST(length(regexp_replace(text, '[^ ]', ''{g}))
+                  AS BIGINT) AS spaces
+      FROM documents)
+    SELECT source,
+           CAST(sum(total) AS BIGINT) AS n_chars,
+           round(sum(letters) * 1e0 / sum(total), 6) AS letter_share,
+           round(sum(digits) * 1e0 / sum(total), 6) AS digit_share,
+           round(sum(spaces) * 1e0 / sum(total), 6) AS space_share,
+           round(sum(total - letters - digits - spaces) * 1e0 / sum(total), 6)
+             AS symbol_share,
+           CAST(sum(total - letters - digits - spaces) * 1e0 / sum(total)
+                > 0.10 AS BOOLEAN) AS symbol_heavy
+    FROM c GROUP BY source ORDER BY source
+"""
+
+
+@register("llm_char_class_mix", oracle=_CHARMIX_SQL.format(g=", 'g'"))
+def llm_char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: letter / digit /
+    whitespace / symbol shares with a symbol-heavy flag — the
+    mojibake-and-markup tripwire (a crawl source whose symbol share
+    jumps is emitting broken encodings or raw markup, and belongs in
+    quarantine before tokenization). Class counts via
+    strip-and-measure regexp_replace (delete everything outside the
+    class, take the length) — exact integers, portable character
+    classes, one map-side scan, |sources|-grain aggregate."""
+    return sql_q(spark, sf_dir, _CHARMIX_SQL.format(g=""))

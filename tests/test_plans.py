@@ -224,6 +224,7 @@ def test_full_surface_plan_hygiene(spark):
         "ml_cohens_kappa",         # 1-row median broadcast into the rating scan
         "etl_bin_packing_plan",    # 1-row total/target broadcast over ≤31 day rows
         "etl_freshness_sla_audit", # 1-row watermark broadcast over |types| rows
+        "llm_truncation_loss_curve",  # 4-row context-limit grid broadcast
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
