@@ -6030,3 +6030,164 @@ def llm_char_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     class, take the length) — exact integers, portable character
     classes, one map-side scan, |sources|-grain aggregate."""
     return sql_q(spark, sf_dir, _CHARMIX_SQL.format(g=""))
+
+
+_VAD_DUCK = """
+    WITH frames AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS fidx,
+             list_aggregate(list_transform(
+               range(1, len(substr(text, CAST(s * 16 + 1 AS INT), 16)) + 1),
+               i -> ord(substr(substr(text, CAST(s * 16 + 1 AS INT), 16),
+                               CAST(i AS INT), 1))), 'sum') AS energy
+      FROM documents
+      CROSS JOIN LATERAL unnest(generate_series(
+        0, CAST(ceil(CAST(length(text) AS DOUBLE) / 16) AS BIGINT) - 1))
+        AS g(s)
+      WHERE length(text) > 0),
+    v AS (SELECT doc_id, fidx,
+                 CASE WHEN energy > 1600 THEN 1 ELSE 0 END AS voiced
+          FROM frames),
+    isl AS (
+      SELECT doc_id, fidx,
+             fidx - row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY fidx) AS gid
+      FROM v WHERE voiced = 1),
+    seg AS (SELECT doc_id, gid, CAST(count(*) AS BIGINT) AS seg_len
+            FROM isl GROUP BY doc_id, gid),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(voiced) AS BIGINT) AS n_voiced
+      FROM v GROUP BY doc_id)
+    SELECT p.doc_id, p.n_frames, p.n_voiced,
+           CAST(COALESCE(s.n_seg, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(s.max_len, 0) AS BIGINT) AS longest_segment
+    FROM per p
+    LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+                      max(seg_len) AS max_len
+               FROM seg GROUP BY doc_id) s ON s.doc_id = p.doc_id
+    ORDER BY p.doc_id
+"""
+
+
+@register("mm_audio_vad_stub", oracle=_VAD_DUCK)
+def mm_audio_vad_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection plumbing (audio stand-in): the binary
+    payload chunks into 16-byte frames, each frame reduces to an
+    energy (byte sum — a real impl swaps in RMS over PCM samples), a
+    frame is 'voiced' above threshold 1600, and consecutive voiced
+    frames merge into segments — per doc: frame/voiced counts, segment
+    count, longest segment. This is the exact shape a diarization or
+    silence-trimming stage needs (frame featurize → threshold →
+    run-length merge), with only the featurizer faked. Arrow-batched
+    mapInPandas, pure map-side, zero-length payloads dropped like the
+    oracle's empty generate_series. Oracle recomputes byte math via
+    per-char codepoints (exact on the ASCII corpus) and run-lengths
+    via the gaps-and-islands window."""
+
+    def vad(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_voiced": [],
+                   "n_segments": [], "longest_segment": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if not buf:
+                    continue
+                voiced = [
+                    sum(buf[o:o + 16]) > 1600
+                    for o in range(0, len(buf), 16)
+                ]
+                segs = []
+                run = 0
+                for vf in voiced:
+                    if vf:
+                        run += 1
+                    elif run:
+                        segs.append(run)
+                        run = 0
+                if run:
+                    segs.append(run)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(voiced))
+                out["n_voiced"].append(sum(voiced))
+                out["n_segments"].append(len(segs))
+                out["longest_segment"].append(max(segs) if segs else 0)
+            yield pd.DataFrame(out).astype("int64")
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        vad,
+        "doc_id long, n_frames long, n_voiced long,"
+        " n_segments long, longest_segment long",
+    ).orderBy("doc_id")
+
+
+_PATCH_DUCK = """
+    WITH px AS (
+      SELECT doc_id,
+             ((CAST(i - 1 AS BIGINT) // 32) // 16) * 2
+               + ((CAST(i - 1 AS BIGINT) % 32) // 16) AS patch,
+             ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM documents
+      CROSS JOIN LATERAL unnest(generate_series(1, length(text))) AS g(i)
+      WHERE length(text) > 0),
+    pf AS (
+      SELECT doc_id, patch, CAST(sum(b) % 997 AS BIGINT) AS feat
+      FROM px GROUP BY doc_id, patch)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_patches,
+           round(avg(feat), 6) AS mean_patch_feat,
+           max(feat) AS max_patch_feat
+    FROM pf GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("mm_patch_embed_stub", oracle=_PATCH_DUCK)
+def mm_patch_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-extraction plumbing (image stand-in): the binary
+    payload is laid out as a 32-byte-wide raster and cut into 16x16
+    patches; each patch reduces to a deterministic feature (byte sum
+    mod 997 — a real impl swaps in a linear patch projection) — per
+    doc: patch count and mean/max patch feature. The Spark shape is
+    the real pre-embedding pipeline: binary column → Arrow batches →
+    numpy reshape/bincount per doc → typed per-doc stats; only the
+    projection is fake. Pure map-side. The mean is emitted raw from
+    Python and rounded SPARK-side (numpy rounds half-even, SQL
+    half-up — the mm_audio_chunk_stub lesson)."""
+    import numpy as np
+
+    def patches(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_patches": [], "mean_patch_feat": [],
+                   "max_patch_feat": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if buf.size == 0:
+                    continue
+                idx = np.arange(buf.size, dtype=np.int64)
+                patch = (idx // 32 // 16) * 2 + (idx % 32) // 16
+                sums = np.bincount(patch, weights=buf).astype(np.int64)
+                present = np.nonzero(np.bincount(patch))[0]
+                feats = sums[present] % 997
+                out["doc_id"].append(doc_id)
+                out["n_patches"].append(len(feats))
+                out["mean_patch_feat"].append(float(feats.mean()))
+                out["max_patch_feat"].append(int(feats.max()))
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "n_patches": "int64",
+                 "mean_patch_feat": "float64", "max_patch_feat": "int64"}
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return (
+        d.mapInPandas(
+            patches,
+            "doc_id long, n_patches long, mean_patch_feat double,"
+            " max_patch_feat long",
+        )
+        .withColumn("mean_patch_feat", ratio(F.col("mean_patch_feat")))
+        .orderBy("doc_id")
+    )

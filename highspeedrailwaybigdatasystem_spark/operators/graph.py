@@ -952,3 +952,213 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7 — graph additions (SURVEY.md §2.16)
+# --------------------------------------------------------------------------
+
+_RECIP_SQL = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    e AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
+      FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges_raw,
+           CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges_distinct,
+           CAST((SELECT count(*) FROM e WHERE src = dst) AS BIGINT)
+             AS n_self_loops,
+           CAST((SELECT count(*) FROM ed a JOIN ed b
+                 ON a.src = b.dst AND a.dst = b.src) AS BIGINT)
+             AS n_reciprocal_directed,
+           round((SELECT count(*) FROM ed a JOIN ed b
+                  ON a.src = b.dst AND a.dst = b.src) * 1e0
+                 / (SELECT count(*) FROM ed), 6) AS reciprocity
+"""
+
+
+@register("graph_reciprocity", oracle=_RECIP_SQL)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity on the seeded functional graph the
+    pagerank family shares: the share of distinct non-loop edges whose
+    reverse edge also exists — the followback/mutual-link rate, the
+    first asymmetry statistic any directed social/citation graph
+    report leads with (plus raw/distinct/self-loop edge accounting).
+    The distinct edge set is built ONCE as a cached DataFrame (the
+    pagerank discipline) and every count reads the cache; the
+    reciprocal count is one self-join on the reversed key. The SQL
+    text is the DuckDB oracle only."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    n = users.count()
+    raw = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("user_id") * 7 + 13) % n,
+                (F.col("user_id") * 11 + 5) % n,
+            )
+        ).alias("dst"),
+    ).cache()
+    ed = raw.where(F.col("src") != F.col("dst")).distinct().cache()
+    n_raw = raw.count()
+    n_ed = ed.count()
+    n_loops = raw.where(F.col("src") == F.col("dst")).count()
+    rev = ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_rec = ed.join(rev, ["src", "dst"]).count()
+    return spark.createDataFrame(
+        [(n_raw, n_ed, n_loops, n_rec, round(n_rec / n_ed, 6))],
+        "n_edges_raw long, n_edges_distinct long, n_self_loops long,"
+        " n_reciprocal_directed long, reciprocity double",
+    )
+
+
+_TWOHOP_SQL = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    e AS (
+      SELECT user_id AS src,
+             (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
+      FROM users
+      UNION ALL
+      SELECT user_id,
+             (user_id * 11 + 5) % (SELECT count(*) FROM users) FROM users),
+    adj AS (
+      SELECT DISTINCT v, w FROM (
+        SELECT src AS v, dst AS w FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM e WHERE src <> dst) u),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree
+            FROM adj GROUP BY v),
+    two AS (
+      SELECT DISTINCT x.v AS a, y.w AS c
+      FROM adj x JOIN adj y ON y.v = x.w
+      WHERE y.w <> x.v),
+    reach AS (
+      SELECT t.a, CAST(count(*) AS BIGINT) AS two_hop_reach
+      FROM two t
+      LEFT JOIN adj d ON d.v = t.a AND d.w = t.c
+      WHERE d.v IS NULL
+      GROUP BY t.a)
+    SELECT r.a AS user_id, deg.degree, r.two_hop_reach
+    FROM reach r JOIN deg ON deg.v = r.a
+    ORDER BY r.two_hop_reach DESC, user_id
+    LIMIT 10
+"""
+
+
+@register("graph_two_hop_reach", oracle=_TWOHOP_SQL)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood size (friends-of-friends reach,
+    excluding self and direct neighbors) on the seeded undirected
+    graph — the expansion statistic that predicts how fast influence /
+    BFS frontiers grow, and the top-10 hub report every social-graph
+    dashboard carries. Per-vertex candidate volume is bounded by
+    degree² (≤16 here; degree-capped in any production run), so the
+    adjacency self-join is linear in edges, never quadratic in
+    vertices. The adjacency is built ONCE as a cached temp view read
+    by the degree, 2-hop and exclusion stages; the SQL text is the
+    DuckDB oracle only."""
+    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    n = users.count()
+    directed = users.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("user_id") * 7 + 13) % n,
+                (F.col("user_id") * 11 + 5) % n,
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    adj = (
+        directed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .union(directed.select(F.col("dst").alias("v"), F.col("src").alias("w")))
+        .distinct()
+        .cache()
+    )
+    adj.createOrReplaceTempView("__twohop_adj")
+    return spark.sql(
+        """
+        SELECT r.a AS user_id, deg.degree, r.two_hop_reach
+        FROM (SELECT t.a, CAST(count(*) AS BIGINT) AS two_hop_reach
+              FROM (SELECT DISTINCT x.v AS a, y.w AS c
+                    FROM __twohop_adj x JOIN __twohop_adj y ON y.v = x.w
+                    WHERE y.w <> x.v) t
+              LEFT JOIN __twohop_adj d ON d.v = t.a AND d.w = t.c
+              WHERE d.v IS NULL
+              GROUP BY t.a) r
+        JOIN (SELECT v, CAST(count(*) AS BIGINT) AS degree
+              FROM __twohop_adj GROUP BY v) deg ON deg.v = r.a
+        ORDER BY r.two_hop_reach DESC, user_id
+        LIMIT 10
+        """
+    )
+
+
+_BIPROJ_SQL = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS shared_users
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.type_a, p.type_b, p.shared_users,
+           ta.n AS n_users_a, tb.n AS n_users_b,
+           round(p.shared_users * 1e0 / least(ta.n, tb.n), 6)
+             AS overlap_coef,
+           round(p.shared_users * 1e0 / sqrt(ta.n * 1e0 * tb.n), 6)
+             AS cosine_sim
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    ORDER BY type_a, type_b
+"""
+
+
+@register("graph_bipartite_projection", oracle=_BIPROJ_SQL)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the REAL user-eventtype engagement graph
+    onto the event-type side: for every type pair, shared-user count
+    plus overlap coefficient and cosine similarity — the co-engagement
+    projection behind 'users who do A also do B' recommendations and
+    the standard first step on any user-item bipartite graph. The
+    distinct (user, type) incidence list is built ONCE as a cached
+    temp view read by both the per-type counts and the pair join; the
+    pair join co-partitions on user_id (one shuffle) and the per-user
+    pair fan-out is bounded by the 5-type enum, so the projection is
+    linear in the incidence list at any scale."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    ut = spark.sql(
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ).cache()
+    ut.createOrReplaceTempView("__biproj_ut")
+    return spark.sql(
+        """
+        SELECT p.type_a, p.type_b, p.shared_users,
+               ta.n AS n_users_a, tb.n AS n_users_b,
+               round(p.shared_users * 1e0 / least(ta.n, tb.n), 6)
+                 AS overlap_coef,
+               round(p.shared_users * 1e0 / sqrt(ta.n * 1e0 * tb.n), 6)
+                 AS cosine_sim
+        FROM (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(count(*) AS BIGINT) AS shared_users
+              FROM __biproj_ut a
+              JOIN __biproj_ut b ON a.user_id = b.user_id
+                                AND a.event_type < b.event_type
+              GROUP BY a.event_type, b.event_type) p
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM __biproj_ut GROUP BY event_type) ta
+          ON ta.event_type = p.type_a
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM __biproj_ut GROUP BY event_type) tb
+          ON tb.event_type = p.type_b
+        ORDER BY type_a, type_b
+        """
+    )
