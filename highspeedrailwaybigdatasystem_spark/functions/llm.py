@@ -6191,3 +6191,362 @@ def mm_patch_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_patch_feat", ratio(F.col("mean_patch_feat")))
         .orderBy("doc_id")
     )
+
+
+def _simhash_code_sql(h_expr: str) -> str:
+    """Per-doc 16-bit SimHash code from per-token hash ints, portable
+    (integer-division bit tests — no engine-specific shift/xor)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN CAST(floor(h / {1 << b}) AS BIGINT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    code = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return (
+        f"SELECT doc_id, source, CAST({code} AS BIGINT) AS sim FROM ("
+        f"SELECT doc_id, source, {votes} FROM ("
+        f"SELECT doc_id, source, {h_expr} AS h FROM tokrows) hh"
+        f" GROUP BY doc_id, source) v"
+    )
+
+
+def _simfp_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tokrows = (
+            "SELECT doc_id, source, token FROM (SELECT doc_id, source,"
+            " explode(split(text, ' ')) AS token FROM reps)"
+        )
+        h = "cast(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT)"
+        sh3 = (
+            "SELECT doc_id, g FROM (SELECT doc_id, split(text, ' ') AS tk"
+            " FROM reps) LATERAL VIEW explode(array_distinct(transform("
+            "sequence(0, size(tk) - 3),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g"
+            " WHERE size(tk) >= 3"
+        )
+    else:
+        tokrows = (
+            "SELECT doc_id, source, unnest(string_split(text, ' ')) AS token"
+            " FROM reps"
+        )
+        h = "CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT)"
+        sh3 = (
+            "SELECT DISTINCT doc_id,"
+            " unnest(list_transform(generate_series(1, len(tk) - 2),"
+            " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS tk"
+            " FROM reps) t WHERE len(tk) >= 3"
+        )
+    ham = " + ".join(
+        f"abs(CAST(floor(a.sim / {1 << b}) AS BIGINT) % 2"
+        f" - CAST(floor(b.sim / {1 << b}) AS BIGINT) % 2)"
+        for b in range(16)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, source, text
+      FROM documents GROUP BY source, text),
+    tokrows AS ({tokrows}),
+    sim AS ({_simhash_code_sql(h)}),
+    bands AS (
+      SELECT doc_id, source, j,
+             CAST(floor(sim / CASE j WHEN 0 THEN 1 WHEN 1 THEN 16
+                                     WHEN 2 THEN 256 ELSE 4096 END)
+                  AS BIGINT) % 16 AS bv
+      FROM sim CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
+                           UNION ALL SELECT 2 UNION ALL SELECT 3) js),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.source = y.source AND x.j = y.j AND x.bv = y.bv
+       AND x.doc_id < y.doc_id),
+    hd AS (
+      SELECT c.doc_a, c.doc_b, CAST(({ham}) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sim a ON a.doc_id = c.doc_a
+      JOIN sim b ON b.doc_id = c.doc_b),
+    close AS (SELECT doc_a, doc_b, hamming FROM hd WHERE hamming <= 3),
+    sh AS ({sh3}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cl.hamming, cl.doc_a, cl.doc_b,
+             CAST(count(sb.g) AS BIGINT) AS shared
+      FROM close cl
+      JOIN sh sa ON sa.doc_id = cl.doc_a
+      LEFT JOIN sh sb ON sb.doc_id = cl.doc_b AND sb.g = sa.g
+      GROUP BY cl.hamming, cl.doc_a, cl.doc_b),
+    verd AS (
+      SELECT i.hamming,
+             CASE WHEN i.shared * 1e0
+                       / (za.n + zb.n - i.shared) >= 0.5
+                  THEN 1 ELSE 0 END AS is_true
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b)
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(is_true) AS BIGINT) AS n_true_dups,
+           round(1e0 - sum(is_true) * 1e0 / count(*), 6)
+             AS false_positive_rate
+    FROM verd GROUP BY hamming ORDER BY hamming
+    """
+
+
+@register("llm_simhash_fp_audit", oracle=_simfp_sql("duck"))
+def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the SimHash family (the
+    llm_minhash_jaccard_estimate discipline applied to the OTHER
+    fingerprint): band-blocked same-source candidate pairs at Hamming
+    distance <= 3 on the 16-bit code, each verified against exact
+    3-shingle Jaccard >= 0.5 — per Hamming distance, the candidate
+    count and false-positive rate that decide whether a SimHash cutoff
+    is safe to deploy at 100 TB. EXACT-COLLAPSE FIRST: identical
+    (source, text) docs keep one representative before fingerprinting
+    (identical texts are hamming-0 trivial dups that hash dedup already
+    catches; without the collapse the band join is quadratic in
+    duplicate multiplicity on a dup-heavy corpus). Portable bit
+    arithmetic throughout
+    (integer-division bit tests, no engine xor/shift). The token,
+    code and candidate stages are cached temp views on the Spark side;
+    the shared builder emits the DuckDB oracle."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    reps = spark.sql(
+        "SELECT min(doc_id) AS doc_id, source, text"
+        " FROM documents GROUP BY source, text"
+    ).cache()
+    reps.createOrReplaceTempView("__simfp_reps")
+    tok = spark.sql(
+        "SELECT doc_id, source, explode(split(text, ' ')) AS token"
+        " FROM __simfp_reps"
+    ).cache()
+    tok.createOrReplaceTempView("tokrows_v")
+    sim = spark.sql(
+        _simhash_code_sql(
+            "cast(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT)"
+        ).replace("FROM tokrows)", "FROM tokrows_v)")
+    ).cache()
+    sim.createOrReplaceTempView("__simfp_sim")
+    sh = spark.sql(
+        "SELECT doc_id, g FROM (SELECT doc_id, split(text, ' ') AS tk"
+        " FROM __simfp_reps) LATERAL VIEW explode(array_distinct(transform("
+        "sequence(0, size(tk) - 3),"
+        " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g"
+        " WHERE size(tk) >= 3"
+    ).cache()
+    sh.createOrReplaceTempView("__simfp_sh")
+    ham = " + ".join(
+        f"abs(CAST(floor(a.sim / {1 << b}) AS BIGINT) % 2"
+        f" - CAST(floor(b.sim / {1 << b}) AS BIGINT) % 2)"
+        for b in range(16)
+    )
+    return spark.sql(
+        f"""
+        SELECT hamming,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(is_true) AS BIGINT) AS n_true_dups,
+               round(1e0 - sum(is_true) * 1e0 / count(*), 6)
+                 AS false_positive_rate
+        FROM (
+          SELECT i.hamming,
+                 CASE WHEN i.shared * 1e0 / (za.n + zb.n - i.shared) >= 0.5
+                      THEN 1 ELSE 0 END AS is_true
+          FROM (
+            SELECT cl.hamming, cl.doc_a, cl.doc_b,
+                   CAST(count(sb.g) AS BIGINT) AS shared
+            FROM (
+              SELECT c.doc_a, c.doc_b, CAST(({ham}) AS BIGINT) AS hamming
+              FROM (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM (SELECT doc_id, source, j,
+                             CAST(floor(sim / CASE j WHEN 0 THEN 1
+                                 WHEN 1 THEN 16 WHEN 2 THEN 256
+                                 ELSE 4096 END) AS BIGINT) % 16 AS bv
+                      FROM __simfp_sim
+                      CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
+                                  UNION ALL SELECT 2
+                                  UNION ALL SELECT 3) js) x
+                JOIN (SELECT doc_id, source, j,
+                             CAST(floor(sim / CASE j WHEN 0 THEN 1
+                                 WHEN 1 THEN 16 WHEN 2 THEN 256
+                                 ELSE 4096 END) AS BIGINT) % 16 AS bv
+                      FROM __simfp_sim
+                      CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
+                                  UNION ALL SELECT 2
+                                  UNION ALL SELECT 3) js) y
+                  ON x.source = y.source AND x.j = y.j AND x.bv = y.bv
+                 AND x.doc_id < y.doc_id) c
+              JOIN __simfp_sim a ON a.doc_id = c.doc_a
+              JOIN __simfp_sim b ON b.doc_id = c.doc_b
+              WHERE ({ham}) <= 3) cl
+            JOIN __simfp_sh sa ON sa.doc_id = cl.doc_a
+            LEFT JOIN __simfp_sh sb ON sb.doc_id = cl.doc_b AND sb.g = sa.g
+            GROUP BY cl.hamming, cl.doc_a, cl.doc_b) i
+          JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM __simfp_sh GROUP BY doc_id) za ON za.doc_id = i.doc_a
+          JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM __simfp_sh GROUP BY doc_id) zb ON zb.doc_id = i.doc_b
+        ) v
+        GROUP BY hamming ORDER BY hamming
+        """
+    )
+
+
+_BUDGET_SQL = """
+    WITH d AS (
+      SELECT source, CAST({ws_tokens} AS BIGINT) AS n_tok FROM documents),
+    s AS (
+      SELECT source,
+             CAST(sum(n_tok) AS BIGINT) AS toks,
+             sum(CASE WHEN n_tok BETWEEN 40 AND 80
+                      THEN 1e0 ELSE 0e0 END) / count(*) AS qshare
+      FROM d GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(toks) AS BIGINT) AS all_toks,
+             sum(toks * qshare) AS wsum
+      FROM s),
+    a0 AS (
+      SELECT s.source, s.toks, s.qshare,
+             floor(tot.all_toks / 2e0) * (s.toks * s.qshare) / tot.wsum
+               AS alloc0
+      FROM s CROSS JOIN tot),
+    redo AS (
+      SELECT sum(CASE WHEN alloc0 > toks THEN alloc0 - toks ELSE 0 END)
+               AS excess,
+             sum(CASE WHEN alloc0 <= toks THEN toks * qshare ELSE 0 END)
+               AS w_open
+      FROM a0)
+    SELECT a0.source, a0.toks AS available_tokens,
+           round(a0.qshare, 6) AS quality_share,
+           CAST(round(CASE WHEN a0.alloc0 > a0.toks THEN a0.toks * 1e0
+                      ELSE least(a0.toks * 1e0,
+                             a0.alloc0 + r.excess * (a0.toks * a0.qshare)
+                                         / r.w_open) END)
+                AS BIGINT) AS allocated_tokens,
+           round(CASE WHEN a0.alloc0 > a0.toks THEN a0.toks * 1e0
+                 ELSE least(a0.toks * 1e0,
+                        a0.alloc0 + r.excess * (a0.toks * a0.qshare)
+                                    / r.w_open) END / a0.toks, 6)
+             AS utilization
+    FROM a0 CROSS JOIN redo r
+    ORDER BY a0.source
+"""
+
+
+@register(
+    "llm_token_budget_allocator",
+    oracle=_BUDGET_SQL.format(ws_tokens="len(string_split(text, ' '))"),
+)
+def llm_token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token-budget allocator: a 50%-of-corpus token
+    budget is split across sources proportional to quality-weighted
+    size (weight = tokens x share of docs in the 40-80-token sweet
+    spot for this corpus), capped at each source's available tokens with ONE
+    water-filling redistribution of the capped excess to the open
+    sources — the allocation table a data-mixing run (DoReMi/
+    mixture_temperature's deterministic cousin) executes against.
+    Everything past one token-count scan is |sources|-grain arithmetic
+    on exact integers. The single-round redistribution is documented
+    (a second round only matters when the redistribution itself
+    re-caps, which the least() guard bounds)."""
+    return sql_q(
+        spark, sf_dir, _BUDGET_SQL.format(ws_tokens="size(split(text, ' '))")
+    )
+
+
+_TFIDF_COS_DUCK = """
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, source, text
+      FROM documents GROUP BY source, text),
+    tf AS (
+      SELECT doc_id, source, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM reps) t
+      GROUP BY doc_id, source, token),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+    idf AS (
+      SELECT token, ln(nn.n / count(DISTINCT doc_id)) AS idf
+      FROM tf CROSS JOIN nn GROUP BY token, nn.n),
+    w AS (
+      SELECT tf.doc_id, tf.source, tf.token, tf.tf * idf.idf AS wt
+      FROM tf JOIN idf ON idf.token = tf.token),
+    nrm AS (
+      SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dot
+      FROM w a JOIN w b ON b.source = a.source AND b.token = a.token
+                       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nm * nb.nm), 6) AS tfidf_cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nm * nb.nm) >= 0.3
+    ORDER BY tfidf_cosine DESC, d.doc_a, d.doc_b
+    LIMIT 20
+"""
+
+
+@register("llm_tfidf_cosine_pairs", oracle=_TFIDF_COS_DUCK)
+def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vector-space cosine similarity for same-source document
+    pairs — the bag-of-words twin of llm_idf_weighted_jaccard (that op
+    scores weighted SET overlap; this one scores the weighted
+    FREQUENCY vectors, so a doc that repeats a rare term twice counts
+    it twice). Top-20 pairs at >= 0.3. EXACT-COLLAPSE FIRST: identical
+    (source, text) docs keep one representative before any pairing —
+    exact dups are hash-dedup's job (llm_exact_dedup), and without the
+    collapse the token-key pair join is quadratic in duplicate
+    multiplicity (measured 69x at 10x on the 90%-dup amplified corpus;
+    with it the pair population is distinct-text-bounded). The corpus-sized (doc, token,
+    weight) stage is CACHED and read by the norm pass and both pair
+    sides; the |vocab|-grain idf join broadcasts at 100 TB; the pair
+    join is source-blocked + token-key co-partitioned."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    tf = spark.sql(
+        """
+        SELECT doc_id, source, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, source, explode(split(text, ' ')) AS token
+              FROM (SELECT min(doc_id) AS doc_id, source, text
+                    FROM documents GROUP BY source, text))
+        GROUP BY doc_id, source, token
+        """
+    ).cache()
+    tf.createOrReplaceTempView("__tfc_tf")
+    w = spark.sql(
+        """
+        SELECT t.doc_id, t.source, t.token,
+               t.tf * ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
+                          FROM __tfc_tf) / i.df) AS wt
+        FROM __tfc_tf t
+        JOIN (SELECT token, count(DISTINCT doc_id) AS df
+              FROM __tfc_tf GROUP BY token) i ON i.token = t.token
+        """
+    ).cache()
+    w.createOrReplaceTempView("__tfc_w")
+    return spark.sql(
+        """
+        SELECT d.doc_a, d.doc_b,
+               round(d.dot / (na.nm * nb.nm), 6) AS tfidf_cosine
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.wt * b.wt) AS dot
+              FROM __tfc_w a
+              JOIN __tfc_w b ON b.source = a.source AND b.token = a.token
+                            AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id) d
+        JOIN (SELECT doc_id, sqrt(sum(wt * wt)) AS nm
+              FROM __tfc_w GROUP BY doc_id) na ON na.doc_id = d.doc_a
+        JOIN (SELECT doc_id, sqrt(sum(wt * wt)) AS nm
+              FROM __tfc_w GROUP BY doc_id) nb ON nb.doc_id = d.doc_b
+        WHERE d.dot / (na.nm * nb.nm) >= 0.3
+        ORDER BY tfidf_cosine DESC, d.doc_a, d.doc_b
+        LIMIT 20
+        """
+    )

@@ -2773,3 +2773,50 @@ def agg_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/MAD table broadcasts into the scoring scan. At 100 TB the
     medians swap for approx_percentile, cutoff algebra unchanged."""
     return sql_q(spark, sf_dir, _MADZ_SQL)
+
+
+_HASH_UNIF_SQL = """
+    WITH b AS (
+      SELECT CAST({hx} AS BIGINT) % 256 AS bucket
+      FROM (SELECT DISTINCT user_id FROM events) u),
+    o AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS k FROM o)
+    SELECT t.tot AS n_keys,
+           t.k AS n_buckets_hit,
+           round(sum((o.n - t.tot / 256e0) * (o.n - t.tot / 256e0)
+                     / (t.tot / 256e0))
+                 + (256 - t.k) * (t.tot / 256e0), 6) AS chi_square,
+           CAST(sum((o.n - t.tot / 256e0) * (o.n - t.tot / 256e0)
+                    / (t.tot / 256e0))
+                + (256 - t.k) * (t.tot / 256e0)
+                > 293.2478350807001 AS BOOLEAN) AS reject_uniform_5pct,
+           round(max(o.n) * 256e0 / t.tot, 6) AS max_bucket_load_ratio
+    FROM o CROSS JOIN t
+    GROUP BY t.tot, t.k
+"""
+
+
+@register(
+    "agg_hash_uniformity_chisq",
+    oracle=_HASH_UNIF_SQL.format(
+        hx="('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))"
+    ),
+)
+def agg_hash_uniformity_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity test of the repo's own md5-bucket hashing
+    discipline: the first md5 byte of every distinct user key lands in
+    one of 256 buckets; chi-square against the uniform expectation
+    (including empty buckets) with the chi2(255) 5% critical value
+    293.25, plus the max-bucket load ratio — the pre-flight check that
+    certifies hash splits (llm_hash_split, ml_kfold_assignment,
+    filt_hash_sample) and salted-key schemes are actually balanced
+    before a 100 TB shuffle bets on it. One distinct-key pass, a
+    256-row bucket grain, 1-row algebra."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _HASH_UNIF_SQL.format(
+            hx="conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10)"
+        ),
+    )

@@ -1672,3 +1672,72 @@ def etl_bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the <=31-row day grain — the plan costs nothing next to the
     rewrite it schedules, exactly as a table service should."""
     return sql_q(spark, sf_dir, _BINPACK_SQL)
+
+
+_PII_VAULT_SQL = """
+    WITH vault AS (
+      SELECT user_id,
+             substr(md5('salt-2024:' || CAST(user_id AS {st})), 1, 16)
+               AS token
+      FROM (SELECT DISTINCT user_id FROM events) u)
+    SELECT CAST((SELECT count(*) FROM vault) AS BIGINT) AS n_users,
+           CAST((SELECT count(DISTINCT token) FROM vault) AS BIGINT)
+             AS n_tokens,
+           CAST((SELECT count(*) FROM vault)
+                - (SELECT count(DISTINCT token) FROM vault) AS BIGINT)
+             AS n_collisions,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_events,
+           CAST((SELECT count(*) FROM events e
+                 JOIN vault v ON e.user_id = v.user_id) AS BIGINT)
+             AS n_events_tokenized,
+           CAST((SELECT count(*) FROM events)
+                = (SELECT count(*) FROM events e
+                   JOIN vault v ON e.user_id = v.user_id) AS BOOLEAN)
+             AS roundtrip_complete
+"""
+
+
+@register(
+    "etl_pii_tokenization_vault",
+    oracle=_PII_VAULT_SQL.format(st="VARCHAR"),
+)
+def etl_pii_tokenization_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII tokenization-vault audit: deterministic salted-hash tokens
+    (md5 prefix — production swaps in HMAC/format-preserving
+    encryption, same shape) for every user key, then the two
+    certifications a privacy review demands before the vault goes
+    live: token UNIQUENESS (collision count — a collision silently
+    merges two people) and ROUNDTRIP completeness (tokenizing the fact
+    table via the vault loses zero events). The vault is user-grain,
+    built once and cached; both audits read the cache; the fact join
+    is the one real shuffle. Complements etl_gdpr_delete_audit
+    (erasure) and llm_pii_scrub (free-text) with the
+    pseudonymization leg."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    vault = spark.sql(
+        "SELECT user_id,"
+        " substr(md5('salt-2024:' || CAST(user_id AS STRING)), 1, 16)"
+        " AS token"
+        " FROM (SELECT DISTINCT user_id FROM events) u"
+    ).cache()
+    vault.createOrReplaceTempView("__pii_vault")
+    return spark.sql(
+        """
+        SELECT CAST((SELECT count(*) FROM __pii_vault) AS BIGINT) AS n_users,
+               CAST((SELECT count(DISTINCT token) FROM __pii_vault)
+                    AS BIGINT) AS n_tokens,
+               CAST((SELECT count(*) FROM __pii_vault)
+                    - (SELECT count(DISTINCT token) FROM __pii_vault)
+                    AS BIGINT) AS n_collisions,
+               CAST((SELECT count(*) FROM events) AS BIGINT) AS n_events,
+               CAST((SELECT count(*) FROM events e
+                     JOIN __pii_vault v ON e.user_id = v.user_id)
+                    AS BIGINT) AS n_events_tokenized,
+               CAST((SELECT count(*) FROM events)
+                    = (SELECT count(*) FROM events e
+                       JOIN __pii_vault v ON e.user_id = v.user_id)
+                    AS BOOLEAN) AS roundtrip_complete
+        """
+    )

@@ -225,6 +225,9 @@ def test_full_surface_plan_hygiene(spark):
         "etl_bin_packing_plan",    # 1-row total/target broadcast over ≤31 day rows
         "etl_freshness_sla_audit", # 1-row watermark broadcast over |types| rows
         "llm_truncation_loss_curve",  # 4-row context-limit grid broadcast
+        "agg_hash_uniformity_chisq",  # 1-row totals broadcast over 256 buckets
+        "llm_simhash_fp_audit",    # 4-row band-index grid × doc-grain codes
+        "llm_token_budget_allocator",  # 1-row budget/excess broadcasts over |sources|
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
