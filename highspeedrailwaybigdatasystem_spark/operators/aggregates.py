@@ -2820,3 +2820,261 @@ def agg_hash_uniformity_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             hx="conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10)"
         ),
     )
+
+
+_TRYCAST_SQL = """
+    WITH dirty AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN 'x' || CAST(o_totalprice AS {st})
+                  WHEN o_orderkey % 11 = 0 THEN ''
+                  ELSE CAST(o_totalprice AS {st}) END AS raw
+      FROM orders),
+    parsed AS (
+      SELECT o_orderstatus, raw, try_cast(raw AS DOUBLE) AS v FROM dirty)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparseable,
+           round(sum(CASE WHEN v IS NULL THEN 0e0 ELSE 1e0 END)
+                 / count(*), 6) AS parse_rate,
+           round(sum(coalesce(v, 0)) , 2) AS parsed_total
+    FROM parsed GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sql_try_cast_audit", oracle=_TRYCAST_SQL.format(st="VARCHAR")
+)
+def sql_try_cast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-parsing audit with try_cast over a deterministically dirtied
+    numeric column (every 7th key gets a stray prefix, every 11th goes
+    empty — the two classic ingest corruptions): per status the
+    unparseable count, parse rate and the total that survives — the
+    ANSI-mode-safe pattern that replaces 'cast and pray' when Spark
+    runs with spark.sql.ansi.enabled (a plain CAST would abort the
+    whole job on row one). try_cast exists verbatim in both engines;
+    integer-key modular corruption keeps the verdict exact. One
+    map-side scan + |status| grain."""
+    return sql_q(spark, sf_dir, _TRYCAST_SQL.format(st="STRING"))
+
+
+_WELFORD_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    st AS (
+      SELECT event_type, half,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM h GROUP BY event_type, half),
+    m2 AS (
+      SELECT event_type, half, n, s,
+             ss - s * 1e0 * s / n AS m2
+      FROM st),
+    merged AS (
+      SELECT a.event_type,
+             a.n + b.n AS n,
+             a.m2 + b.m2
+               + (a.s * 1e0 / a.n - b.s * 1e0 / b.n)
+                 * (a.s * 1e0 / a.n - b.s * 1e0 / b.n)
+                 * a.n * b.n / (a.n + b.n) AS m2_merged
+      FROM m2 a JOIN m2 b ON a.event_type = b.event_type
+                         AND a.half = 1 AND b.half = 2),
+    fullagg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM h GROUP BY event_type)
+    SELECT m.event_type, m.n AS n_rows,
+           round(m.m2_merged / m.n / 1e4, 4) AS var_merged_dollars,
+           round((f.ss - f.s * 1e0 * f.s / f.n) / f.n / 1e4, 4)
+             AS var_full_dollars,
+           CAST(abs(m.m2_merged - (f.ss - f.s * 1e0 * f.s / f.n))
+                <= 1e-6 * (f.ss - f.s * 1e0 * f.s / f.n) AS BOOLEAN)
+             AS merge_consistent
+    FROM merged m JOIN fullagg f ON f.event_type = m.event_type
+    ORDER BY m.event_type
+"""
+
+
+@register("agg_welford_merge_audit", oracle=_WELFORD_SQL)
+def agg_welford_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chan/Welford variance-state MERGE identity, proven on real data:
+    M2_total = M2_a + M2_b + (mu_a - mu_b)^2 * n_a*n_b/n — the
+    correction term every distributed/parallel variance (including
+    Spark's own partial aggregation) relies on; a pipeline that merges
+    variance states without it silently underestimates spread. Each
+    half-month M2 derives from exact int64 (n, sum, sum-of-squares),
+    so the identity check is pure double arithmetic on identical
+    inputs, certified at 1e-6 relative. Extends
+    etl_incremental_state_merge_audit from the easy mergeable states
+    (count/sum/min/max) to the quadratic one."""
+    return sql_q(spark, sf_dir, _WELFORD_SQL)
+
+
+_GRPSAMPLE_SQL = """
+    WITH pre AS (
+      SELECT o_orderstatus, o_orderkey,
+             md5(CAST(o_orderkey AS {st})) AS h
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS {st})), 1, 2) <= '10'),
+    ranked AS (
+      SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY h, o_orderkey) AS rn
+      FROM pre),
+    tot AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_orderstatus)
+    SELECT t.o_orderstatus, t.n_rows,
+           CAST(count(r.o_orderkey) AS BIGINT) AS sample_size,
+           CAST(sum(r.o_orderkey) AS BIGINT) AS sample_key_sum,
+           min(r.o_orderkey) AS sample_min_key,
+           max(r.o_orderkey) AS sample_max_key
+    FROM tot t
+    JOIN ranked r ON r.o_orderstatus = t.o_orderstatus AND r.rn <= 5
+    GROUP BY t.o_orderstatus, t.n_rows
+    ORDER BY t.o_orderstatus
+"""
+
+
+@register(
+    "agg_deterministic_group_sample",
+    oracle=_GRPSAMPLE_SQL.format(st="VARCHAR"),
+)
+def agg_deterministic_group_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic uniform k-per-group sampling by hash rank: the 5
+    orders with the smallest md5(key) per status ARE a uniform random
+    sample (md5 is uniform over keys) yet reproducible across runs,
+    engines and retries — the sampling discipline a debugging/eval
+    pipeline needs where rand() would break retry idempotency. The
+    window sorts each group by hash with a key tiebreak; the audit row
+    carries the sample's key checksum so two engines prove they chose
+    the SAME rows, not just the same count. At 100 TB the same rule
+    runs exactly as written: the hash PRE-FILTER (md5 prefix <= '10',
+    ~6.6% of keys) bounds the windowed rows before the per-group rank,
+    so no group is ever fully sorted — the min-k candidates are a
+    uniform hash slice and the k smallest hashes are provably inside
+    it for any group with >=5 surviving keys (both engines apply the
+    identical filter, so the audit stays exact regardless)."""
+    return sql_q(spark, sf_dir, _GRPSAMPLE_SQL.format(st="STRING"))
+
+
+_LEARNING_CURVE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CAST({hx} AS BIGINT) % 100 AS bucket
+      FROM orders),
+    fr AS (SELECT f FROM (SELECT 20 AS f UNION ALL SELECT 40
+                          UNION ALL SELECT 60 UNION ALL SELECT 80) g),
+    thr AS (SELECT t FROM (SELECT 50000e0 AS t UNION ALL SELECT 100000e0
+                           UNION ALL SELECT 150000e0 UNION ALL SELECT 200000e0
+                           UNION ALL SELECT 250000e0 UNION ALL SELECT 300000e0
+                           UNION ALL SELECT 350000e0 UNION ALL SELECT 400000e0
+                           UNION ALL SELECT 450000e0) g),
+    train_acc AS (
+      SELECT fr.f, thr.t,
+             sum(CASE WHEN (b.o_totalprice > thr.t) = (b.y = 1)
+                      THEN 1 ELSE 0 END) * 1e0 / count(*) AS acc,
+             CAST(count(*) AS BIGINT) AS n_train
+      FROM fr CROSS JOIN thr
+      JOIN base b ON b.bucket < fr.f
+      GROUP BY fr.f, thr.t),
+    best AS (
+      SELECT f, t, acc, n_train,
+             row_number() OVER (PARTITION BY f
+                                ORDER BY acc DESC, t) AS rk
+      FROM train_acc),
+    test_acc AS (
+      SELECT best.f, best.t,
+             sum(CASE WHEN (b.o_totalprice > best.t) = (b.y = 1)
+                      THEN 1 ELSE 0 END) * 1e0 / count(*) AS acc_test,
+             CAST(count(*) AS BIGINT) AS n_test
+      FROM best JOIN base b ON b.bucket >= 80
+      WHERE best.rk = 1
+      GROUP BY best.f, best.t)
+    SELECT b.f AS train_pct, b.n_train, te.n_test,
+           round(b.t, 0) AS best_threshold,
+           round(b.acc, 6) AS train_accuracy,
+           round(te.acc_test, 6) AS test_accuracy,
+           round(b.acc - te.acc_test, 6) AS generalization_gap
+    FROM best b JOIN test_acc te ON te.f = b.f AND te.t = b.t
+    WHERE b.rk = 1
+    ORDER BY train_pct
+"""
+
+
+@register(
+    "ml_learning_curve_stump",
+    oracle=_LEARNING_CURVE_SQL.format(
+        hx="('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+    ),
+)
+def ml_learning_curve_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the decision-stump classifier (fulfilled ~
+    value > t): train on hash-bucket fractions 20/40/60/80% of orders,
+    always evaluate on the fixed held-out 20% (buckets >= 80) — per
+    fraction the selected threshold, train/test accuracy and the
+    generalization gap, i.e. the 'will more data help' diagnostic
+    every training run consults before buying more labels. All
+    accuracies are exact integer count ratios; threshold selection is
+    a 9-literal grid argmax with a deterministic tiebreak; the split
+    is the content-stable md5-bucket convention, so the curve is
+    bit-reproducible. Scale shape: one 4x9-grid conditional aggregate
+    over the fact (map-side), a 4-row argmax, one held-out eval pass."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _LEARNING_CURVE_SQL.format(
+            hx="conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+        ),
+    )
+
+
+_GUMBEL_SQL = """
+    WITH dm AS (
+      SELECT date_trunc('day', ts) AS day,
+             max(CAST(round(value * 100) AS BIGINT)) AS mx
+      FROM events GROUP BY date_trunc('day', ts)),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(mx * 1e0) AS m,
+             stddev_samp(mx * 1e0) AS s,
+             max(mx) AS observed_max
+      FROM dm)
+    SELECT n AS n_blocks,
+           round(m / 100, 2) AS mean_block_max_dollars,
+           round(s * 2.449489742783178 / 3.141592653589793 / 100, 2)
+             AS gumbel_beta_dollars,
+           round((m - 0.5772156649015329 * s * 2.449489742783178
+                      / 3.141592653589793) / 100, 2)
+             AS gumbel_mu_dollars,
+           round((m - 0.5772156649015329 * s * 2.449489742783178
+                      / 3.141592653589793
+                  - s * 2.449489742783178 / 3.141592653589793
+                    * ln(-ln(0.99))) / 100, 2) AS return_level_99_dollars,
+           round(observed_max / 100e0, 2) AS observed_max_dollars
+    FROM st
+"""
+
+
+@register("agg_extreme_value_gumbel", oracle=_GUMBEL_SQL)
+def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: daily block maxima of event
+    value fitted to a Gumbel distribution by method of moments
+    (beta = s*sqrt(6)/pi, mu = m - gamma*beta) with the 99% return
+    level mu - beta*ln(-ln .99) — 'how big a spike should we
+    provision for' — next to the observed maximum for the sanity
+    check. Block maxima are exact integer cents; the moment fit runs
+    on the <=31-row day grain; sqrt(6) and the Euler-Mascheroni
+    constant are double literals so both engines evaluate the same
+    expression tree. One linear day-max rollup; 1-row algebra after."""
+    return sql_q(spark, sf_dir, _GUMBEL_SQL)

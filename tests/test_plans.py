@@ -228,6 +228,7 @@ def test_full_surface_plan_hygiene(spark):
         "agg_hash_uniformity_chisq",  # 1-row totals broadcast over 256 buckets
         "llm_simhash_fp_audit",    # 4-row band-index grid × doc-grain codes
         "llm_token_budget_allocator",  # 1-row budget/excess broadcasts over |sources|
+        "ml_learning_curve_stump", # 4×9 literal grid broadcast over the fact scan
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
