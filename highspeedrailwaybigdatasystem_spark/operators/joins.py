@@ -881,3 +881,90 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark.sql(_BASKET_B).cache()
     b.createOrReplaceTempView("__basket_b")
     return spark.sql(_basket_sql("SELECT ok, brand FROM __basket_b"))
+
+
+_CARD_AUDIT_SQL = """
+    WITH lm AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id),
+    rm AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_right
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    k AS (
+      SELECT lm.user_id, lm.n_left, rm.n_right,
+             lm.n_left * rm.n_right AS predicted_pairs
+      FROM lm JOIN rm ON rm.user_id = lm.user_id)
+    SELECT user_id, n_left, n_right, predicted_pairs,
+           CAST(predicted_pairs > 1000 AS BOOLEAN) AS explosion_risk
+    FROM k
+    ORDER BY predicted_pairs DESC, user_id
+    LIMIT 10
+"""
+
+
+@register("join_cardinality_estimate_audit", oracle=_CARD_AUDIT_SQL)
+def join_cardinality_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-join cardinality-explosion audit: per join key the left/right
+    multiplicities and their product (the EXACT row count the key will
+    emit in the click/view x purchase self-join), top-10 riskiest keys
+    flagged — the check a 100 TB pipeline runs BEFORE a many-to-many
+    join, because one hot key with 10^4 x 10^4 multiplicity emits 10^8
+    rows from a single shuffle partition (the precursor analysis that
+    decides whether join_skew_salted's salting is needed). Two
+    map-side-combinable key-grain counts + a key-grain join — costs
+    two aggregates, predicts the join without running it."""
+    return sql_q(spark, sf_dir, _CARD_AUDIT_SQL)
+
+
+_AGG_PUSH_EQ_SQL = """
+    WITH jt AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment),
+    pre AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cust_cents,
+             CAST(count(*) AS BIGINT) AS cust_orders
+      FROM orders GROUP BY o_custkey),
+    aj AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(sum(p.cust_cents) AS BIGINT) AS rev_cents,
+             CAST(sum(p.cust_orders) AS BIGINT) AS n_orders
+      FROM customer c JOIN pre p ON p.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment)
+    SELECT jt.segment,
+           round(jt.rev_cents / 100e0, 2) AS revenue_join_then_agg,
+           round(aj.rev_cents / 100e0, 2) AS revenue_agg_then_join,
+           jt.n_orders AS orders_join_then_agg,
+           aj.n_orders AS orders_agg_then_join,
+           CAST(jt.rev_cents = aj.rev_cents
+                AND jt.n_orders = aj.n_orders AS BOOLEAN) AS plans_equivalent
+    FROM jt JOIN aj ON aj.segment = jt.segment
+    ORDER BY jt.segment
+"""
+
+
+@register("join_agg_pushdown_equivalence", oracle=_AGG_PUSH_EQ_SQL)
+def join_agg_pushdown_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate-below-join equivalence proof: segment revenue computed
+    join-then-aggregate (the naive plan — the fact table crosses the
+    shuffle at ROW grain) versus aggregate-then-join (the 100 TB plan —
+    orders pre-collapse to customer grain BEFORE touching the
+    dimension), certified equal in exact integer cents. This is the
+    rewrite eager-aggregation optimizers apply automatically and data
+    engineers apply manually when the optimizer can't prove it; the
+    audit certifies it for this schema (valid because custkey is the
+    full join key — each fact row joins at most one customer).
+    Both plans run here by construction; at scale only the second
+    should."""
+    return sql_q(spark, sf_dir, _AGG_PUSH_EQ_SQL)

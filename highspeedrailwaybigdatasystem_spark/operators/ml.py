@@ -1596,3 +1596,62 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (ORDER BY o_totalprice)"
         ),
     )
+
+
+_PINBALL_SQL = """
+    WITH q AS (
+      SELECT {q50} AS q50, {q90} AS q90, {q95} AS q95 FROM orders),
+    loss AS (
+      SELECT
+        sum(CASE WHEN o.o_totalprice >= q.q50
+                 THEN 0.5 * (o.o_totalprice - q.q50)
+                 ELSE 0.5 * (q.q50 - o.o_totalprice) END) AS l50_at_q50,
+        sum(CASE WHEN o.o_totalprice >= q.q90
+                 THEN 0.9 * (o.o_totalprice - q.q90)
+                 ELSE 0.1 * (q.q90 - o.o_totalprice) END) AS l90_at_q90,
+        sum(CASE WHEN o.o_totalprice >= q.q50
+                 THEN 0.9 * (o.o_totalprice - q.q50)
+                 ELSE 0.1 * (q.q50 - o.o_totalprice) END) AS l90_at_q50,
+        sum(CASE WHEN o.o_totalprice >= q.q95
+                 THEN 0.95 * (o.o_totalprice - q.q95)
+                 ELSE 0.05 * (q.q95 - o.o_totalprice) END) AS l95_at_q95,
+        CAST(count(*) AS BIGINT) AS n
+      FROM orders o CROSS JOIN q)
+    SELECT n AS n_rows,
+           round(l50_at_q50 / n, 4) AS pinball50_at_median,
+           round(l90_at_q90 / n, 4) AS pinball90_at_p90,
+           round(l90_at_q50 / n, 4) AS pinball90_at_median,
+           round(l95_at_q95 / n, 4) AS pinball95_at_p95,
+           CAST(l90_at_q90 < l90_at_q50 AS BOOLEAN)
+             AS p90_predictor_wins_tau90
+    FROM loss
+"""
+
+
+@register(
+    "ml_pinball_quantile_eval",
+    oracle=_PINBALL_SQL.format(
+        q50="quantile_disc(o_totalprice, 0.50)",
+        q90="quantile_disc(o_totalprice, 0.90)",
+        q95="quantile_disc(o_totalprice, 0.95)",
+    ),
+)
+def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation of constant quantile
+    predictors on order values: mean pinball-tau loss of the exact
+    p50/p90/p95 predictors at their own tau, plus the cross check that
+    the p90 predictor beats the median AT tau=0.9 (the defining
+    property of quantile loss — minimized by the matching quantile) —
+    the scoring rule every probabilistic-forecast SLA uses. DISCRETE
+    quantiles so both engines pick identical member values; losses are
+    sums of |price| differences rounded at display grain. One quantile
+    pass + one scoring pass, both map-side-combinable."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _PINBALL_SQL.format(
+            q50="percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)",
+            q90="percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice)",
+            q95="percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)",
+        ),
+    )

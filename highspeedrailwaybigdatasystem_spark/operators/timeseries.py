@@ -2307,3 +2307,85 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per q on identical integers in both engines. Scale shape: one
     linear day rollup; the lag joins are on the <=31-row day grain."""
     return sql_q(spark, sf_dir, _VR_SQL)
+
+
+_STL_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    tr AS (
+      SELECT day, rn, cents,
+             avg(cents * 1e0) OVER (ORDER BY rn
+                                    ROWS BETWEEN 3 PRECEDING
+                                             AND 3 FOLLOWING) AS trend,
+             count(*) OVER (ORDER BY rn
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      FROM r),
+    det AS (
+      SELECT day, rn, cents, trend, cents - trend AS detr
+      FROM tr WHERE nw = 7),
+    seas AS (
+      SELECT rn % 7 AS bucket, avg(detr) AS s
+      FROM det GROUP BY rn % 7)
+    SELECT det.day,
+           round(det.cents / 100e0, 2) AS actual_dollars,
+           round(det.trend / 100e0, 2) AS trend_dollars,
+           round(seas.s / 100e0, 2) AS seasonal_dollars,
+           round((det.detr - seas.s) / 100e0, 2) AS residual_dollars
+    FROM det JOIN seas ON seas.bucket = det.rn % 7
+    ORDER BY det.day
+"""
+
+
+@register("ts_stl_decompose_additive", oracle=_STL_SQL)
+def ts_stl_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily revenue
+    (the classical-decomposition core of STL): trend = centered 7-day
+    moving average (full windows only), seasonal = mean of the
+    detrended series per weekday slot (rn mod 7 — the
+    ts_seasonality_strength bucket convention, no dialect-specific
+    dayofweek), residual = the rest — the per-day breakdown behind
+    every 'is this dip seasonal or real' question. Integer cents in,
+    one float division per output cell, rounded to display grain on
+    both engines. Scale shape: one linear day rollup, then windows and
+    the 7-row seasonal profile on the <=31-row day grain."""
+    return sql_q(spark, sf_dir, _STL_SQL)
+
+
+_FCEVAL_SQL = f"""
+    WITH d AS ({_DAY_CENTS}),
+    r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
+    j AS (
+      SELECT a.day, a.cents AS actual,
+             w.cents AS pred_lastweek, n1.cents AS pred_naive1
+      FROM r a
+      JOIN r w ON w.rn = a.rn - 7
+      JOIN r n1 ON n1.rn = a.rn - 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(sum(abs(actual - pred_lastweek)) * 1e0
+                 / sum(abs(actual)), 6) AS wape_lastweek,
+           round(sum(abs(actual - pred_naive1)) * 1e0
+                 / sum(abs(actual)), 6) AS wape_naive1,
+           round(avg(2e0 * abs(actual - pred_lastweek)
+                     / (abs(actual) + abs(pred_lastweek))), 6)
+             AS smape_lastweek,
+           round(sum(abs(actual - pred_lastweek)) * 1e0
+                 / sum(abs(actual - pred_naive1)), 6) AS mase_vs_naive1,
+           CAST(sum(abs(actual - pred_lastweek))
+                < sum(abs(actual - pred_naive1)) AS BOOLEAN)
+             AS lastweek_beats_naive
+    FROM j
+"""
+
+
+@register("ts_forecast_eval_naive", oracle=_FCEVAL_SQL)
+def ts_forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scaffold: the seasonal-naive forecast (same
+    weekday last week) scored against actuals with WAPE, sMAPE and
+    MASE relative to the naive-1 (yesterday) baseline — the metric
+    trio every forecasting platform reports, and the bar any real
+    model must clear (MASE < 1 = beats persistence). All numerators
+    and denominators are exact int64 sums of absolute cent
+    differences; only the final ratios are floats. Scale shape: one
+    linear day rollup; the two lag joins run on the <=31-row day
+    grain."""
+    return sql_q(spark, sf_dir, _FCEVAL_SQL)
