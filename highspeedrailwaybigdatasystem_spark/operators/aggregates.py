@@ -3078,3 +3078,48 @@ def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant are double literals so both engines evaluate the same
     expression tree. One linear day-max rollup; 1-row algebra after."""
     return sql_q(spark, sf_dir, _GUMBEL_SQL)
+
+
+_KMV_SQL = """
+    WITH hv AS (
+      SELECT CAST({hx} AS BIGINT) AS h
+      FROM (SELECT DISTINCT user_id FROM events) u),
+    kmin AS (SELECT h FROM hv ORDER BY h LIMIT 256),
+    kth AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k FROM kmin),
+    truth AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hv)
+    SELECT truth.n AS true_distinct,
+           kth.k AS k_used,
+           CAST(round((kth.k - 1) * 4294967296e0 / kth.hk) AS BIGINT)
+             AS kmv_estimate,
+           round(abs((kth.k - 1) * 4294967296e0 / kth.hk - truth.n)
+                 / truth.n, 6) AS rel_error,
+           CAST(abs((kth.k - 1) * 4294967296e0 / kth.hk - truth.n)
+                / truth.n < 0.15 AS BOOLEAN) AS within_15pct
+    FROM kth CROSS JOIN truth
+"""
+
+
+@register(
+    "agg_kmv_distinct_estimate",
+    oracle=_KMV_SQL.format(
+        hx="('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+    ),
+)
+def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count estimator built in SQL and audited
+    against exact truth: the 256 smallest 32-bit md5 hash values of the
+    key domain give estimate (k-1)/u_(k) with u_(k) = h_k/2^32 — the
+    order-statistics sketch underlying Theta sketches, here fully
+    deterministic (md5, not a seeded hash) so BOTH the estimate and its
+    measured relative error are exactly oracle-checkable, unlike
+    approx_count_distinct's opaque HLL (agg_approx_distinct stays
+    rows-only for that reason). Scale shape: TakeOrdered(256) over a
+    map-side hash projection — no global sort; truth is one exact
+    distinct for the audit only."""
+    return sql_q(
+        spark,
+        sf_dir,
+        _KMV_SQL.format(
+            hx="conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        ),
+    )

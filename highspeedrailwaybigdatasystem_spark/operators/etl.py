@@ -1741,3 +1741,72 @@ def etl_pii_tokenization_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BOOLEAN) AS roundtrip_complete
         """
     )
+
+
+_CASCADE_SQL = """
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+    del_orders AS (
+      SELECT o_orderkey FROM orders o
+      JOIN del_cust d ON o.o_custkey = d.c_custkey),
+    del_li AS (
+      SELECT l.l_orderkey FROM lineitem l
+      JOIN del_orders d ON l.l_orderkey = d.o_orderkey)
+    SELECT CAST((SELECT count(*) FROM del_cust) AS BIGINT)
+             AS customers_deleted,
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT)
+             AS orders_cascaded,
+           CAST((SELECT count(*) FROM del_li) AS BIGINT)
+             AS lineitems_cascaded,
+           CAST((SELECT count(*) FROM del_cust)
+                + (SELECT count(*) FROM del_orders)
+                + (SELECT count(*) FROM del_li) AS BIGINT) AS total_rows,
+           round((SELECT count(*) FROM del_li) * 1e0
+                 / (SELECT count(*) FROM lineitem), 6)
+             AS lineitem_share_deleted
+"""
+
+
+@register("etl_cascade_delete_plan", oracle=_CASCADE_SQL)
+def etl_cascade_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential cascade-delete PLAN: deleting one customer segment,
+    the exact row counts that must go from each downstream table
+    (orders via custkey, lineitems via orderkey) and the fact-table
+    share affected — the blast-radius report a GDPR/retention job
+    publishes before executing (the execution itself is
+    etl_gdpr_delete_audit's anti-join). The cascade walks the FK chain
+    with two key-grain semi joins; the deleted-key sets are cached so
+    each count reads its stage once. At 100 TB the same plan prices a
+    delete before any file is rewritten."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    dc = spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+    ).cache()
+    dc.createOrReplaceTempView("__casc_cust")
+    do = spark.sql(
+        "SELECT o_orderkey FROM orders o JOIN __casc_cust d"
+        " ON o.o_custkey = d.c_custkey"
+    ).cache()
+    do.createOrReplaceTempView("__casc_orders")
+    return spark.sql(
+        """
+        SELECT CAST((SELECT count(*) FROM __casc_cust) AS BIGINT)
+                 AS customers_deleted,
+               CAST((SELECT count(*) FROM __casc_orders) AS BIGINT)
+                 AS orders_cascaded,
+               CAST((SELECT count(*) FROM lineitem l
+                     JOIN __casc_orders d ON l.l_orderkey = d.o_orderkey)
+                    AS BIGINT) AS lineitems_cascaded,
+               CAST((SELECT count(*) FROM __casc_cust)
+                    + (SELECT count(*) FROM __casc_orders)
+                    + (SELECT count(*) FROM lineitem l
+                       JOIN __casc_orders d ON l.l_orderkey = d.o_orderkey)
+                    AS BIGINT) AS total_rows,
+               round((SELECT count(*) FROM lineitem l
+                      JOIN __casc_orders d ON l.l_orderkey = d.o_orderkey)
+                     * 1e0 / (SELECT count(*) FROM lineitem), 6)
+                 AS lineitem_share_deleted
+        """
+    )

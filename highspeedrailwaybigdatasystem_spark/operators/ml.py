@@ -1655,3 +1655,75 @@ def ml_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             q95="percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)",
         ),
     )
+
+
+_CHI2_RANK_SQL = """
+    WITH base AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             o_orderpriority AS f_priority,
+             CAST(day(o_orderdate) % 7 AS {st}) AS f_weekday,
+             CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS {st})
+               AS f_pricebucket
+      FROM orders),
+    stacked AS (
+      SELECT 'priority' AS feature, f_priority AS lvl, y FROM base
+      UNION ALL
+      SELECT 'weekday', f_weekday, y FROM base
+      UNION ALL
+      SELECT 'price_bucket', f_pricebucket, y FROM base),
+    cells AS (
+      SELECT feature, lvl, y, CAST(count(*) AS BIGINT) AS n
+      FROM stacked GROUP BY feature, lvl, y),
+    marg AS (
+      SELECT feature,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS n_pos
+      FROM cells GROUP BY feature),
+    lvls AS (
+      SELECT feature, lvl, CAST(sum(n) AS BIGINT) AS n_lvl
+      FROM cells GROUP BY feature, lvl),
+    chi AS (
+      SELECT l.feature,
+             CAST(count(DISTINCT l.lvl) AS BIGINT) AS n_levels,
+             sum(
+               (coalesce(c1.n, 0) - l.n_lvl * 1e0 * m.n_pos / m.total)
+               * (coalesce(c1.n, 0) - l.n_lvl * 1e0 * m.n_pos / m.total)
+               / (l.n_lvl * 1e0 * m.n_pos / m.total)
+               +
+               (coalesce(c0.n, 0)
+                - l.n_lvl * 1e0 * (m.total - m.n_pos) / m.total)
+               * (coalesce(c0.n, 0)
+                  - l.n_lvl * 1e0 * (m.total - m.n_pos) / m.total)
+               / (l.n_lvl * 1e0 * (m.total - m.n_pos) / m.total)
+             ) AS chi2
+      FROM lvls l
+      JOIN marg m ON m.feature = l.feature
+      LEFT JOIN cells c1 ON c1.feature = l.feature AND c1.lvl = l.lvl
+                        AND c1.y = 1
+      LEFT JOIN cells c0 ON c0.feature = l.feature AND c0.lvl = l.lvl
+                        AND c0.y = 0
+      GROUP BY l.feature)
+    SELECT feature, n_levels,
+           CAST(n_levels - 1 AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           CAST(row_number() OVER (ORDER BY chi2 DESC, feature) AS BIGINT)
+             AS rank
+    FROM chi ORDER BY rank
+"""
+
+
+@register(
+    "ml_chi2_feature_ranking", oracle=_CHI2_RANK_SQL.format(st="VARCHAR")
+)
+def ml_chi2_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: three candidate categorical
+    features (order priority, weekday, price bucket) scored against
+    the fulfillment label from their full contingency tables and
+    ranked — the univariate filter step that prunes a wide feature
+    space before any model training, here with EXACT cell counts so
+    the scores are engine-identical arithmetic. One stacked
+    conditional aggregate builds all three contingency tables in a
+    single pass over the fact (the shuffle carries |features x levels
+    x 2| cells); everything after is bounded-grain algebra. The 3-row
+    rank window is trivially global."""
+    return sql_q(spark, sf_dir, _CHI2_RANK_SQL.format(st="STRING"))

@@ -453,3 +453,72 @@ def src_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("id") == 1, F.col("n_lines"))).cast("int").alias("lines_doc1"),
         F.max(F.when(F.col("id") == 2, F.col("n_lines"))).cast("int").alias("lines_doc2"),
     )
+
+
+@register(
+    "src_csv_permissive_corrupt",
+    oracle="""
+    SELECT (event_id % 9 = 4) AS is_corrupt,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN event_id % 9 <> 4 THEN user_id END) AS BIGINT)
+             AS good_user_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def src_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV PERMISSIVE-mode tolerance, the sibling of src_json_corrupt for
+    the other ubiquitous ingest format: every (event_id%9==4) line gets a
+    non-numeric token in a LongType column (the classic
+    hand-edited-spreadsheet corruption — short rows only null-fill in
+    PERMISSIVE, so a type-level poison is the deterministic trigger),
+    read back with an explicit schema + _corrupt_record column: bad rows
+    are captured with their raw text, good rows parse fully, nothing is
+    fatal."""
+    from pyspark.sql.types import StructField, StructType
+
+    out = scratch_dir("csv_permissive_corrupt")
+    src = t(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 9 == 4,
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(",xx"),
+                F.col("user_id").cast("string"),
+                F.lit(",corrupted"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            )
+        )
+        .alias("value")
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    src.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    ).cache()
+    return back.groupBy(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("user_id"))
+        ).alias("good_user_sum"),
+    )

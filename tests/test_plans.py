@@ -230,6 +230,7 @@ def test_full_surface_plan_hygiene(spark):
         "llm_token_budget_allocator",  # 1-row budget/excess broadcasts over |sources|
         "ml_learning_curve_stump", # 4×9 literal grid broadcast over the fact scan
         "ml_pinball_quantile_eval", # 1-row quantile broadcast into the scoring scan
+        "agg_kmv_distinct_estimate",  # 1-row kth-hash/truth broadcasts
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -268,6 +269,7 @@ def test_full_surface_plan_hygiene(spark):
         "etl_bin_packing_plan",  # prefix-sum window over the DAY grain — ≤31 rows
         "ts_stl_decompose_additive",  # centered-MA window over the DAY grain
         "ts_forecast_eval_naive",     # row_number over the DAY grain — ≤31 rows
+        "ml_chi2_feature_ranking",    # rank over the 3-row feature family
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
