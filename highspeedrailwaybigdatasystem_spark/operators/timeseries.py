@@ -2282,12 +2282,12 @@ _VR_SQL = f"""
     SELECT a.q AS horizon_days,
            a.nq AS n_obs,
            round(((a.ssq * 1e0 / a.nq) - (a.sq * 1e0 / a.nq) * (a.sq * 1e0 / a.nq))
-                 / (a.q * ((b.ss1 * 1e0 / b.n1)
-                           - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1))), 6)
+                 / nullif(a.q * ((b.ss1 * 1e0 / b.n1)
+                           - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1)), 0), 6)
              AS variance_ratio,
            CAST(((a.ssq * 1e0 / a.nq) - (a.sq * 1e0 / a.nq) * (a.sq * 1e0 / a.nq))
-                / (a.q * ((b.ss1 * 1e0 / b.n1)
-                          - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1))) > 1
+                / nullif(a.q * ((b.ss1 * 1e0 / b.n1)
+                          - (b.s1 * 1e0 / b.n1) * (b.s1 * 1e0 / b.n1)), 0) > 1
                 AS BOOLEAN) AS trending_regime
     FROM aggq a CROSS JOIN base b
     ORDER BY horizon_days
@@ -2304,7 +2304,9 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Overlapping q-day differences (the Lo-MacKinlay estimator's
     standard choice). Determinism: every difference, sum and sum of
     squares is exact int64 on integer cents; the variance algebra runs
-    once per q on identical integers in both engines. Scale shape: one
+    once per q on identical integers in both engines. A perfectly
+    deterministic series (zero 1-day variance) yields NULL ratios via
+    NULLIF rather than an ANSI divide-by-zero abort. Scale shape: one
     linear day rollup; the lag joins are on the <=31-row day grain."""
     return sql_q(spark, sf_dir, _VR_SQL)
 
