@@ -6194,15 +6194,18 @@ def mm_patch_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_code_sql(h_expr: str) -> str:
-    """Per-doc 16-bit SimHash code from per-token hash ints, portable
-    (integer-division bit tests — no engine-specific shift/xor)."""
+    """Per-doc 32-bit SimHash code from per-token hash ints, portable
+    (integer-division bit tests — no engine-specific shift/xor). 32 bits
+    (not llm_simhash's didactic 16) so the 4 LSH bands below are 8 bits
+    wide: 256 values per band keeps band buckets ~n/256 instead of n/16
+    — the width IS the scalability lever of simhash banding."""
     votes = ", ".join(
         f"sum(CASE WHEN CAST(floor(h / {1 << b}) AS BIGINT) % 2 = 1"
         f" THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(16)
+        for b in range(32)
     )
     code = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
     )
     return (
         f"SELECT doc_id, source, CAST({code} AS BIGINT) AS sim FROM ("
@@ -6218,7 +6221,7 @@ def _simfp_sql(dialect: str) -> str:
             "SELECT doc_id, source, token FROM (SELECT doc_id, source,"
             " explode(split(text, ' ')) AS token FROM reps)"
         )
-        h = "cast(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT)"
+        h = "cast(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
         sh3 = (
             "SELECT doc_id, g FROM (SELECT doc_id, split(text, ' ') AS tk"
             " FROM reps) LATERAL VIEW explode(array_distinct(transform("
@@ -6231,7 +6234,7 @@ def _simfp_sql(dialect: str) -> str:
             "SELECT doc_id, source, unnest(string_split(text, ' ')) AS token"
             " FROM reps"
         )
-        h = "CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT)"
+        h = "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)"
         sh3 = (
             "SELECT DISTINCT doc_id,"
             " unnest(list_transform(generate_series(1, len(tk) - 2),"
@@ -6242,7 +6245,7 @@ def _simfp_sql(dialect: str) -> str:
     ham = " + ".join(
         f"abs(CAST(floor(a.sim / {1 << b}) AS BIGINT) % 2"
         f" - CAST(floor(b.sim / {1 << b}) AS BIGINT) % 2)"
-        for b in range(16)
+        for b in range(32)
     )
     return f"""
     WITH reps AS (
@@ -6252,9 +6255,10 @@ def _simfp_sql(dialect: str) -> str:
     sim AS ({_simhash_code_sql(h)}),
     bands AS (
       SELECT doc_id, source, j,
-             CAST(floor(sim / CASE j WHEN 0 THEN 1 WHEN 1 THEN 16
-                                     WHEN 2 THEN 256 ELSE 4096 END)
-                  AS BIGINT) % 16 AS bv
+             CAST(floor(sim / CASE j WHEN 0 THEN 1 WHEN 1 THEN 256
+                                     WHEN 2 THEN 65536
+                                     ELSE 16777216 END)
+                  AS BIGINT) % 256 AS bv
       FROM sim CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
                            UNION ALL SELECT 2 UNION ALL SELECT 3) js),
     cand AS (
@@ -6300,7 +6304,8 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality audit for the SimHash family (the
     llm_minhash_jaccard_estimate discipline applied to the OTHER
     fingerprint): band-blocked same-source candidate pairs at Hamming
-    distance <= 3 on the 16-bit code, each verified against exact
+    distance <= 3 on the 32-bit code (4 bands x 8 bits — any pair at
+    hamming <= 3 shares a band by pigeonhole), each verified against exact
     3-shingle Jaccard >= 0.5 — per Hamming distance, the candidate
     count and false-positive rate that decide whether a SimHash cutoff
     is safe to deploy at 100 TB. EXACT-COLLAPSE FIRST: identical
@@ -6327,7 +6332,7 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok.createOrReplaceTempView("tokrows_v")
     sim = spark.sql(
         _simhash_code_sql(
-            "cast(conv(substr(md5(token), 1, 4), 16, 10) AS BIGINT)"
+            "cast(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
         ).replace("FROM tokrows)", "FROM tokrows_v)")
     ).cache()
     sim.createOrReplaceTempView("__simfp_sim")
@@ -6342,7 +6347,7 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = " + ".join(
         f"abs(CAST(floor(a.sim / {1 << b}) AS BIGINT) % 2"
         f" - CAST(floor(b.sim / {1 << b}) AS BIGINT) % 2)"
-        for b in range(16)
+        for b in range(32)
     )
     return spark.sql(
         f"""
@@ -6364,16 +6369,16 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                 FROM (SELECT doc_id, source, j,
                              CAST(floor(sim / CASE j WHEN 0 THEN 1
-                                 WHEN 1 THEN 16 WHEN 2 THEN 256
-                                 ELSE 4096 END) AS BIGINT) % 16 AS bv
+                                 WHEN 1 THEN 256 WHEN 2 THEN 65536
+                                 ELSE 16777216 END) AS BIGINT) % 256 AS bv
                       FROM __simfp_sim
                       CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
                                   UNION ALL SELECT 2
                                   UNION ALL SELECT 3) js) x
                 JOIN (SELECT doc_id, source, j,
                              CAST(floor(sim / CASE j WHEN 0 THEN 1
-                                 WHEN 1 THEN 16 WHEN 2 THEN 256
-                                 ELSE 4096 END) AS BIGINT) % 16 AS bv
+                                 WHEN 1 THEN 256 WHEN 2 THEN 65536
+                                 ELSE 16777216 END) AS BIGINT) % 256 AS bv
                       FROM __simfp_sim
                       CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1
                                   UNION ALL SELECT 2
