@@ -3123,3 +3123,47 @@ def agg_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             hx="conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
         ),
     )
+
+
+_DISTINCT_MERGE_SQL = """
+    WITH h AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+             user_id
+      FROM events),
+    parts AS (
+      SELECT event_type, half,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS d
+      FROM h GROUP BY event_type, half),
+    naive AS (
+      SELECT event_type, CAST(sum(d) AS BIGINT) AS d_sum
+      FROM parts GROUP BY event_type),
+    truth AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS d_true
+      FROM h GROUP BY event_type)
+    SELECT t.event_type,
+           n.d_sum AS naive_summed_distinct,
+           t.d_true AS true_distinct,
+           CAST(n.d_sum - t.d_true AS BIGINT) AS overlap_double_counted,
+           CAST(n.d_sum >= t.d_true AS BOOLEAN) AS inequality_holds,
+           CAST(n.d_sum > t.d_true AS BOOLEAN) AS merge_would_overcount
+    FROM truth t JOIN naive n ON n.event_type = t.event_type
+    ORDER BY t.event_type
+"""
+
+
+@register("agg_distinct_merge_inequality", oracle=_DISTINCT_MERGE_SQL)
+def agg_distinct_merge_inequality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NON-mergeable-state exhibit, closing the state-merge trilogy
+    (etl_incremental_state_merge_audit: trivially mergeable;
+    agg_welford_merge_audit: mergeable with a correction term; this:
+    NOT mergeable at all): summing per-partition distinct counts
+    overcounts by exactly the cross-partition overlap, proven per
+    event type on real data — the 'why incremental pipelines need HLL/
+    Theta sketches instead of count(distinct) per increment' receipt,
+    with agg_kmv_distinct_estimate as the mergeable replacement two
+    rows up the file. Two distinct aggregations; exact integer
+    accounting."""
+    return sql_q(spark, sf_dir, _DISTINCT_MERGE_SQL)

@@ -968,3 +968,41 @@ def join_agg_pushdown_equivalence(
     Both plans run here by construction; at scale only the second
     should."""
     return sql_q(spark, sf_dir, _AGG_PUSH_EQ_SQL)
+
+
+_PK_FANOUT_SQL = """
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+           CAST((SELECT count(*) FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+             AS n_after_orders,
+           CAST((SELECT count(*) FROM lineitem l
+                 JOIN part p ON l.l_partkey = p.p_partkey) AS BIGINT)
+             AS n_after_part,
+           CAST((SELECT count(*) FROM lineitem l
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey) AS BIGINT)
+             AS n_after_supplier,
+           CAST((SELECT count(*) FROM lineitem)
+                = (SELECT count(*) FROM lineitem l
+                   JOIN orders o ON l.l_orderkey = o.o_orderkey)
+                AND (SELECT count(*) FROM lineitem)
+                    = (SELECT count(*) FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey)
+                AND (SELECT count(*) FROM lineitem)
+                    = (SELECT count(*) FROM lineitem l
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+                AS BOOLEAN) AS all_dims_pk_clean
+"""
+
+
+@register("join_pk_fanout_audit", oracle=_PK_FANOUT_SQL)
+def join_pk_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key fan-out audit across the whole star: joining the fact
+    to each dimension must preserve the fact row count EXACTLY — a
+    higher count means duplicate dimension keys (every denormalization
+    silently double-counts revenue from that moment on), a lower one
+    means FK orphans (etl_fk_orphan_audit's finding, seen from the
+    join side). This is the pre-flight every star-schema rollup should
+    run before trusting join-then-aggregate numbers. Three
+    broadcast-dimension probe joins, each producing one count — the
+    fact scans stay column-pruned to the single FK."""
+    return sql_q(spark, sf_dir, _PK_FANOUT_SQL)

@@ -1727,3 +1727,60 @@ def ml_chi2_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     x 2| cells); everything after is bounded-grain algebra. The 3-row
     rank window is trivially global."""
     return sql_q(spark, sf_dir, _CHI2_RANK_SQL.format(st="STRING"))
+
+
+_DELTA_CI_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(cents * 1e0) AS mx,
+             avg(n_ev * 1e0) AS my,
+             var_samp(cents * 1e0) AS vx,
+             var_samp(n_ev * 1e0) AS vy,
+             covar_samp(cents * 1e0, n_ev * 1e0) AS cxy
+      FROM per_user GROUP BY CASE WHEN user_id % 2 = 0 THEN 'control'
+                                  ELSE 'treatment' END)
+    SELECT grp, n AS n_users,
+           round(mx / my / 100, 4) AS revenue_per_event_dollars,
+           round(sqrt(greatest(0e0,
+                   (vx / (my * my)
+                    - 2 * mx * cxy / (my * my * my)
+                    + mx * mx * vy / (my * my * my * my)) / n))
+                 / 100, 4) AS delta_method_se_dollars,
+           round((mx / my
+                  - 1.959963984540054
+                    * sqrt(greatest(0e0,
+                        (vx / (my * my)
+                         - 2 * mx * cxy / (my * my * my)
+                         + mx * mx * vy / (my * my * my * my)) / n)))
+                 / 100, 4) AS ci95_lo_dollars,
+           round((mx / my
+                  + 1.959963984540054
+                    * sqrt(greatest(0e0,
+                        (vx / (my * my)
+                         - 2 * mx * cxy / (my * my * my)
+                         + mx * mx * vy / (my * my * my * my)) / n)))
+                 / 100, 4) AS ci95_hi_dollars
+    FROM g ORDER BY grp
+"""
+
+
+@register("ml_ratio_metric_delta_ci", oracle=_DELTA_CI_SQL)
+def ml_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    event, the canonical 'ratio of two user-level means') per
+    experiment arm: Var(X̄/Ȳ) ≈ (Vx/μy² − 2μxCxy/μy³ + μx²Vy/μy⁴)/n —
+    the correction every experimentation platform applies because
+    naively treating a ratio metric as a user-level average biases the
+    SE (users contribute unequal denominators). User-grain rollup
+    first (exact int sums), then one (n, means, vars, covar) aggregate
+    per arm and closed-form algebra — the shuffle carries 6 doubles
+    per arm at any scale."""
+    return sql_q(spark, sf_dir, _DELTA_CI_SQL)

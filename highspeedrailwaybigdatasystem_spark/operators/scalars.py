@@ -1365,3 +1365,73 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+_TRGM_DUCK = """
+    WITH names AS (
+      SELECT min(p_partkey) AS id, p_brand AS blk, p_name AS nm
+      FROM part GROUP BY p_brand, p_name),
+    trg AS (
+      SELECT DISTINCT id, blk, substr(nm, CAST(i AS INT), 3) AS g
+      FROM names CROSS JOIN LATERAL
+        unnest(generate_series(1, length(nm) - 2)) AS s(i)),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM trg GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS sh
+      FROM trg a JOIN trg b ON b.blk = a.blk AND b.g = a.g AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT s.id_a, s.id_b,
+           round(s.sh * 1e0 / (za.n + zb.n - s.sh), 6) AS trigram_sim
+    FROM shared s
+    JOIN sizes za ON za.id = s.id_a
+    JOIN sizes zb ON zb.id = s.id_b
+    ORDER BY trigram_sim DESC, s.id_a, s.id_b
+    LIMIT 15
+"""
+
+
+@register("str_trigram_similarity", oracle=_TRGM_DUCK)
+def str_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram (pg_trgm-style) name similarity for part names,
+    blocked by brand: Jaccard over the distinct 3-char windows — the
+    set-based fuzzy matcher that, unlike join_fuzzy_levenshtein's
+    edit distance, is INDEXABLE at scale (trigram inverted index =
+    this exact join on g) and order-insensitive to word swaps. Top-15
+    pairs. EXACT-COLLAPSE FIRST (the family discipline): identical
+    (brand, name) rows keep one representative before pairing —
+    verbatim duplicates are equality-join territory, and without the
+    collapse the trigram pair join is quadratic in duplicate
+    multiplicity (measured 34x at 10x on the key-shifted corpus whose
+    payload names repeat verbatim; ~1x with it). The trigram explode is map-side, the pair join is
+    brand-blocked + trigram-key co-partitioned — never all-pairs."""
+    from ._util import sql_q
+
+    return sql_q(
+        spark,
+        sf_dir,
+        """
+        WITH names AS (
+          SELECT min(p_partkey) AS id, p_brand AS blk, p_name AS nm
+          FROM part GROUP BY p_brand, p_name),
+        trg AS (
+          SELECT DISTINCT id, blk, g
+          FROM names
+          LATERAL VIEW explode(transform(
+            sequence(1, length(nm) - 2),
+            i -> substr(nm, CAST(i AS INT), 3))) AS g),
+        sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+                  FROM trg GROUP BY id),
+        shared AS (
+          SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS sh
+          FROM trg a JOIN trg b ON b.blk = a.blk AND b.g = a.g
+                              AND a.id < b.id
+          GROUP BY a.id, b.id)
+        SELECT s.id_a, s.id_b,
+               round(s.sh * 1e0 / (za.n + zb.n - s.sh), 6) AS trigram_sim
+        FROM shared s
+        JOIN sizes za ON za.id = s.id_a
+        JOIN sizes zb ON zb.id = s.id_b
+        ORDER BY trigram_sim DESC, s.id_a, s.id_b
+        LIMIT 15
+        """,
+    )

@@ -134,3 +134,46 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "c_name")
     )
     return left.unionByName(right, allowMissingColumns=True)
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+    WITH w1 AS (SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15),
+    w2 AS (SELECT DISTINCT user_id FROM events WHERE day(ts) > 15),
+    only1 AS (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2),
+    only2 AS (SELECT user_id FROM w2 EXCEPT SELECT user_id FROM w1)
+    SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS n_first_half,
+           CAST((SELECT count(*) FROM w2) AS BIGINT) AS n_second_half,
+           CAST((SELECT count(*) FROM only1) AS BIGINT) AS n_only_first,
+           CAST((SELECT count(*) FROM only2) AS BIGINT) AS n_only_second,
+           CAST((SELECT count(*) FROM only1)
+                + (SELECT count(*) FROM only2) AS BIGINT)
+             AS n_symmetric_diff,
+           CAST((SELECT count(*) FROM
+                 (SELECT user_id FROM w1 INTERSECT
+                  SELECT user_id FROM w2) b) AS BIGINT) AS n_both
+    """,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of the active-user sets of the two month
+    halves — (A∖B) ∪ (B∖A) composed from EXCEPT/INTERSECT, the churn/
+    new-user split every retention report starts from, and the set-op
+    composition the family's except/intersect primitives exist for.
+    Identity pinned by construction: |AΔB| + 2|A∩B| = |A| + |B|. The
+    half-month user sets are built once each (cached) and every count
+    reads the cache; EXCEPT/INTERSECT hash on the key — one shuffle
+    each at user grain."""
+    ev = t(spark, sf_dir, "events")
+    w1 = ev.where(F.dayofmonth("ts") <= 15).select("user_id").distinct().cache()
+    w2 = ev.where(F.dayofmonth("ts") > 15).select("user_id").distinct().cache()
+    only1 = w1.exceptAll(w2.select("user_id")).distinct()
+    only2 = w2.exceptAll(w1.select("user_id")).distinct()
+    n1, n2 = w1.count(), w2.count()
+    no1, no2 = only1.count(), only2.count()
+    nboth = w1.intersect(w2).count()
+    return spark.createDataFrame(
+        [(n1, n2, no1, no2, no1 + no2, nboth)],
+        "n_first_half long, n_second_half long, n_only_first long,"
+        " n_only_second long, n_symmetric_diff long, n_both long",
+    )
