@@ -6622,3 +6622,58 @@ def llm_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins over the collapsed reps; in production the pair sets come
     from the banding pipeline and this audit runs on candidates only."""
     return sql_q(spark, sf_dir, _shsens_sql("spark"))
+
+
+def _degree_dist_sql(pairs_sql: str) -> str:
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners
+      FROM (SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs) u
+      GROUP BY doc_id)
+    SELECT n_partners,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(count(*)) OVER (ORDER BY n_partners
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_docs
+    FROM deg GROUP BY n_partners ORDER BY n_partners
+    """
+
+
+def _register_dup_partner_degree() -> None:
+    from ..registry import all_oracles
+
+    banding_oracle = all_oracles()["llm_minhash_banding"]
+
+    @register(
+        "llm_dup_partner_degree_dist",
+        oracle=_degree_dist_sql(banding_oracle),
+    )
+    def llm_dup_partner_degree_dist(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Dup-partner degree distribution of the verified near-dup pair
+        graph (llm_minhash_banding's output): how many documents have
+        1, 2, ... duplicate partners, with cumulative counts — the
+        dedup ops-report that distinguishes 'pairwise near-dups'
+        (degree 1-2, survivorship handles it) from 'dup galaxies'
+        (high degree = one template spammed corpus-wide, where the
+        right action is cluster-level collapse via
+        llm_dedup_components, not pairwise removal). Degree grain is
+        bounded by the max dup-cluster size; the window runs on the
+        |degrees|-row histogram. Oracle composes the banding oracle
+        verbatim as a CTE — lockstep by construction. Scale note:
+        inherits llm_minhash_banding's OUTPUT-BOUND pair population
+        (the 10x amplified corpus is 90% verbatim dups → 250k real
+        pairs vs 254; 12.8x measured) — like llm_lsh_tuning_curve, the
+        production ordering runs llm_exact_dedup's collapse first,
+        which returns the pair set (and this histogram) to ~1x."""
+        pairs = llm_minhash_banding(spark, sf_dir)
+        pairs.createOrReplaceTempView("__dupdeg_pairs")
+        return spark.sql(
+            _degree_dist_sql("SELECT * FROM __dupdeg_pairs")
+        )
+
+
+_register_dup_partner_degree()

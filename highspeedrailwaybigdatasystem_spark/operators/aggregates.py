@@ -3167,3 +3167,50 @@ def agg_distinct_merge_inequality(
     rows up the file. Two distinct aggregations; exact integer
     accounting."""
     return sql_q(spark, sf_dir, _DISTINCT_MERGE_SQL)
+
+
+_LARGEST_REMAINDER_SQL = """
+    WITH rev AS (
+      SELECT c_mktsegment AS segment,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    quota AS (
+      SELECT r.segment, r.cents,
+             r.cents * 100e0 / tot.t AS q,
+             CAST(floor(r.cents * 100e0 / tot.t) AS BIGINT) AS fl,
+             r.cents * 100e0 / tot.t
+               - floor(r.cents * 100e0 / tot.t) AS rem
+      FROM rev r CROSS JOIN tot),
+    short AS (
+      SELECT CAST(100 - sum(fl) AS BIGINT) AS missing FROM quota),
+    ranked AS (
+      SELECT segment, q, fl, rem,
+             row_number() OVER (ORDER BY rem DESC, segment) AS rk
+      FROM quota)
+    SELECT r.segment,
+           round(r.q, 6) AS exact_share_pct,
+           r.fl AS floor_pct,
+           CAST(r.fl + CASE WHEN r.rk <= s.missing THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_pct
+    FROM ranked r CROSS JOIN short s
+    ORDER BY r.segment
+"""
+
+
+@register("agg_largest_remainder_allocation", oracle=_LARGEST_REMAINDER_SQL)
+def agg_largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hare-quota) percentage allocation of revenue
+    share across segments: floor each exact share, then hand the
+    missing points to the largest fractional remainders
+    (deterministic segment tiebreak) — the rounding-reconciliation
+    rule that makes a reported percentage column sum to EXACTLY 100
+    (naive per-row rounding drifts by ±(k-1)/2 points, and finance
+    dashboards bounce at 99/101). Revenue in exact cents; the
+    allocation runs on the 5-row segment grain; Σ allocated = 100 by
+    construction."""
+    return sql_q(spark, sf_dir, _LARGEST_REMAINDER_SQL)

@@ -1784,3 +1784,61 @@ def ml_ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per arm and closed-form algebra — the shuffle carries 6 doubles
     per arm at any scale."""
     return sql_q(spark, sf_dir, _DELTA_CI_SQL)
+
+
+_GINI_AUC_SQL = """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    lv AS (
+      SELECT sc, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM s GROUP BY sc),
+    cum AS (
+      SELECT sc, np, nn,
+             coalesce(sum(nn) OVER (ORDER BY sc
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS nn_below,
+             coalesce(sum(np) OVER (ORDER BY sc
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS np_below
+      FROM lv),
+    tot AS (
+      SELECT CAST(sum(np) AS BIGINT) AS npos,
+             CAST(sum(nn) AS BIGINT) AS nneg
+      FROM lv),
+    cd AS (
+      SELECT sum(c.np * c.nn_below) AS concordant,
+             sum(c.nn * c.np_below) AS discordant,
+             sum(c.np * c.nn) AS tied
+      FROM cum c)
+    SELECT tot.npos, tot.nneg,
+           round((cd.concordant + 0.5 * cd.tied) * 1e0
+                 / (tot.npos * tot.nneg), 6) AS auc,
+           round((cd.concordant - cd.discordant) * 1e0
+                 / (tot.npos * tot.nneg), 6) AS somers_d,
+           round(2e0 * ((cd.concordant + 0.5 * cd.tied) * 1e0
+                        / (tot.npos * tot.nneg)) - 1e0, 6)
+             AS gini_from_auc,
+           CAST(abs((cd.concordant - cd.discordant) * 1e0
+                    / (tot.npos * tot.nneg)
+                    - (2e0 * ((cd.concordant + 0.5 * cd.tied) * 1e0
+                              / (tot.npos * tot.nneg)) - 1e0)) < 1e-9
+                AS BOOLEAN) AS identity_holds
+    FROM tot CROSS JOIN cd
+"""
+
+
+@register("ml_gini_auc_identity", oracle=_GINI_AUC_SQL)
+def ml_gini_auc_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gini = 2·AUC − 1 identity, computed from two INDEPENDENT
+    formulations on the same score data and certified equal: AUC via
+    the tie-corrected concordance count (concordant + half-ties over
+    pos×neg pairs, the Mann-Whitney form ml_roc_auc uses) and Somers'
+    D via concordant-minus-discordant — the accuracy-ratio equivalence
+    credit-scoring model validation leans on. All pair counts are
+    exact int64 from cumulative sums over the two-decimal score-level
+    grain (the bounded-domain window discipline); the identity is
+    exact because tied = total − concordant − discordant."""
+    return sql_q(spark, sf_dir, _GINI_AUC_SQL)

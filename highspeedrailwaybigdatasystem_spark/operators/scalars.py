@@ -1435,3 +1435,36 @@ def str_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """,
     )
+
+
+_FISCAL_SQL = """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT)
+               + CASE WHEN month(o_orderdate) >= 2 THEN 1 ELSE 0 END
+               AS fiscal_year,
+             CAST(floor((month(o_orderdate) + 10) % 12 / 3) AS BIGINT) + 1
+               AS fiscal_quarter,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT fiscal_year, fiscal_quarter,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cents) / 100e0, 2) AS revenue
+    FROM m
+    GROUP BY fiscal_year, fiscal_quarter
+    ORDER BY fiscal_year, fiscal_quarter
+"""
+
+
+@register("dt_fiscal_quarter_rollup", oracle=_FISCAL_SQL)
+def dt_fiscal_quarter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-calendar rollup with a February year start (the 4-4-5-ish
+    enterprise convention in its month-aligned form): fiscal year FY(n)
+    runs Feb(n-1)..Jan(n), quarters are 3-month blocks from February —
+    the calendar remap every finance-facing report needs because
+    date_trunc('quarter') only speaks the civil calendar. Pure integer
+    month arithmetic ((month+10) mod 12) shared verbatim by both
+    engines; revenue summed in exact cents. One map-side remap +
+    (fy, fq)-grain aggregate."""
+    from ._util import sql_q
+
+    return sql_q(spark, sf_dir, _FISCAL_SQL)

@@ -231,6 +231,8 @@ def test_full_surface_plan_hygiene(spark):
         "ml_learning_curve_stump", # 4×9 literal grid broadcast over the fact scan
         "ml_pinball_quantile_eval", # 1-row quantile broadcast into the scoring scan
         "agg_kmv_distinct_estimate",  # 1-row kth-hash/truth broadcasts
+        "agg_largest_remainder_allocation",  # 1-row total/shortfall broadcasts
+        "ml_gini_auc_identity",    # 1-row totals × concordance broadcasts
     }
     ROWPY_OK = {"udf_python_scalar", "udtf_python", "udtf_analyze_polymorphic"}
     # Unpartitioned windows single-task the whole input at scale; only OK
@@ -270,6 +272,9 @@ def test_full_surface_plan_hygiene(spark):
         "ts_stl_decompose_additive",  # centered-MA window over the DAY grain
         "ts_forecast_eval_naive",     # row_number over the DAY grain — ≤31 rows
         "ml_chi2_feature_ranking",    # rank over the 3-row feature family
+        "agg_largest_remainder_allocation",  # rank over the 5-row segment grain
+        "ml_gini_auc_identity",    # cumulative windows over the two-decimal
+                                   # score-level grain (ml_roc_auc discipline)
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
