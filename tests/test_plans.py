@@ -275,6 +275,8 @@ def test_full_surface_plan_hygiene(spark):
         "agg_largest_remainder_allocation",  # rank over the 5-row segment grain
         "ml_gini_auc_identity",    # cumulative windows over the two-decimal
                                    # score-level grain (ml_roc_auc discipline)
+        "llm_dup_partner_degree_dist",  # cumulative window over the
+                                        # |degrees|-row histogram grain
     }
     # windowspecdefinition(...) whose first argument is already a sort order
     # (or the frame itself) has no partition columns => global window.
