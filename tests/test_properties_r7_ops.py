@@ -431,3 +431,91 @@ def test_m4_matches_pandas(spark):
     assert (out["max_cents"] == g["cents"].max()).all()
     assert (out["first_cents"] == g["cents"].first()).all()
     assert (out["last_cents"] == g["cents"].last()).all()
+
+
+# --- batches K/L -------------------------------------------------------------
+
+def test_symmetric_diff_identity(spark):
+    r = Q()["set_symmetric_diff"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert r["n_symmetric_diff"] + 2 * r["n_both"] == (
+        r["n_first_half"] + r["n_second_half"]
+    )
+    assert r["n_symmetric_diff"] == r["n_only_first"] + r["n_only_second"]
+
+
+def test_trigram_similarity_bounds(spark):
+    out = Q()["str_trigram_similarity"](spark, SF_SMOKE).toPandas()
+    assert 0 < len(out) <= 15
+    assert ((out["trigram_sim"] > 0) & (out["trigram_sim"] <= 1)).all()
+    assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_distinct_merge_inequality_holds(spark):
+    out = Q()["agg_distinct_merge_inequality"](spark, SF_SMOKE).toPandas()
+    assert out["inequality_holds"].all()
+    assert (
+        out["overlap_double_counted"]
+        == out["naive_summed_distinct"] - out["true_distinct"]
+    ).all()
+
+
+def test_delta_ci_brackets_point_estimate(spark):
+    out = Q()["ml_ratio_metric_delta_ci"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 2
+    assert (out["ci95_lo_dollars"] <= out["revenue_per_event_dollars"]).all()
+    assert (out["ci95_hi_dollars"] >= out["revenue_per_event_dollars"]).all()
+    assert (out["delta_method_se_dollars"] >= 0).all()
+
+
+def test_pk_fanout_clean_on_smoke(spark):
+    r = Q()["join_pk_fanout_audit"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert bool(r["all_dims_pk_clean"])
+    assert (
+        r["n_lineitem"] == r["n_after_orders"]
+        == r["n_after_part"] == r["n_after_supplier"]
+    )
+
+
+def test_predicate_correlation_consistency(spark):
+    out = Q()["scan_predicate_correlation_audit"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 3
+    assert (out["actual_and_selectivity"] >= -1e-9).all()
+    assert (out["actual_and_selectivity"] <= 1 + 1e-9).all()
+    for _, r in out.iterrows():
+        expect = abs(r["correlation_factor"]
+                     - r["actual_and_selectivity"]
+                     / r["independence_estimate"])
+        assert expect < 1e-2
+
+
+def test_fiscal_rollup_conserves_revenue(spark):
+    out = Q()["dt_fiscal_quarter_rollup"](spark, SF_SMOKE).toPandas()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert out["n_orders"].sum() == len(orders)
+    total = (orders["o_totalprice"] * 100).round().sum() / 100
+    assert abs(out["revenue"].sum() - total) < 0.05
+    assert set(out["fiscal_quarter"]) <= {1, 2, 3, 4}
+
+
+def test_gini_auc_identity_certified(spark):
+    r = Q()["ml_gini_auc_identity"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert bool(r["identity_holds"])
+    assert abs(r["somers_d"] - r["gini_from_auc"]) < 1e-5
+    assert 0 <= r["auc"] <= 1
+
+
+def test_largest_remainder_sums_to_100(spark):
+    out = Q()["agg_largest_remainder_allocation"](spark, SF_SMOKE).toPandas()
+    assert out["allocated_pct"].sum() == 100
+    assert (out["allocated_pct"] - out["floor_pct"]).isin([0, 1]).all()
+    assert abs(out["exact_share_pct"].sum() - 100) < 1e-3
+
+
+def test_dup_degree_histogram_consistent(spark):
+    out = (
+        Q()["llm_dup_partner_degree_dist"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("n_partners")
+    )
+    assert (out["n_partners"] >= 1).all()
+    assert (out["cum_docs"] == out["n_docs"].cumsum()).all()
