@@ -294,15 +294,20 @@ def build(fold_live: bool = True) -> str:
     udf_rest = fam("udf_")
     taken = set(llm_rest) | set(stream_rest) | set(ml_rest) | set(udf_rest)
     rest = [n for n in pool if n not in taken]
+    # max(h) is the LIVE round (its window is already pinned); the first
+    # plannable window is the round after it.
+    stream_note = (
+        f"the {len(stream_rest)} remaining `stream_*` ops, "
+        if stream_rest else ""
+    )
     lines += [
         "",
         "## Next windows (plan, recomputed from the live pool each regen)",
         "",
-        f"- **r{max(h) + 2}**: the {len(llm_rest)} remaining `llm_*` ops, "
-        f"the {len(stream_rest)} remaining `stream_*` ops (the only §2 "
-        f"family with zero driver exposure so far), the {len(ml_rest)} "
+        f"- **r{max(h) + 1}**: the {len(llm_rest)} remaining `llm_*` ops, "
+        f"{stream_note}the {len(ml_rest)} "
         f"`ml_*` ops, and `udf_*` ops up to the 50 cap.",
-        f"- **r{max(h) + 3}+**: remaining `udf_*`/`udtf_*`/`mm_*`/`graph_*` "
+        f"- **r{max(h) + 2}+**: remaining `udf_*`/`udtf_*`/`mm_*`/`graph_*` "
         f"blocks, then the {len(rest)}-op scan/filter/agg/ts/win/sql/misc "
         "backlog, then any ops added after this regen.",
         "",
