@@ -92,6 +92,17 @@ _NOTES = {
     "all downstream stages run on <=31 cached rows",
     "llm_minhash_jaccard_estimate": "cached shingle/signature/candidate "
     "stages (r7 re-plan); verify joins are LSH-candidate-bounded",
+    "graph_two_hop_reach": "cached adjacency view; count includes the "
+    "cached build's printed repeats — live stages are the degree/2-hop/"
+    "exclusion aggs on the vertex grain",
+    "llm_dup_partner_degree_dist": "composes the cached banding pipeline; "
+    "degree stage is one union + histogram agg on the pair set",
+    "llm_shingle_size_sensitivity": "three independent shingle-size "
+    "pipelines over the collapsed reps (7 exchanges each by design)",
+    "llm_tfidf_cosine_pairs": "cached tf/weight stages; exchanges are the "
+    "norm/pair/idf stagelets, pair join source-blocked",
+    "str_trigram_similarity": "collapsed-rep trigram join; exchanges are "
+    "the sizes/shared/rank stagelets on the bounded rep set",
     "llm_perplexity_filter": "cached bigram + doc-entropy stages (r7 "
     "re-plan, was 8 documents scans); scoring join is the one real shuffle",
 }
