@@ -730,3 +730,104 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM stream_full_outer_join_sink"
         " GROUP BY coalesce(user_id, p_user_id)"
     )
+
+
+@register(
+    "stream_union_two_sources",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT 'topic_a' AS topic, event_type, value FROM events
+      WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'topic_b', event_type, value FROM events
+      WHERE event_id % 2 = 1)
+    SELECT topic, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS value_sum
+    FROM unioned GROUP BY topic, event_type
+    ORDER BY topic, event_type
+    """,
+)
+def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source stream union — the standard multi-topic ingestion
+    shape (two Kafka topics in production; two disjoint file streams
+    here, split by event-id parity so the partition is deterministic):
+    both streams are tagged with their origin, unioned BEFORE the
+    stateful aggregation, and a single per-(topic, type) rollup runs
+    over the merged stream — one state store for N sources, not N
+    pipelines. End-of-stream state provably equals the batch union, so
+    the oracle is exact. At scale the union is free (no shuffle — the
+    sources' partitions interleave); only the aggregate shuffles."""
+    a = (
+        _stream_events(spark, sf_dir, tag="union_a")
+        .where(F.col("event_id") % 2 == 0)
+        .withColumn("topic", F.lit("topic_a"))
+    )
+    b = (
+        _stream_events(spark, sf_dir, tag="union_b")
+        .where(F.col("event_id") % 2 == 1)
+        .withColumn("topic", F.lit("topic_b"))
+    )
+    agg = (
+        a.unionByName(b)
+        .groupBy("topic", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    _run_to_memory(agg, "stream_union_sink", "complete")
+    return spark.sql(
+        "SELECT topic, event_type, cnt, value_sum FROM stream_union_sink"
+        " ORDER BY topic, event_type"
+    )
+
+
+@register(
+    "stream_static_anti_join",
+    oracle=f"""
+    WITH blocklist AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS cnt_allowed,
+           round(sum(e.value), 2) AS value_allowed
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM blocklist b
+                      WHERE b.user_id = e.user_id)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join — the blocklist/consent filter every
+    compliant event pipeline runs in-stream (drop events from opted-out
+    or abusive users BEFORE any state is built, so the blocklist also
+    bounds state): a static user blocklist (deterministic id rule
+    standing in for a compliance table) anti-joins the stream, then a
+    per-type rollup counts what got through. The static side is
+    broadcast to every micro-batch; stream-static joins need no
+    watermark because the static side never grows. End-of-stream state
+    equals the batch anti join exactly. Completes the stream-static
+    family next to stream_static_join's enrichment inner join."""
+    from ..schemas import load
+
+    block = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .where(F.col("user_id") % 13 == 0)
+        .distinct()
+    )
+    filtered = (
+        _stream_events(spark, sf_dir, tag="anti")
+        .join(F.broadcast(block), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_allowed"),
+            F.round(F.sum("value"), 2).alias("value_allowed"),
+        )
+    )
+    _run_to_memory(filtered, "stream_anti_sink", "complete")
+    return spark.sql(
+        "SELECT event_type, cnt_allowed, value_allowed FROM stream_anti_sink"
+        " ORDER BY event_type"
+    )
