@@ -44,6 +44,29 @@ HEADLINE = {
 }
 
 
+def host_probe() -> dict:
+    """Self-interpreting load context for BENCH_r{N}.json (r8 verdict task
+    #7: r8's +21% total was pure host noise on bit-identical code and cost
+    the judge a re-measure). Records the 1/5/15-min loadavg plus a
+    fixed-size single-threaded DuckDB control aggregation whose wall-clock
+    depends only on host contention — if a future round's Spark totals
+    inflate but the control holds steady, the regression is real; if the
+    control inflates too, it's load."""
+    import duckdb
+
+    t0 = time.perf_counter()
+    duckdb.sql(
+        "SELECT count(DISTINCT h) FROM (SELECT md5(CAST(r AS VARCHAR)) h "
+        "FROM range(8000000) t(r))"
+    ).fetchall()
+    control = round(time.perf_counter() - t0, 4)
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "duckdb_control_sec": control,
+    }
+
+
 def time_query(fn, spark, runs: int = 2) -> float:
     fn(spark, SF_DIR).collect()  # warmup: plan + codegen + file listing
     best = float("inf")
@@ -84,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "host_probe": host_probe(),
             }
         )
     )

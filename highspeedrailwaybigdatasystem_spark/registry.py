@@ -79,57 +79,49 @@ def _ensure_loaded() -> None:
 
 
 #: The external gate samples the FIRST 50 entries of ``all_queries()`` each
-#: round. This tuple pins that window explicitly so coverage can rotate:
-#: rounds 1–2 gated the scans/filters/joins/aggs prefix, round 3 gated the
-#: 16 events.ts-repaired ops + 34 window/sort/setop/scalar ops, round 4
-#: the remaining joins + advanced-agg/scalar/timeseries/graph blocks (147
-#: distinct names driver-green cumulatively after r4, all 50/50 green in
-#: CORRECTNESS_r04.json). Names absent from the registry are ignored.
+#: round. This tuple pins that window explicitly so coverage can rotate.
+#: Names absent from the registry are ignored; rows-only names must stay
+#: out (they can never hash-green).
 #:
-#: Round 5 executed the rotation plan recorded at the end of round 4 (tpch
-#: q01–q22 + etl block + 10 sources/sinks): 50/50 green in
-#: CORRECTNESS_r05.json, frozen into tools/gen_driver_coverage.py history.
+#: This tuple carries NO rotation plan of its own: the authoritative
+#: per-round window history, the never-gated oracle-backed pool, and the
+#: GENERATED name lists for the next windows all live in DRIVER_COVERAGE.md
+#: (regenerate with ``python tools/gen_driver_coverage.py`` after every
+#: rotation — ``tests/test_registry.py`` pins the two in sync and rejects
+#: any window slot spent on an already-green op). Rounds 1–8 history is
+#: frozen in ``tools/gen_driver_coverage.py:history()``.
 #:
-#: ROUND 7 (this window): the 10 never-gated ``stream_*`` ops FIRST
-#: (stateful streaming is the family where the local mirror least
-#: resembles the driver's environment — r6 verdict task #2), then the 19
-#: ``ml_*``, 8 ``udf_*``, 3 ``udtf_*``, 7 ``mm_*`` ops and the first 3
-#: ``graph_*`` ops, exactly filling the 50-slot window from the
-#: never-gated oracle-backed pool (175 at round-7 start).
-#: Remaining-rounds plan so the pool finishes by round 9:
-#:   r8 — the 6 remaining graph_* ops, the 34 remaining llm_* ops, and
-#:        the first 10 agg_* backlog ops (alphabetical).
-#:   r9 — the remaining agg_*/ts_*/win_*/sql_*/etl_*/scalar/misc backlog
-#:        (~75 post-r8) + any ops added in rounds 7–8; overflow to r10.
-#: See DRIVER_COVERAGE.md ("Never-gated oracle-backed pool") for the
-#: authoritative pool; keep rows-only names out of every window (they can
-#: never hash-green).
+#: ROUND 9 window (rotated at round-9 start; 297 names driver-green after
+#: r8, 187-op never-gated pool): the dedup/ANN thesis family first (the
+#: r8 verdict's lead ask — simhash FP audit + jaccard/LSH estimator
+#: calibration + similarity/semdedup ops), the 9 never-gated ``graph_*``
+#: ops, the 2 round-7 ``stream_*`` stragglers, then the ``ts_*`` backlog
+#: alphabetically up to the 50 cap.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # stateful streaming block — zero driver exposure before round 7
-    "stream_cdc_latest_upsert", "stream_custom_state", "stream_dedup",
-    "stream_dedup_ttl", "stream_foreachbatch", "stream_full_outer_join",
-    "stream_left_outer_join", "stream_static_join",
-    "stream_topk_per_window", "stream_watermark_late",
-    # ml block
-    "ml_binary_metrics", "ml_boosted_stumps_2round", "ml_calibration_ece",
-    "ml_confusion_matrix_multiclass", "ml_dbscan_1d", "ml_decision_stump",
-    "ml_feature_scaling", "ml_fuzzy_cmeans_step", "ml_kfold_assignment",
-    "ml_kmeans_lloyd", "ml_knn_classifier_eval", "ml_logistic_gd_steps",
-    "ml_mcnemar_paired_test", "ml_naive_bayes_langid", "ml_ndcg_at_k",
-    "ml_pca_power_iteration", "ml_pr_auc_trapezoid", "ml_roc_auc",
-    "ml_silhouette_simplified",
-    # python-boundary block (udf/udtf)
-    "udf_arrow_optimized", "udf_cogrouped_apply", "udf_map_in_arrow",
-    "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_iterator",
-    "udf_pandas_scalar", "udf_python_scalar",
-    "udtf_analyze_polymorphic", "udtf_apply_in_pandas", "udtf_python",
-    # multimodal block
-    "mm_audio_chunk_stub", "mm_decode_stub", "mm_embed_sim_stub",
-    "mm_frame_sample", "mm_image_resize_stub", "mm_modality_router",
-    "mm_video_scene_cut_stub",
-    # first graph ops (rest rotate in r8)
-    "graph_assortativity", "graph_bfs_distance",
-    "graph_clustering_coefficient",
+    # dedup/ANN thesis family — estimator-calibration + similarity ops
+    "llm_simhash", "llm_simhash_fp_audit", "llm_idf_weighted_jaccard",
+    "llm_minhash_jaccard_estimate", "llm_tfidf_cosine_pairs",
+    "llm_lsh_tuning_curve", "llm_shingle_size_sensitivity",
+    "llm_dup_partner_degree_dist", "llm_sim_topk", "llm_sim_blocked",
+    "llm_sim_pairs_label", "llm_semdedup_centroid", "llm_semdedup_sqrtn",
+    "llm_prefix_dup_clusters", "llm_decontamination",
+    # remaining graph block
+    "graph_bipartite_projection", "graph_common_neighbors",
+    "graph_connected_components", "graph_degree_stats",
+    "graph_jaccard_link_prediction", "graph_k_core",
+    "graph_label_propagation", "graph_reciprocity", "graph_two_hop_reach",
+    # round-7 streaming stragglers
+    "stream_static_anti_join", "stream_union_two_sources",
+    # ts backlog (alphabetical; remaining 4 + the rest rotate in r10)
+    "ts_attribution_touch", "ts_burstiness_fano", "ts_changepoint_binseg",
+    "ts_changepoint_mean_shift", "ts_cross_correlation",
+    "ts_dft_power_topk", "ts_diff_in_diff", "ts_downsample_m4",
+    "ts_forecast_eval_naive", "ts_forecast_naive_eval",
+    "ts_gap_distribution", "ts_hurst_rs", "ts_ljung_box",
+    "ts_mad_robust_z", "ts_out_of_order_audit", "ts_peak_detection",
+    "ts_permutation_entropy", "ts_rfm_segmentation", "ts_runs_test",
+    "ts_seasonal_decompose", "ts_seasonality_strength",
+    "ts_sprt_sequential", "ts_stl_decompose_additive", "ts_theil_sen",
 )
 
 

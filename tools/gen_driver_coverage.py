@@ -149,6 +149,35 @@ _R6_WINDOW = [
 ]
 
 
+_R7_WINDOW = [
+    # stateful streaming block — zero driver exposure before round 7
+    "stream_cdc_latest_upsert", "stream_custom_state", "stream_dedup",
+    "stream_dedup_ttl", "stream_foreachbatch", "stream_full_outer_join",
+    "stream_left_outer_join", "stream_static_join",
+    "stream_topk_per_window", "stream_watermark_late",
+    # ml block
+    "ml_binary_metrics", "ml_boosted_stumps_2round", "ml_calibration_ece",
+    "ml_confusion_matrix_multiclass", "ml_dbscan_1d", "ml_decision_stump",
+    "ml_feature_scaling", "ml_fuzzy_cmeans_step", "ml_kfold_assignment",
+    "ml_kmeans_lloyd", "ml_knn_classifier_eval", "ml_logistic_gd_steps",
+    "ml_mcnemar_paired_test", "ml_naive_bayes_langid", "ml_ndcg_at_k",
+    "ml_pca_power_iteration", "ml_pr_auc_trapezoid", "ml_roc_auc",
+    "ml_silhouette_simplified",
+    # python-boundary block (udf/udtf)
+    "udf_arrow_optimized", "udf_cogrouped_apply", "udf_map_in_arrow",
+    "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_iterator",
+    "udf_pandas_scalar", "udf_python_scalar",
+    "udtf_analyze_polymorphic", "udtf_apply_in_pandas", "udtf_python",
+    # multimodal block
+    "mm_audio_chunk_stub", "mm_decode_stub", "mm_embed_sim_stub",
+    "mm_frame_sample", "mm_image_resize_stub", "mm_modality_router",
+    "mm_video_scene_cut_stub",
+    # first graph ops
+    "graph_assortativity", "graph_bfs_distance",
+    "graph_clustering_coefficient",
+]
+
+
 def history() -> dict[int, dict[str, str]]:
     h: dict[int, dict[str, str]] = {}
     h[1] = {n: _R1_NONGREEN.get(n, "green") for n in _R1_WINDOW}
@@ -161,6 +190,13 @@ def history() -> dict[int, dict[str, str]]:
     # r6: 50/50 green in CORRECTNESS_r06.json (verified on disk at round-7
     # start; the window was the 6 left-over source ops + 44 llm_* ops).
     h[6] = {n: "green" for n in _R6_WINDOW}
+    # r7: 50/50 green in CORRECTNESS_r07.json (stream/ml/udf/udtf/mm + first
+    # 3 graph ops). r8 shipped zero commits, so the driver re-gated the
+    # IDENTICAL window — CORRECTNESS_r08.json is 50/50 green on the same
+    # name set (verified on disk at round-9 start; the r8 verdict confirms
+    # the name sets match programmatically).
+    h[7] = {n: "green" for n in _R7_WINDOW}
+    h[8] = {n: "green" for n in _R7_WINDOW}
     return h
 
 
@@ -286,32 +322,28 @@ def build(fold_live: bool = True) -> str:
     for i in range(0, len(pool), 4):
         lines.append(", ".join(f"`{n}`" for n in pool[i:i + 4]))
 
-    # Planned window sequence (mirrors registry.py:_WINDOW_PRIORITY comments)
-    fam = lambda p: sorted(n for n in pool if n.startswith(p))  # noqa: E731
-    llm_rest = fam("llm_")
-    stream_rest = fam("stream_")
-    ml_rest = fam("ml_")
-    udf_rest = fam("udf_")
-    taken = set(llm_rest) | set(stream_rest) | set(ml_rest) | set(udf_rest)
-    rest = [n for n in pool if n not in taken]
-    # max(h) is the LIVE round (its window is already pinned); the first
-    # plannable window is the round after it.
-    stream_note = (
-        f"the {len(stream_rest)} remaining `stream_*` ops, "
-        if stream_rest else ""
-    )
+    # Planned window sequence — GENERATED name lists (r8-verdict task #9:
+    # plans must come from the regenerated ledger, not be hand-written).
+    # Deterministic draw order: the never-gated pool sorted by name,
+    # chunked into 50-op windows starting at the round after the live one.
+    # max(h) is the LIVE round (its window is already pinned in
+    # registry._WINDOW_PRIORITY); the first plannable window follows it.
     lines += [
         "",
-        "## Next windows (plan, recomputed from the live pool each regen)",
-        "",
-        f"- **r{max(h) + 1}**: the {len(llm_rest)} remaining `llm_*` ops, "
-        f"{stream_note}the {len(ml_rest)} "
-        f"`ml_*` ops, and `udf_*` ops up to the 50 cap.",
-        f"- **r{max(h) + 2}+**: remaining `udf_*`/`udtf_*`/`mm_*`/`graph_*` "
-        f"blocks, then the {len(rest)}-op scan/filter/agg/ts/win/sql/misc "
-        "backlog, then any ops added after this regen.",
+        "## Next windows (GENERATED from the live pool — copy each list",
+        "## verbatim into `registry._WINDOW_PRIORITY` at that round's start)",
         "",
     ]
+    for i in range(0, len(pool), 50):
+        rnd = max(h) + 1 + i // 50
+        chunk = pool[i:i + 50]
+        lines.append(f"### r{rnd} planned window ({len(chunk)} ops)")
+        lines.append("")
+        for j in range(0, len(chunk), 4):
+            lines.append(", ".join(f"`{n}`" for n in chunk[j:j + 4]))
+        lines.append("")
+    if not pool:
+        lines += ["(pool drained — every oracle-backed op has been gated)", ""]
     return "\n".join(lines)
 
 
