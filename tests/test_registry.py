@@ -91,8 +91,18 @@ def test_driver_coverage_ledger_in_sync():
     # so between artifact-landing and the next round's regen the folded
     # rendering differs from the committed one. Both are in-sync states
     # (this tolerance is what stops the red-at-every-round-start churn the
-    # r5 and r6 verdicts flagged).
-    assert on_disk in (gdc.build(), gdc.build(fold_live=False)), (
+    # r5 and r6 verdicts flagged). The live_round=max(history)+1 variants
+    # additionally cover consecutive ZERO-COMMIT rounds, where the driver's
+    # re-gate artifact shifts current_round() past the committed rendering
+    # with no code change anywhere (the exact state that reddened round 8).
+    frozen_next = max(gdc.history()) + 1
+    accepted = (
+        gdc.build(),
+        gdc.build(fold_live=False),
+        gdc.build(live_round=frozen_next),
+        gdc.build(fold_live=False, live_round=frozen_next),
+    )
+    assert on_disk in accepted, (
         "DRIVER_COVERAGE.md stale; rerun tools/gen_driver_coverage.py"
     )
 

@@ -242,7 +242,7 @@ def current_round() -> int:
     return embedded_max + 1
 
 
-def build(fold_live: bool = True) -> str:
+def build(fold_live: bool = True, live_round: int | None = None) -> str:
     """Render the ledger.
 
     ``fold_live=True`` (default) folds the live round's on-disk CORRECTNESS
@@ -252,9 +252,19 @@ def build(fold_live: bool = True) -> str:
     the round's last commit), so tests/test_registry.py accepts either
     rendering — that is what stops the red-at-round-start churn flagged by
     the r5 and r6 verdicts.
+
+    ``live_round`` pins the rendered live round instead of deriving it from
+    ``current_round()``. Round 8 exposed why this matters: a ZERO-COMMIT
+    round lets the driver land an artifact for round max(history)+2 while
+    the committed ledger was rendered at max(history)+1, shifting
+    ``current_round()`` under the committed text and reddening the in-sync
+    test with no code change anywhere. tests/test_registry.py therefore
+    also accepts the ``live_round=max(history())+1`` renderings, so any
+    number of consecutive idle rounds can never redden the suite.
     """
     h = history()
-    live_round = current_round()
+    if live_round is None:
+        live_round = current_round()
     live_window = [
         n for n in registry._WINDOW_PRIORITY
         if n in registry.all_queries() and n in registry.all_oracles()
