@@ -208,3 +208,63 @@ def test_stream_anti_join_arrival_order_independent(spark):
     blocked = set(ev.loc[ev["user_id"] % 13 == 0, "user_id"])
     allowed = ev[~ev["user_id"].isin(blocked)]
     assert a["cnt_allowed"].sum() == len(allowed)
+
+
+# --- rows-only estimator bounds (the ops the driver can never hash-gate) ----
+# These three are rows-only BY DESIGN (engine-specific estimates), so their
+# only gate evidence was the driver's row-count check. These tests pin the
+# estimator CLAIMS from each op's docstring: error bounds vs exact truth
+# computed independently in pandas, and genuine-neighbor guarantees for LSH.
+
+def test_approx_distinct_within_rsd_bound(spark):
+    out = Q()["agg_approx_distinct"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert set(out["event_type"]) == set(exact.index)
+    for _, r in out.iterrows():
+        true = exact[r["event_type"]]
+        # rsd=0.02; HLL++ is exact at smoke cardinality (15 per group,
+        # below sparse-mode resolution) — allow 5% headroom regardless
+        assert abs(r["approx_users"] - true) <= max(1, 0.05 * true)
+
+
+def test_hll_sketch_estimates_and_union_consistent(spark):
+    out = Q()["agg_hll_sketch"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    per_type = out[out["event_type"] != "__all__"]
+    union = out[out["event_type"] == "__all__"]
+    assert len(union) == 1
+    for _, r in per_type.iterrows():
+        true = exact[r["event_type"]]
+        assert abs(r["approx_users"] - true) <= max(1, 0.05 * true)
+    # the union sketch estimates the GLOBAL distinct count, not the sum
+    true_all = ev["user_id"].nunique()
+    u = union["approx_users"].iloc[0]
+    assert abs(u - true_all) <= max(1, 0.05 * true_all)
+    assert u <= per_type["approx_users"].sum()
+
+
+def test_ann_lsh_neighbors_are_genuine(spark):
+    import numpy as np
+
+    out = Q()["llm_ann_lsh"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float)
+            for r in emb.itertuples()}
+    probe = vecs[0]
+    true_d = {
+        vid: float(np.linalg.norm(v - probe))
+        for vid, v in vecs.items() if vid != 0
+    }
+    # reported distances are TRUE euclidean distances (LSH prunes the
+    # candidate set; it must never fabricate distances)
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        assert abs(r["euclid_dist"] - true_d[r["vec_id"]]) < 1e-5
+    # distances come back sorted ascending
+    assert (out["euclid_dist"].diff().dropna() >= -1e-12).all()
+    # recall@10 vs exact brute force (docstring claims 10/10 at sf0.001;
+    # pin >= 8/10 so a legitimate rebucketing can't flake the suite)
+    exact_top = set(sorted(true_d, key=true_d.get)[:10])
+    assert len(exact_top & set(out["vec_id"])) >= 8
