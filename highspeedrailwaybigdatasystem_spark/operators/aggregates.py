@@ -2293,8 +2293,7 @@ _BLOOM_K = 3      # hash functions
 _BLOOM_SPARK = f"""
     WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
     probes AS (
-      SELECT c_custkey AS key FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.key = c.c_custkey)),
+      SELECT c_custkey + (SELECT max(key) FROM mem) AS key FROM customer),
     mpos AS (
       SELECT DISTINCT
              pmod(CAST(conv(substr(md5(concat(CAST(key AS STRING), '#',
@@ -2326,8 +2325,7 @@ _BLOOM_SPARK = f"""
 _BLOOM_DUCK = f"""
     WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
     probes AS (
-      SELECT c_custkey AS key FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM mem WHERE mem.key = c.c_custkey)),
+      SELECT c_custkey + (SELECT max(key) FROM mem) AS key FROM customer),
     mpos AS (
       SELECT DISTINCT
              CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#'
@@ -2362,8 +2360,13 @@ def agg_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter false-positive audit, exactly oracle-checkable
     because the filter is built IN SQL from deterministic md5-prefix
     hashes (k=3 functions over a 16384-bit domain) instead of an opaque
-    sketch object: members = customers with orders, probes = customers
-    without; a probe is a false positive iff all k of its bit positions
+    sketch object: members = customers with orders, probes = customer
+    keys offset past the member-key domain (max member key + c_custkey)
+    so every probe is a GUARANTEED non-member on any corpus — the
+    original customers-without-orders probe set was EMPTY on this corpus
+    at every SF (every customer has an order), so the audit measured
+    nothing (r9 fix, found by the r10-window property tests); a probe is
+    a false positive iff all k of its bit positions
     were set by some member. Reports measured FPR against the textbook
     expectation (1 − e^{-kn/m})^k — the calibration check a platform
     runs before trusting join_bloom_filter-style semi-join pruning at
