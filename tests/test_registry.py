@@ -107,6 +107,38 @@ def test_driver_coverage_ledger_in_sync():
     )
 
 
+def test_every_gate_window_op_has_test_coverage():
+    """Every op in the LIVE gate window and every GENERATED planned window
+    (DRIVER_COVERAGE.md) must be referenced by at least one test file —
+    the oracle mirror proves Spark ≡ DuckDB, a property/recompute test is
+    the only guard against both engines being wrong the same way (this
+    discipline found agg_bloom_fpr_audit's empty probe set in round 9).
+    New ops must land with a test BEFORE their window gates."""
+    import glob
+
+    with open(os.path.join(REPO, "DRIVER_COVERAGE.md")) as f:
+        ledger = f.read()
+    planned = set(
+        re.findall(
+            r"`([a-z0-9_]+)`",
+            ledger.split("## Next windows", 1)[-1],
+        )
+    )
+    names = set(registry._WINDOW_PRIORITY) | planned
+    corpus = ""
+    for p in glob.glob(os.path.join(REPO, "tests", "*.py")):
+        with open(p) as f:
+            corpus += f.read()
+    missing = sorted(
+        n for n in names
+        if f'"{n}"' not in corpus and f"'{n}'" not in corpus
+    )
+    assert not missing, (
+        f"gate-window ops with no test coverage (add a recompute/property "
+        f"test before the window gates): {missing[:10]}"
+    )
+
+
 def test_gate_window_rotates_onto_never_green_ops():
     """Every slot in the live window must be spent on an op with no prior
     driver-green row — re-gating a green op wastes rotation throughput."""
