@@ -97,6 +97,13 @@ def _ensure_loaded() -> None:
 #: calibration + similarity/semdedup ops), the 9 never-gated ``graph_*``
 #: ops, the 2 round-7 ``stream_*`` stragglers, then the ``ts_*`` backlog
 #: alphabetically up to the 50 cap.
+#:
+#: ROTATION IS AUTOMATED: at the start of round N+1 (once the driver's
+#: CORRECTNESS_r{N}.json is on disk), run ``python tools/rotate_window.py``
+#: — it freezes the finished round into tools/gate_history.json, rewrites
+#: the tuple below with the next 50 never-gated names, and regenerates
+#: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
+# --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # dedup/ANN thesis family — estimator-calibration + similarity ops
     "llm_simhash", "llm_simhash_fp_audit", "llm_idf_weighted_jaccard",
@@ -123,6 +130,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ts_seasonal_decompose", "ts_seasonality_strength",
     "ts_sprt_sequential", "ts_stl_decompose_additive", "ts_theil_sen",
 )
+# --- WINDOW END ---
 
 
 def all_queries() -> dict[str, QueryFn]:
