@@ -139,6 +139,26 @@ def test_every_gate_window_op_has_test_coverage():
     )
 
 
+def test_rotation_tool_agrees_with_ledger_plan():
+    """tools/rotate_window.py must rotate onto EXACTLY the next planned
+    window the committed ledger advertises — the two are generated from the
+    same pool, but this pins that a refactor of either can't drift them."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_driver_coverage as gdc
+    import rotate_window as rw
+
+    with open(os.path.join(REPO, "DRIVER_COVERAGE.md")) as f:
+        ledger = f.read()
+    m = re.search(
+        r"### r\d+ planned window \(\d+ ops\)\n\n(.*?)(\n###|\n*$)",
+        ledger.split("## Next windows", 1)[-1],
+        re.S,
+    )
+    assert m, "no planned window section in DRIVER_COVERAGE.md"
+    planned_first = re.findall(r"`([a-z0-9_]+)`", m.group(1))
+    assert rw.next_window(gdc.history()) == planned_first
+
+
 def test_gate_window_rotates_onto_never_green_ops():
     """Every slot in the live window must be spent on an op with no prior
     driver-green row — re-gating a green op wastes rotation throughput."""
