@@ -1,0 +1,173 @@
+"""Planted-signal tests for every detector/audit op whose alarm NEVER fires
+on the clean corpus (found by a round-9 degeneracy sweep over all signal
+columns at both test tiers — the same failure class as the bloom-FPR-audit
+empty probe set, where an op can hash-match a degenerate oracle forever
+while its detection logic is dead code).
+
+Each test plants a fault/signal in a synthetic table and asserts the alarm
+fires; each also asserts the alarm stays QUIET on the clean corpus, so the
+pair pins both sides of the decision boundary. Three flagged ops are not
+here because their positive path is already exercised elsewhere
+(ts_ljung_box: planted trend, ml_two_proportion_ztest: planted uplift) or
+the quiet outcome IS the correct one by construction
+(agg_hash_uniformity_chisq: md5 is uniform; the alarm firing would mean
+the hash is broken)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+
+from highspeedrailwaybigdatasystem_spark.registry import all_queries
+from highspeedrailwaybigdatasystem_spark.schemas import TABLE_NAMES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_Q = None
+
+
+def Q():
+    global _Q
+    if _Q is None:
+        _Q = all_queries()
+    return _Q
+
+
+def _synthetic_sf(**overrides: pd.DataFrame) -> str:
+    d = tempfile.mkdtemp(prefix="prop_det_")
+    for name in TABLE_NAMES:
+        dst = os.path.join(d, f"{name}.parquet")
+        if name in overrides:
+            overrides[name].to_parquet(dst, index=False)
+        else:
+            os.symlink(f"{SF_SMOKE}/{name}.parquet", dst)
+    return d
+
+
+def test_out_of_order_audit_detects_planted_disorder(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # quiet on the clean corpus
+    quiet = Q()["ts_out_of_order_audit"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert int(quiet["n_out_of_order"]) == 0
+    # swap one user's first two timestamps so the later event_id runs behind
+    g = ev[ev["user_id"] == ev["user_id"].iloc[0]].sort_values("event_id")
+    i0, i1 = g.index[0], g.index[1]
+    ev.loc[[i0, i1], "ts"] = ev.loc[[i1, i0], "ts"].to_numpy()
+    if ev.loc[i0, "ts"] <= ev.loc[i1, "ts"]:  # ties can't disorder; force it
+        ev.loc[i1, "ts"] = ev.loc[i0, "ts"] - pd.Timedelta(hours=1)
+    r = Q()["ts_out_of_order_audit"](
+        spark, _synthetic_sf(events=ev)
+    ).toPandas().iloc[0]
+    assert int(r["n_out_of_order"]) >= 1
+    assert int(r["worst_skew_us"]) < 0  # skew is how far BEHIND the max
+
+
+def test_iqr_fences_detect_planted_outlier(spark):
+    quiet = Q()["agg_iqr_outlier_fences"](spark, SF_SMOKE).toPandas()
+    assert (quiet["n_outliers"] == 0).all()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    li.loc[li.index[0], "l_extendedprice"] = 10_000_000.0  # a whale line
+    out = Q()["agg_iqr_outlier_fences"](
+        spark, _synthetic_sf(lineitem=li)
+    ).toPandas()
+    flag = li.loc[li.index[0], "l_returnflag"]
+    assert int(out.loc[out["l_returnflag"] == flag, "n_outliers"].iloc[0]) >= 1
+
+
+def test_benjamini_hochberg_detects_planted_shift(spark):
+    quiet = Q()["agg_benjamini_hochberg"](spark, SF_SMOKE).toPandas()
+    assert (quiet["significant_fdr05"] == 0).all()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev.loc[ev["event_type"] == "error", "value"] += 500.0
+    out = Q()["agg_benjamini_hochberg"](
+        spark, _synthetic_sf(events=ev)
+    ).toPandas()
+    # the shift moves the GLOBAL mean, so every group's z vs the pooled
+    # mean becomes extreme — the planted group must fire and carry by far
+    # the largest |z| (positive: it sits above the mean it dragged up)
+    sig = out.set_index("event_type")["significant_fdr05"]
+    assert int(sig["error"]) == 1
+    z = out.set_index("event_type")["z_stat"]
+    assert z["error"] > 0 and z["error"] == z.abs().max()
+
+
+def test_tukey_hsd_detects_planted_group_difference(spark):
+    quiet = Q()["agg_tukey_hsd"](spark, SF_SMOKE).toPandas()
+    assert not quiet["significant_5pct"].any()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev.loc[ev["event_type"] == "error", "value"] += 500.0
+    out = Q()["agg_tukey_hsd"](spark, _synthetic_sf(events=ev)).toPandas()
+    hits = out[out["significant_5pct"]]
+    assert len(hits) >= 4  # 'error' vs each of the other 4 types
+    assert (
+        (hits["type_a"] == "error") | (hits["type_b"] == "error")
+    ).all()
+
+
+def test_fk_orphan_audit_detects_planted_orphans(spark):
+    quiet = Q()["etl_fk_orphan_audit"](spark, SF_SMOKE).toPandas()
+    assert (quiet["n_orphans"] == 0).all()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o.loc[o.index[:3], "o_custkey"] = 999_999_999  # no such customer
+    out = Q()["etl_fk_orphan_audit"](spark, _synthetic_sf(orders=o)).toPandas()
+    edge = out[out["fk_edge"].str.contains("cust", case=False)]
+    assert int(edge["n_orphans"].sum()) == 3
+
+
+def test_null_rate_drift_detects_planted_field_drop(spark):
+    quiet = Q()["etl_null_rate_drift"](spark, SF_SMOKE).toPandas()
+    assert not quiet["drift_alert"].any()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # a producer "silently drops" props for one stream in the second half
+    mask = (ev["event_type"] == "click") & (ev["ts"].dt.day > 15)
+    ev.loc[mask, "props"] = "{}"
+    out = Q()["etl_null_rate_drift"](spark, _synthetic_sf(events=ev)).toPandas()
+    r = out[out["event_type"] == "click"].iloc[0]
+    assert bool(r["drift_alert"])
+    assert r["empty_props_drift"] > 0.05
+
+
+def test_cross_snapshot_dedup_detects_planted_duplicate(spark):
+    quiet = Q()["llm_cross_snapshot_dedup"](spark, SF_SMOKE).toPandas()
+    assert (quiet["n_dup_vs_hist"] == 0).all()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    # copy an even (historical) doc's text into an odd (new-batch) doc
+    even_text = docs.loc[docs["doc_id"] % 2 == 0, "text"].iloc[0]
+    odd_idx = docs.index[docs["doc_id"] % 2 == 1][0]
+    docs.loc[odd_idx, "text"] = even_text
+    out = Q()["llm_cross_snapshot_dedup"](
+        spark, _synthetic_sf(documents=docs)
+    ).toPandas()
+    assert int(out["n_dup_vs_hist"].sum()) == 1
+    src = docs.loc[odd_idx, "source"]
+    r = out[out["source"] == src].iloc[0]
+    assert int(r["n_batch"]) == int(r["n_dup_vs_hist"]) + int(r["n_new"])
+
+
+def test_cardinality_audit_detects_planted_fanout(spark):
+    quiet = Q()["join_cardinality_estimate_audit"](spark, SF_SMOKE).toPandas()
+    assert not quiet["explosion_risk"].any()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # one hot user with 40 clicks and 30 purchases -> 1200 predicted pairs
+    hot = pd.DataFrame(
+        {
+            "event_id": range(10_000_000, 10_000_070),
+            "ts": pd.Series(
+                pd.date_range("2024-01-05", periods=70, freq="min"),
+                dtype="datetime64[us]",
+            ),
+            "user_id": 7,
+            "event_type": ["click"] * 40 + ["purchase"] * 30,
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    out = Q()["join_cardinality_estimate_audit"](
+        spark, _synthetic_sf(events=pd.concat([ev, hot], ignore_index=True))
+    ).toPandas()
+    r = out[out["user_id"] == 7].iloc[0]
+    assert bool(r["explosion_risk"])
+    assert int(r["predicted_pairs"]) == int(r["n_left"]) * int(r["n_right"])
+    assert int(r["predicted_pairs"]) > 1000
