@@ -1302,7 +1302,7 @@ def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_SQL = """
     WITH bucketed AS (
       SELECT event_type,
-             CAST(floor(value * 2) AS INT) AS b,
+             CAST(least(floor(value / 50), 9) AS INT) AS b,
              CAST(count(*) FILTER (WHERE extract(day FROM ts) <= 15)
                   AS DOUBLE) AS c1,
              CAST(count(*) FILTER (WHERE extract(day FROM ts) > 15)
@@ -1331,13 +1331,21 @@ _PSI_SQL = """
 @register("etl_psi_drift", oracle=_PSI_SQL)
 def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type between the first and
-    second half of the month (half-unit value buckets, add-1 smoothing
-    over each type's observed domain) — the model-monitoring drift gate
-    ('re-score when PSI > 0.25') run as a batch audit before promoting a
-    new training snapshot. ONE conditional aggregate builds both period
-    distributions in a single corpus pass (no second scan, no join back
-    to row grain); the PSI sum is |type×bucket|-grain arithmetic. At
-    100 TB this is a map-side-combinable shuffle of a few thousand rows."""
+    second half of the month (10 fixed-width value bands — the industry
+    decile-grain convention — add-1 smoothing over each type's observed
+    domain) — the model-monitoring drift gate ('re-score when PSI >
+    0.25') run as a batch audit before promoting a new training
+    snapshot. The bin grain matters: the original half-unit buckets
+    (~350 bins, ~20 rows per bin per half at the test tiers) let add-1
+    smoothing noise alone push PSI past the 'major' threshold on halves
+    drawn from the SAME distribution — a drift monitor stuck crying
+    wolf is as dead as one that never fires (found by the round-9
+    degeneracy sweep; tests now pin 'stable' on the clean corpus AND
+    'major' on a planted shift). ONE conditional aggregate builds both
+    period distributions in a single corpus pass (no second scan, no
+    join back to row grain); the PSI sum is |type×bucket|-grain
+    arithmetic. At 100 TB this is a map-side-combinable shuffle of a
+    few thousand rows."""
     return sql_q(spark, sf_dir, _PSI_SQL)
 
 

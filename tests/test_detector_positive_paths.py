@@ -171,3 +171,97 @@ def test_cardinality_audit_detects_planted_fanout(spark):
     assert bool(r["explosion_risk"])
     assert int(r["predicted_pairs"]) == int(r["n_left"]) * int(r["n_right"])
     assert int(r["predicted_pairs"]) > 1000
+
+
+def test_psi_drift_detects_planted_distribution_shift(spark):
+    # clean-corpus quiet is asserted (at both tiers) in
+    # tests/test_properties_r11_window.py::test_psi_drift_matches_pandas
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    mask = (ev["event_type"] == "click") & (ev["ts"].dt.day > 15)
+    ev.loc[mask, "value"] = ev.loc[mask, "value"] + 200.0  # band shift
+    out = Q()["etl_psi_drift"](spark, _synthetic_sf(events=ev)).toPandas()
+    r = out[out["event_type"] == "click"].iloc[0]
+    assert r["drift_band"] == "major"
+    assert r["psi"] > 0.25
+
+
+def test_predicate_correlation_detects_planted_coupling(spark):
+    quiet = Q()["scan_predicate_correlation_audit"](spark, SF_SMOKE).toPandas()
+    assert not quiet["correlated"].any()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    # couple qty>25 exactly to price>30000: P(A&B)/(P(A)P(B)) = 1/P(A) >> 1.2
+    li["l_quantity"] = (li["l_extendedprice"] > 30000).map({True: 50.0, False: 1.0})
+    out = Q()["scan_predicate_correlation_audit"](
+        spark, _synthetic_sf(lineitem=li)
+    ).toPandas()
+    r = out[out["pred_pair"] == "qty_x_price"].iloc[0]
+    assert bool(r["correlated"])
+    assert r["correlation_factor"] > 1.2
+
+
+def test_hill_index_detects_planted_heavy_tail(spark):
+    quiet = Q()["agg_hill_tail_index"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert not bool(quiet["infinite_variance_regime"])
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    # plant a Pareto(alpha=1.2) upper tail: v_k = C * k^(-1/1.2), k=1..300,
+    # with C large enough that the whole top-101 order-statistic window is
+    # planted (C=1e7 left the smallest planted value below the corpus's own
+    # big orders, diluting the estimator). alpha < 2 = infinite variance.
+    k = pd.Series(range(1, 301), dtype=float)
+    o.loc[o.index[:300], "o_totalprice"] = (1e9 * k.pow(-1 / 1.2)).to_numpy()
+    r = Q()["agg_hill_tail_index"](
+        spark, _synthetic_sf(orders=o)
+    ).toPandas().iloc[0]
+    assert bool(r["infinite_variance_regime"])
+    assert 0.9 < r["tail_alpha"] < 1.6  # recovers the planted alpha=1.2
+
+
+def test_freshness_sla_detects_planted_stale_stream(spark):
+    quiet = Q()["etl_freshness_sla_audit"](spark, SF_SMOKE).toPandas()
+    assert not quiet["breach_24h"].any() and not quiet["breach_72h"].any()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # the click producer goes dark after Jan 3; the rest keep flowing
+    ev = ev[(ev["event_type"] != "click") | (ev["ts"].dt.day <= 3)]
+    out = Q()["etl_freshness_sla_audit"](
+        spark, _synthetic_sf(events=ev.reset_index(drop=True))
+    ).toPandas()
+    r = out[out["event_type"] == "click"].iloc[0]
+    assert bool(r["breach_24h"]) and bool(r["breach_72h"])
+    assert r["lag_hours"] > 72
+    others = out[out["event_type"] != "click"]
+    assert not others["breach_24h"].any()
+
+
+def test_char_class_mix_detects_planted_symbol_spam(spark):
+    quiet = Q()["llm_char_class_mix"](spark, SF_SMOKE).toPandas()
+    assert not quiet["symbol_heavy"].any()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    spam_src = docs["source"].iloc[0]
+    docs.loc[docs["source"] == spam_src, "text"] = "@@@@ #### $$$$ %%%% !!!!"
+    out = Q()["llm_char_class_mix"](
+        spark, _synthetic_sf(documents=docs)
+    ).toPandas()
+    r = out[out["source"] == spam_src].iloc[0]
+    assert bool(r["symbol_heavy"])
+    assert r["symbol_share"] > 0.10
+    assert not out.loc[out["source"] != spam_src, "symbol_heavy"].any()
+
+
+def test_quarantine_routing_detects_planted_bad_rows(spark):
+    quiet = Q()["etl_quarantine_routing"](spark, SF_SMOKE).toPandas()
+    assert set(quiet["route"]) == {"pass"}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    i = ev.index
+    ev.loc[i[0], "value"] = -5.0                      # rule 1
+    ev.loc[i[1], "event_type"] = "mystery"            # rule 2
+    ev.loc[i[2], "ts"] = pd.Timestamp("2023-12-25")   # rule 4
+    ev.loc[i[3], "props"] = "not-json"                # rule 8
+    ev.loc[i[4], "value"] = -1.0                      # rules 1+8 together
+    ev.loc[i[4], "props"] = "also-bad"
+    out = Q()["etl_quarantine_routing"](
+        spark, _synthetic_sf(events=ev)
+    ).toPandas().set_index("rule_bitmap")
+    for bm in (1, 2, 4, 8, 9):
+        assert out.loc[bm, "route"] == "quarantine"
+        assert int(out.loc[bm, "n_rows"]) == 1
+    assert int(out.loc[0, "n_rows"]) == len(ev) - 5
