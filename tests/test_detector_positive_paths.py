@@ -265,3 +265,47 @@ def test_quarantine_routing_detects_planted_bad_rows(spark):
         assert out.loc[bm, "route"] == "quarantine"
         assert int(out.loc[bm, "n_rows"]) == 1
     assert int(out.loc[0, "n_rows"]) == len(ev) - 5
+
+
+def test_format_detect_fires_on_planted_structures(spark):
+    # genuinely zero on the clean corpus (the synthetic text carries no
+    # punctuation at all) — asserted as the quiet side
+    quiet = Q()["llm_format_detect"](spark, SF_SMOKE).toPandas()
+    rate_cols = [
+        "table_markup_rate", "question_rate", "keyvalue_rate",
+        "parenthetical_rate", "sentence_rate",
+    ]
+    assert (quiet[rate_cols].to_numpy() == 0).all()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    src = docs["source"].iloc[0]
+    docs.loc[docs["source"] == src, "text"] = (
+        "col_a | col_b | col_c ? really : yes (see table). done."
+    )
+    out = Q()["llm_format_detect"](
+        spark, _synthetic_sf(documents=docs)
+    ).toPandas().set_index("source")
+    for col in rate_cols:
+        assert out.loc[src, col] == 1.0
+        assert (out.loc[out.index != src, col] == 0).all()
+
+
+def test_boilerplate_detect_fires_on_planted_template(spark):
+    quiet = Q()["llm_template_boilerplate_detect"](spark, SF_SMOKE).toPandas()
+    assert (quiet["boilerplate_share"] == 0).all()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    src = docs["source"].iloc[0]
+    idx = docs.index[docs["source"] == src]
+    # prepend the same legal footer to MORE than half the source's docs
+    # (boilerplate rule: shingle doc-frequency * 2 >= source doc count)
+    n_hit = len(idx) // 2 + 1
+    docs.loc[idx[:n_hit], "text"] = (
+        "copyright acme corp all rights reserved " + docs.loc[idx[:n_hit], "text"]
+    )
+    out = Q()["llm_template_boilerplate_detect"](
+        spark, _synthetic_sf(documents=docs)
+    ).toPandas().set_index("source")
+    # the 7-token footer yields exactly 4 internal shared 3-grams (the
+    # gram bridging into each doc's own text differs per doc)
+    assert int(out.loc[src, "n_boilerplate_shingles"]) == 4
+    assert out.loc[src, "boilerplate_share"] > 0
+    assert (out.loc[out.index != src, "boilerplate_share"] == 0).all()
