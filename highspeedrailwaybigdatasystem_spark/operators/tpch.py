@@ -848,14 +848,15 @@ SELECT l_partkey AS partkey,
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON n_nationkey = s_nationkey
-WHERE n_name = 'NATION_7'
+WHERE n_name = 'NATION_3'
 GROUP BY l_partkey
 HAVING sum(l_extendedprice * (1 - l_discount)) >
-       (SELECT 0.01 * sum(l_extendedprice * (1 - l_discount))
+       (SELECT 2.0 / count(DISTINCT l_partkey)
+               * sum(l_extendedprice * (1 - l_discount))
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
-        WHERE n_name = 'NATION_7')
+        WHERE n_name = 'NATION_3')
 """
 
 
@@ -863,10 +864,18 @@ HAVING sum(l_extendedprice * (1 - l_discount)) >
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape without ``partsupp``: a part's "stock value" for
     one nation is the discounted revenue its suppliers shipped; parts
-    above 1% of the nation's total are "important". The share-of-total
-    HAVING keeps Q11's defining feature — an uncorrelated scalar subquery
-    over the same aggregate — which Spark plans as a one-row subquery
-    stage injected as a literal (no per-row recompute, no BNLJ)."""
+    above 2× the MEAN part share are "important". The spec scales Q11's
+    fraction by 1/SF precisely because a fixed share can't survive a
+    scale change — the original hard-coded 1% (and NATION_7, which has
+    no suppliers at all in the sf0.001 slice) returned ZERO rows at
+    every test tier, a driver-green empty set proving nothing (round-9
+    degeneracy sweep). The 2/COUNT(DISTINCT partkey) threshold is the
+    spec's self-scaling intent expressed from the data itself:
+    ~10% of the nation's parts qualify at every tier (15 / 126 / 1235
+    rows at sf0.001/0.01/0.1). The share-of-total HAVING keeps Q11's
+    defining feature — an uncorrelated scalar subquery over the same
+    aggregate — which Spark plans as a one-row subquery stage injected
+    as a literal (no per-row recompute, no BNLJ)."""
     from ._util import sql_q
 
     return sql_q(spark, sf_dir, _Q11_SQL)

@@ -309,3 +309,45 @@ def test_boilerplate_detect_fires_on_planted_template(spark):
     assert int(out.loc[src, "n_boilerplate_shingles"]) == 4
     assert out.loc[src, "boilerplate_share"] > 0
     assert (out.loc[out.index != src, "boilerplate_share"] == 0).all()
+
+
+# --- empty-output sweep follow-ups (ops that returned 0 rows at BOTH tiers) --
+
+def test_tpch_q11_returns_important_parts(spark):
+    """The original hard-coded 1% HAVING (and supplier-less NATION_7 at
+    smoke) made Q11 a driver-green EMPTY SET at every tier; the
+    self-scaling 2x-mean-share threshold must keep it populated."""
+    out = Q()["tpch_q11"](spark, SF_SMOKE).toPandas()
+    assert len(out) == 15  # ~10% of NATION_3's 195 smoke parts
+    assert (out["part_value"] > 0).all()
+
+
+def test_dedup_survivorship_on_planted_duplicates(spark):
+    # the base corpus has no exact-duplicate texts -> empty is correct
+    assert len(Q()["llm_dedup_survivorship"](spark, SF_SMOKE).toPandas()) == 0
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    # plant a 3-member dup group; survivorship = longest text wins,
+    # doc_id breaks ties
+    i = docs.index[:3]
+    docs.loc[i, "text"] = "identical payload text for survivorship"
+    docs.loc[i, "n_chars"] = [40, 99, 40]  # middle doc is "best"
+    out = Q()["llm_dedup_survivorship"](
+        spark, _synthetic_sf(documents=docs)
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["survivor_doc"]) == int(docs.loc[i[1], "doc_id"])
+    assert int(r["n_members"]) == 3 and int(r["n_discarded"]) == 2
+
+
+def test_missing_partition_detect_on_planted_gap(spark):
+    assert len(Q()["etl_missing_partition_detect"](spark, SF_SMOKE).toPandas()) == 0
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    gap = ev[ev["ts"].dt.day != 17]  # day 17 goes missing
+    out = Q()["etl_missing_partition_detect"](
+        spark, _synthetic_sf(events=gap.reset_index(drop=True))
+    ).toPandas()
+    assert len(out) >= 1
+    days = pd.to_datetime(out["day"]).dt.day
+    assert (days == 17).all()  # exactly the planted gap, for every stream
+    assert set(out["event_type"]) == set(ev["event_type"].unique())
