@@ -851,7 +851,7 @@ JOIN nation   ON n_nationkey = s_nationkey
 WHERE n_name = 'NATION_3'
 GROUP BY l_partkey
 HAVING sum(l_extendedprice * (1 - l_discount)) >
-       (SELECT 2.0 / count(DISTINCT l_partkey)
+       (SELECT 2e0 / count(DISTINCT l_partkey)
                * sum(l_extendedprice * (1 - l_discount))
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
