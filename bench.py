@@ -99,15 +99,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    probe = host_probe()
+    total = round(sum(timings.values()), 4)
+    # Load-corrected ratio (r9 verdict task #5): total / duckdb_control_sec.
+    # The control is single-threaded fixed work, so its wall-clock scales
+    # with host contention the same way the Spark totals do; a reader can
+    # compare bench_vs_control across rounds without consulting BASELINE.md
+    # prose to decide whether a slow artifact is code or load.
     print(
         json.dumps(
             {
                 "metric": "headline query set wall-clock (warm session, best-of-2 per query)",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "host_probe": host_probe(),
+                "host_probe": probe,
+                "bench_vs_control": round(total / probe["duckdb_control_sec"], 4),
             }
         )
     )

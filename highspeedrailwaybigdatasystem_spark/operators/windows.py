@@ -186,20 +186,26 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist()    OVER w, 6) AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+                 ORDER BY c_acctbal, c_custkey)
     """,
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-segment ntile/percent_rank/cume_dist. Scale bound
-    (SURVEY §4.3): the partition key has only 5 values, so each window
-    partition holds corpus/5 rows in ONE task — inherent to *exact*
-    rank-based quantile semantics (every row's rank depends on the whole
-    partition). At 100 TB, prefer the cutpoint pattern used by
-    ``llm_curriculum_buckets``: per-segment ``percentile``/
-    ``approx_percentile`` cutpoints (tiny agg, broadcast) + map-side
-    comparison — approximate ranks, no single-task sort. Kept exact here
-    because the op's contract IS the exact window-function battery."""
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    """Exact ntile/percent_rank/cume_dist per (segment × nation) cohort.
+
+    Scale note (SURVEY §4.3, re-scoped round 10): exact rank-based
+    quantiles need every cohort in one task — the grain must be chosen so
+    a cohort fits. Segment alone (5 values) put corpus/5 rows in a single
+    task, the one standing scale-killer shape in the r9 audit; the
+    (c_mktsegment, c_nationkey) grain gives 125 cohorts, each ≤ corpus/125
+    rows with near-uniform keys — bounded per-task work that survives a
+    100× scale-up by adding executors. For *global* or coarse-grain exact
+    quantiles at 100 TB, use the cutpoint pattern
+    (``win_ntile_cutpoint`` / ``llm_curriculum_buckets``): tiny
+    ``percentile`` agg → broadcast → map-side classify."""
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        "c_acctbal", "c_custkey"
+    )
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),

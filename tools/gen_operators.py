@@ -19,6 +19,12 @@ def main() -> None:
     for name, fn in sorted(qs.items()):
         mod = fn.__module__.replace("highspeedrailwaybigdatasystem_spark.", "")
         doc = (fn.__doc__ or "").strip().split("\n")[0]
+        if name.startswith("tpch_"):
+            # r9 verdict task #7: every tpch_* summary must carry the
+            # adaptation caveat so nobody reads these as spec-verbatim —
+            # the corpus lacks partsupp and the queries re-parameterize
+            # filters/thresholds to this data (documented per-op docstring).
+            doc = f"[adapted, not spec-verbatim — see docstring] {doc}"
         rows.append(
             f"| `{name}` | `{mod}` | {'exact' if name in ors else 'rows-only'} | {doc} |"
         )
