@@ -1580,7 +1580,7 @@ def _bootstrap_sql(hash_expr: str, unpivot: str) -> str:
     the wide→long reshape differ per engine."""
     ucols = ",\n               ".join(
         f"(({1000003 * (b + 1)} * h + {7919 * b + 271}) % {_P32})"
-        f" / {_P32}.0 AS u{b}"
+        f" / {_P32}e0 AS u{b}"
         for b in range(_B)
     )
     mcols = ",\n               ".join(
