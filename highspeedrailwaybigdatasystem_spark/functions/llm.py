@@ -1638,7 +1638,7 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(len(tk) AS BIGINT) AS n_tok,
                unnest(list_transform(
-                   generate_series(0, CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS BIGINT)),
+                   generate_series(0, CAST(greatest(ceil((len(tk) - 64) / 48e0), 0) AS BIGINT)),
                    c -> struct_pack(
                        chunk_id := c,
                        chunk_tokens := CAST(least(64, len(tk) - c * 48) AS BIGINT),
@@ -1667,7 +1667,7 @@ def llm_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").cast("long").alias("n_tok"),
         F.explode(
             F.expr(
-                "transform(sequence(0, int(greatest(ceil((size(tk) - 64) / 48.0), 0))),"
+                "transform(sequence(0, int(greatest(ceil((size(tk) - 64) / 48e0), 0))),"
                 " c -> struct(bigint(c) AS chunk_id,"
                 "            bigint(least(64, size(tk) - c * 48)) AS chunk_tokens,"
                 "            concat_ws(' ', slice(tk, c * 48 + 1, 64)) AS chunk_text))"
@@ -2894,7 +2894,7 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec AS (
       SELECT d.lang, w.c, w.keep_p,
              CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-                            AS BIGINT) / 4294967296.0 < w.keep_p
+                            AS BIGINT) / 4294967296e0 < w.keep_p
                   THEN 1 ELSE 0 END AS kept
       FROM documents d JOIN w ON d.lang = w.lang)
     SELECT lang, CAST(max(c) AS BIGINT) AS n_before,
@@ -2927,7 +2927,7 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec AS (
           SELECT /*+ BROADCAST(w) */ d.lang, w.c, w.keep_p,
                  CASE WHEN CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8),
-                                     16, 10) AS BIGINT) / 4294967296.0 < w.keep_p
+                                     16, 10) AS BIGINT) / 4294967296e0 < w.keep_p
                       THEN 1 ELSE 0 END AS kept
           FROM documents d JOIN w ON d.lang = w.lang)
         SELECT lang, CAST(max(c) AS BIGINT) AS n_before,
@@ -3754,7 +3754,7 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, pos,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
                             || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
-                       / 4294967296.0 < 0.15 THEN 1 ELSE 0 END AS m
+                       / 4294967296e0 < 0.15 THEN 1 ELSE 0 END AS m
       FROM tok),
     spans AS (
       SELECT doc_id, source, m,
@@ -3792,7 +3792,7 @@ def llm_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, source, pos,
                  CASE WHEN CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
                                 CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT)
-                           / 4294967296.0 < 0.15 THEN 1 ELSE 0 END AS m
+                           / 4294967296e0 < 0.15 THEN 1 ELSE 0 END AS m
           FROM tok),
         spans AS (
           SELECT doc_id, source, m,

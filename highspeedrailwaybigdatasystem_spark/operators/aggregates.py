@@ -1903,10 +1903,10 @@ _SPEARMAN_SQL = """
     WITH r AS (
       SELECT event_type,
              rank() OVER (PARTITION BY event_type ORDER BY value)
-               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2e0
                AS rx,
              rank() OVER (PARTITION BY event_type ORDER BY {ts_expr})
-               + (count(*) OVER (PARTITION BY event_type, {ts_expr}) - 1) / 2.0
+               + (count(*) OVER (PARTITION BY event_type, {ts_expr}) - 1) / 2e0
                AS ry
       FROM events)
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
