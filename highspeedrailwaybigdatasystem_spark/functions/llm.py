@@ -25,6 +25,10 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..operators._util import ratio, sql_q, t
 
+#: (applicationId, sf_dir) pairs whose shingle cache has been materialized —
+#: see llm_minhash_banding's planner-statistics note.
+_MH_MATERIALIZED: set[tuple[str, str]] = set()
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -220,6 +224,18 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     shingle.createOrReplaceTempView("__mh_shingle")
+    # Materialize the cache BEFORE the main query is planned: an
+    # unmaterialized cached explode carries the pre-explode size estimate,
+    # under which Catalyst planned BuildRight BROADCASTS of this whole view
+    # into the verify joins — fatal at the 100x corpus (3.5 GiB broadcast
+    # on an 8 g driver, found round 10). With real InMemoryRelation stats
+    # the planner broadcasts at sf0.1 (~5 MB) and shuffle-joins at scale.
+    # Once per (session, corpus): the cold cost is work the query needs
+    # anyway, and repeat calls skip the extra count job.
+    mat_key = (spark.sparkContext.applicationId, sf_dir)
+    if mat_key not in _MH_MATERIALIZED:
+        shingle.count()
+        _MH_MATERIALIZED.add(mat_key)
     P = 4294967291  # largest 32-bit prime; a*h+b < 2^57 so no overflow
     minhashes = ",\n".join(
         f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
@@ -255,12 +271,11 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     band.createOrReplaceTempView("__mh_band")
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(za), BROADCAST(zb) */
-               i.doc_a, i.doc_b,
+        SELECT i.doc_a, i.doc_b,
                round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
                  AS jaccard
         FROM (
-          SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, count(*) AS shared
+          SELECT c.doc_a, c.doc_b, count(*) AS shared
           -- candidate generation via ONE bucket aggregation instead of a
           -- band self-join: collect each (band_id, band_sig) bucket's doc
           -- list, emit ordered pairs with a higher-order transform, DISTINCT
@@ -271,11 +286,16 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- candidate set); at 100 TB a degenerate hot bucket means exact
           -- duplicates, which the production pipeline collapses linearly
           -- BEFORE this stage (llm_dedup_survivorship twin).
-          -- BROADCAST(c): the candidate PAIR LIST (two ids/row — compact
-          -- even at 100 TB post-LSH density) broadcasts into the verify
-          -- joins, so the full shingle view is never shuffled for the
-          -- verify (0.83 s -> 0.63 s warm at sf0.1; sa/sb stay unhinted
-          -- because candidate-doc shingles are unbounded).
+          -- No BROADCAST hints anywhere in this query (round 10): with AQE,
+          -- runtime stats already convert these joins to broadcast when the
+          -- built side is genuinely small (sf0.1: 254 candidate pairs), and
+          -- a FORCED broadcast is fatal when it is not — the 100x amplified
+          -- corpus (every payload duplicated 100x => every LSH bucket >= 100
+          -- docs => ~50M candidate pairs) killed the hinted plan with a
+          -- 3.5 GiB broadcast OOM, while the unhinted plan survives by
+          -- falling back to shuffle joins. Same argument for za/zb: the
+          -- per-doc shingle-count table is corpus-sized, so AQE broadcasts
+          -- the verified-pair side instead when pairs are sparse.
           FROM (SELECT DISTINCT p.pr.doc_a, p.pr.doc_b
                 FROM (
                   SELECT explode(flatten(transform(ds, (x, ii) ->

@@ -1106,7 +1106,14 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array) — the functions that keep a 100 TB job from dying on one bad
     row while ANSI mode stays on. DuckDB mirrors each via its native
     NULL-propagating forms (nullif-guarded division, TRY_CAST,
-    out-of-bounds list_extract)."""
+    out-of-bounds list_extract).
+
+    Cost note (measured round 10): ``try_cast(string AS int)`` pays
+    Spark's exception-driven failure path on every row that FAILS the
+    parse (~13 µs/row here, where all 600k l_returnflag values are
+    non-numeric — this op's worst case is deliberate); succeeding rows
+    are plain codegen. At 100 TB, budget try_cast by the expected
+    failure rate, not the row count — a mostly-clean column is cheap."""
     li = t(spark, sf_dir, "lineitem")
     div = F.expr("try_divide(l_extendedprice, l_quantity % 2)")
     return li.agg(
