@@ -49,17 +49,20 @@ from ._util import EVENTS_TS_US, money, sql_q, t
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation for one region and one order year.
 
-    Plan shape at scale: lineitem⋈orders is the only big shuffle; customer/
-    nation/region are broadcast (dimension-side filters applied before the
-    join so the broadcast is as small as possible). Bench headline op —
-    one SQL text (see ``sql_q``); the BROADCAST hints pin the same
-    physical plan the explicit ``F.broadcast`` DataFrame chain produced.
+    Plan shape at scale: lineitem⋈orders is the only big shuffle;
+    nation/region are pinned broadcasts (fixed 25/5-row tables); customer
+    is NOT hinted (round 10) — it scales with the corpus, so its join
+    strategy must follow measured size: the planner's accurate parquet
+    stats broadcast it at every test tier (plan unchanged, pinned by
+    tests/test_plans.py), while at 100 TB customer⋈orders correctly
+    becomes the second fact shuffle instead of a forced-broadcast OOM.
+    Bench headline op — one SQL text (see ``sql_q``).
     """
     return sql_q(
         spark,
         sf_dir,
         """
-        SELECT /*+ BROADCAST(customer), BROADCAST(nation), BROADCAST(region) */
+        SELECT /*+ BROADCAST(nation), BROADCAST(region) */
                n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem

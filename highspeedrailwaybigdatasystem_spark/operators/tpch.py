@@ -788,17 +788,18 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 proper: revenue by nation where the CUSTOMER's nation
     equals the SUPPLIER's nation (the locality constraint join_multiway
     omits — it adds a second join condition on a non-key column, the
-    planner stressor Q5 exists to test). supplier/nation/region broadcast;
-    customer broadcasts at this corpus scale (at 100 TB customer⋈orders
-    becomes the second fact shuffle and the hint drops away)."""
+    planner stressor Q5 exists to test). nation/region are pinned
+    broadcasts; customer/supplier are unhinted (round 10) because they
+    scale with SF — accurate parquet stats broadcast them at every test
+    tier, and at 100 TB customer⋈orders correctly becomes the second
+    fact shuffle instead of a forced broadcast."""
     from ._util import sql_q
 
     return sql_q(
         spark,
         sf_dir,
         _Q05_SQL.format(
-            hint="/*+ BROADCAST(customer), BROADCAST(supplier), "
-            "BROADCAST(nation), BROADCAST(region) */\n       "
+            hint="/*+ BROADCAST(nation), BROADCAST(region) */\n       "
         ),
     )
 
@@ -826,15 +827,17 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     60% of the part's retail price (fixed-margin assumption, documented;
     the classic p_name LIKE filter becomes a p_type equality — the corpus
     p_name carries no color words). Join graph and plan stressor intact:
-    lineitem⋈orders is the one fact-fact shuffle, part/supplier/nation
-    broadcast, profit aggregated per supplier-nation × order-year."""
+    lineitem⋈orders is the one fact-fact shuffle; nation is a pinned
+    broadcast while part/supplier are unhinted (round 10, SF-scaled
+    tables — strategy follows measured size); profit aggregated per
+    supplier-nation × order-year."""
     from ._util import sql_q
 
     return sql_q(
         spark,
         sf_dir,
         _Q09_SQL.format(
-            hint="/*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */\n       "
+            hint="/*+ BROADCAST(nation) */\n       "
         ),
     )
 
