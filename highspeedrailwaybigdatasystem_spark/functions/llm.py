@@ -5118,6 +5118,17 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AND x.doc_id < y.doc_id"
     ).cache()
     cand.createOrReplaceTempView("__mhe_cand")
+    # Planner-statistics discipline (round 10, llm_minhash_banding note):
+    # materialize every corpus-derived cache BEFORE the final query is
+    # planned, so the verify/estimate joins see REAL sizes — the
+    # unmaterialized estimates broadcast the shingle view and the pair
+    # set, a broadcast OOM at the 100x corpus.
+    mat_key = (spark.sparkContext.applicationId, "__mhe:" + sf_dir)
+    if mat_key not in _MH_MATERIALIZED:
+        sh.count()
+        sig.count()
+        cand.count()
+        _MH_MATERIALIZED.add(mat_key)
     agree = " + ".join(
         f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(20)
     )

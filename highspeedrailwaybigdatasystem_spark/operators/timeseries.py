@@ -2158,13 +2158,13 @@ _BINSEG_SQL = f"""
     r AS (SELECT day, cents, row_number() OVER (ORDER BY day) AS rn FROM d),
     tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s,
-             sum(cents * cents) AS ss FROM r),
+             sum(CAST(cents AS DECIMAL(18,0)) * cents) AS ss FROM r),
     pre AS (
       SELECT rn, day,
              sum(cents) OVER (ORDER BY rn
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS ps,
-             sum(cents * cents) OVER (ORDER BY rn
+             sum(CAST(cents AS DECIMAL(18,0)) * cents) OVER (ORDER BY rn
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND CURRENT ROW) AS pss
       FROM r),
@@ -2202,10 +2202,12 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after means and the variance-explained share; detection
     fires when the split removes >30% of total SSE. This is the inner
     step every recursive changepoint detector (binseg / PELT-style)
-    repeats. Determinism: prefix sums and sums of squares are exact
-    int64 over integer cents (daily cents <= ~1e8 -> squares <= 1e16,
-    31-row sums < 9.2e18), so every candidate SSE is arithmetic on
-    identical integers; argmin ties break on rn. Scale shape: one
+    repeats. Determinism: prefix sums are exact int64 over integer
+    cents and sums of squares are exact DECIMAL(38,0) (round 10: int64
+    squares overflowed at the 100x corpus, where daily cents reach
+    ~1e10 and their squares ~1e20 — decimal keeps every candidate SSE
+    exact and order-independent on both engines to 38 digits); argmin
+    ties break on rn. Scale shape: one
     linear day rollup, two running-sum windows on the <=31-row day
     grain, LIMIT 1."""
     return sql_q(spark, sf_dir, _BINSEG_SQL)

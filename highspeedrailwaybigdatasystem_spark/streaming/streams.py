@@ -71,6 +71,49 @@ def _run_to_memory(df, name: str, mode: str) -> None:
     q.awaitTermination()
 
 
+def _run_heavy_state(spark: SparkSession, df, tag: str):
+    """Scale-true variant of ``_run_to_memory`` for queries whose STATE or
+    OUTPUT grows with the corpus (stream-stream outer-join state, per-key
+    dedup state, row-level sink contents). The memory sink collects every
+    output row into driver heap and the default HDFS-backed state store
+    holds all state on-heap — both OOMed the 8 g local JVM at the 100x
+    corpus (round-10 survival sweep). Here state lives in RocksDB (the
+    production provider, already exercised by the recovery tests) and
+    output lands in a parquet file sink, so neither scales with driver
+    memory; the returned DataFrame reads the sink back for the final
+    bounded aggregation. Results are engine-identical to the memory-sink
+    path (sink/provider choice does not affect emission semantics) — the
+    oracle mirror pins that at both test tiers."""
+    out = scratch_dir(f"stream_out_{tag}")
+    ckpt = scratch_dir(f"stream_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.read.parquet(out)
+
+
 @register(
     "stream_tumbling",
     oracle=f"""
@@ -409,7 +452,9 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    _run_to_memory(dedup, "stream_dedup_ttl_sink", "append")
+    _run_heavy_state(
+        spark, dedup, f"dedup_ttl_{os.path.basename(sf_dir)}"
+    ).createOrReplaceTempView("stream_dedup_ttl_sink")
     return spark.sql(
         "SELECT event_type, count(*) AS cnt FROM stream_dedup_ttl_sink GROUP BY event_type"
     )
@@ -629,7 +674,9 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
         "left_outer",
     )
-    _run_to_memory(joined, "stream_left_outer_join_sink", "append")
+    _run_heavy_state(
+        spark, joined, f"lsoj_{os.path.basename(sf_dir)}"
+    ).createOrReplaceTempView("stream_left_outer_join_sink")
     return spark.sql(
         "SELECT user_id, count(purchase_ts) AS n_matched,"
         " sum(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS n_unmatched"
@@ -720,7 +767,9 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
         "full_outer",
     )
-    _run_to_memory(joined, "stream_full_outer_join_sink", "append")
+    _run_heavy_state(
+        spark, joined, f"fsoj_{os.path.basename(sf_dir)}"
+    ).createOrReplaceTempView("stream_full_outer_join_sink")
     return spark.sql(
         "SELECT coalesce(user_id, p_user_id) AS user_id,"
         " sum(CASE WHEN click_ts IS NOT NULL AND purchase_ts IS NOT NULL"
