@@ -267,11 +267,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on event_id across micro-batches: the source
     is the events file staged TWICE (maxFilesPerTrigger=1 → two batches), so
     batch 2 is a full duplicate that the dedup state must suppress. The
-    deduped stream equals the original table — the oracle proves it."""
+    deduped stream equals the original table — the oracle proves it.
+    Unlike ``stream_dedup_ttl`` this state never evicts (the documented
+    unbounded-growth anti-pattern on endless streams); it still runs
+    through the RocksDB + file-sink harness so per-key state and the
+    row-level sink stay off-heap at large corpora (round 10)."""
     dedup = _stream_events(spark, sf_dir, copies=2, tag="dedup").dropDuplicates(
         ["event_id"]
     )
-    _run_to_memory(dedup, "stream_dedup_sink", "append")
+    _run_heavy_state(
+        spark, dedup, f"dedup_{os.path.basename(sf_dir)}"
+    ).createOrReplaceTempView("stream_dedup_sink")
     return spark.sql(
         "SELECT event_type, count(*) AS cnt FROM stream_dedup_sink GROUP BY event_type"
     )
