@@ -107,7 +107,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals region → nation → grand total."""
     df = (
         t(spark, sf_dir, "orders")
-        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -209,7 +209,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on identical inputs (verified), whereas round() diverges
     on .xx5 boundaries. At 100 TB the scale path is approx_percentile."""
     df = t(spark, sf_dir, "orders").join(
-        F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey")
+        t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
     )
     return df.groupBy("c_mktsegment").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),

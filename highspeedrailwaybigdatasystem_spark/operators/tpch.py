@@ -115,7 +115,7 @@ def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _ts("1998-06-30"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(_rev_money().alias("revenue"), _rev_cents().alias("_cents"))
         .orderBy(F.col("_cents").desc(), "o_orderkey")
@@ -232,9 +232,9 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -292,11 +292,11 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -342,7 +342,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_rev_money().alias("revenue"), _rev_cents().alias("_cents"))
@@ -450,7 +450,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             ratio(
                 100.0
@@ -526,13 +526,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select("p_partkey")
     per_part = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey")
         .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     )
     probe = li.select("l_partkey", "l_quantity", "l_extendedprice")
     return (
-        probe.join(F.broadcast(per_part), F.col("l_partkey") == F.col("p_partkey"))
+        probe.join(per_part, F.col("l_partkey") == F.col("p_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -570,14 +570,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     orders = t(spark, sf_dir, "orders").join(
-        F.broadcast(big.withColumnRenamed("l_orderkey", "_bigkey")),
+        big.withColumnRenamed("l_orderkey", "_bigkey"),
         F.col("o_orderkey") == F.col("_bigkey"),
         "left_semi",
     )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(
@@ -631,7 +631,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(arm)
         .agg(_rev_money().alias("revenue"))
     )
@@ -732,7 +732,7 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -746,8 +746,8 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cost.partkey == best.partkey) & (F.col("unit_cost") == F.col("best_cost")),
         )
         .drop(best.partkey)
-        .join(F.broadcast(parts), F.col("partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("partkey") == F.col("p_partkey"))
+        .join(supp, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             money("s_acctbal").alias("s_acctbal"),
             "s_name",

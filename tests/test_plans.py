@@ -508,3 +508,61 @@ def test_lpa_builds_edges_once(spark):
     assert s.count("events.parquet") <= 2, "live events re-scan appeared"
     n_shuffles = len(re.findall(r"Exchange (?:hash|range)partitioning", s))
     assert n_shuffles <= 8, f"LPA shuffle count regressed: {n_shuffles}"
+
+
+def test_forced_broadcasts_are_fixed_cardinality_only():
+    """Round-10 scale guard: a forced broadcast (SQL /*+ BROADCAST(x) */ or
+    F.broadcast(x)) overrides both the planner's size statistics and AQE's
+    runtime fallback, so it is only safe when x is bounded by CONSTRUCTION
+    (25-row nation, 5-row region, probe rows, k centroids, fixed-width
+    bitmaps, tiny derived aggregates) — never when x scales with SF or the
+    corpus (customer/supplier/part/orders, shingle or pair sets: the 100x
+    probe turned exactly those into broadcast OOMs — BASELINE.md round-10
+    evidence). This test pins the allowlist so a new hint on a scaling
+    table fails here with that context.
+
+    join_broadcast (the broadcast-API exhibit) and join_theta_range (a
+    non-equi join, which REQUIRES a broadcast side; join_range_binned is
+    its scale twin) are the two deliberate per-op exceptions.
+    """
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "highspeedrailwaybigdatasystem_spark")
+    allowed_sql_hints = {
+        "probe", "m", "w", "cents", "c",  # probe rows / 1-row min / lang grain / centroids
+        "nation", "region", "dim",        # fixed dims (dim: sql_hints exhibit docstring)
+    }
+    allowed_dsl = {
+        "nation", "region", "n1", "n2",                 # fixed dims + aliases
+        "tot", "cuts", "off", "top", "best", "mx",      # tiny derived aggregates
+        "marks", "factors", "nlabels", "sketch", "df_", # bounded-grain builds
+        "block", "del_list",                            # human-scale request lists
+        "freq", "words", "plists",                      # vocab table / bitmap words / probes x4 routing
+        "dim",                                          # join_temporal_scd2: orders pinned to a FIXED 100-key range
+        't(spark, sf_dir, "nation")',
+        't(spark, sf_dir, "region")',
+        't(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")',
+    }
+    exempt_ops = {"join_broadcast", "join_theta_range"}
+    sql_bad, dsl_bad = [], []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            src = f.read()
+        for m in re.finditer(r"BROADCAST\((\w+)\)", src):
+            if m.group(1) not in allowed_sql_hints:
+                sql_bad.append((os.path.basename(path), m.group(1)))
+        for m in re.finditer(r"F\.broadcast\(((?:[^()]|\([^()]*\))*)\)", src):
+            tgt = m.group(1).strip()
+            if tgt in allowed_dsl:
+                continue
+            owners = re.findall(r"def ([a-z_0-9]+)\(", src[: m.start()])
+            owner = owners[-1] if owners else "?"
+            if owner in exempt_ops:
+                continue
+            line = src[: m.start()].count("\n") + 1
+            dsl_bad.append((os.path.basename(path), line, owner, tgt[:60]))
+    assert not sql_bad, f"unallowlisted SQL BROADCAST hints: {sql_bad}"
+    assert not dsl_bad, f"unallowlisted F.broadcast targets: {dsl_bad}"
