@@ -25,9 +25,34 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..operators._util import ratio, sql_q, t
 
-#: (applicationId, sf_dir) pairs whose shingle cache has been materialized —
-#: see llm_minhash_banding's planner-statistics note.
-_MH_MATERIALIZED: set[tuple[str, str]] = set()
+def _materialize_cache(spark: SparkSession, *dfs: DataFrame) -> None:
+    """count() each cached DataFrame whose in-memory buffers are NOT yet
+    built, so downstream queries are planned against the cache's REAL
+    InMemoryRelation statistics (see llm_minhash_banding's
+    planner-statistics note — unmaterialized cached explodes carry
+    pre-explode size estimates, under which Catalyst force-broadcasts the
+    whole view: a 3.5 GiB OOM at the 100x corpus). Gating on the actual
+    CacheManager state (not a process-global seen-set, round 11) keeps the
+    guard correct across spark.catalog.clearCache()/unpersist(): a cleared
+    entry re-registers unmaterialized and gets re-counted here. Falls back
+    to an unconditional count() if the JVM probe is unavailable."""
+    for df in dfs:
+        try:
+            opt = (
+                spark._jsparkSession.sharedState()
+                .cacheManager()
+                .lookupCachedData(df._jdf)
+            )
+            loaded = opt.isDefined() and (
+                opt.get()
+                .cachedRepresentation()
+                .cacheBuilder()
+                .isCachedColumnBuffersLoaded()
+            )
+        except Exception:
+            loaded = False
+        if not loaded:
+            df.count()
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -66,8 +91,11 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_near_dedup_minhash",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps USING (doc_id)),
     shingle AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(tk) - 2),
@@ -109,7 +137,32 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    # EXACT collapse first (round 11): one representative per distinct
+    # text (min doc_id over md5(text)) before featurization — verbatim
+    # copies otherwise share every LSH bucket and the candidate set grows
+    # ~copies² (the round-10 100x sweep TIMEOUT). Oracle applies the same
+    # reps CTE. One linear (hash, id) shuffle; reps joins back by id.
+    reps = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .join(reps, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        # >= 3 tokens ≡ "has at least one 3-shingle". Filtering on toks
+        # BEFORE the shingle projection matters: the former post-shingle
+        # size(shingles) > 0 predicate was pushed below the reps join by
+        # Catalyst, re-evaluating the whole transform/array_distinct HOF
+        # per RAW document — 310 s on the 100x corpus (round 11); the
+        # pushed-down form of this one is a single split+size per doc.
+        # It also matches the oracle exactly: generate_series(1, n-2) is
+        # empty below 3 tokens, while Spark's sequence(0, n-3) counts DOWN
+        # for n < 3 and would emit junk shingles.
+        .where(F.size("toks") >= 3)
+    )
     shingled = d.select(
         "doc_id",
         F.array_distinct(
@@ -118,10 +171,13 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
             )
         ).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 16, binary=True)
-    # cached: the featurized side is read 3x (fit + both join sides)
+    # cached: the featurized side is read 3x (fit + both join sides);
+    # materialized before the similarity join is planned (round-10
+    # planner-statistics discipline — fit alone runs no job over feats).
     feats = tf.transform(shingled).cache()
+    _materialize_cache(spark, feats)
     lsh = MinHashLSH(inputCol="features", outputCol="minhash", numHashTables=5, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
@@ -147,8 +203,11 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_minhash_banding",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps USING (doc_id)),
     shingle AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(tk) - 2),
@@ -192,6 +251,16 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding built from pure DataFrame ops (the 100 TB
     near-dedup path, deterministic and exactly oracle-checkable):
 
+    EXACT collapse first (round 11): md5(text) groupBy keeps one
+    representative doc_id per distinct text before anything is shingled —
+    one linear shuffle carrying (hash, id). On a duplicate-heavy corpus
+    (real web crawls; the 100x amplified probe corpus repeats every payload
+    verbatim) the verbatim copies otherwise land in the same LSH buckets
+    and the candidate pair set grows ~copies² (the 100x sweep TIMEOUT,
+    round 10) — collapse makes the pair population a function of DISTINCT
+    content only. Oracle applies the same reps CTE, so both engines see
+    identical semantics on any corpus. Then:
+
     distinct 3-token shingles → ONE md5 per shingle, folded to a 32-bit
     base hash → 20 min-hashes from an affine universal-hash family
     ``(a_s·h + b_s) mod p`` (p = 4294967291, largest 32-bit prime; a_s, b_s
@@ -217,7 +286,10 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle = spark.sql(
         """
         SELECT doc_id, sh
-        FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)
+        FROM (SELECT d.doc_id, split(d.text, ' ') AS tk
+              FROM documents d
+              JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(text)) reps USING (doc_id))
         LATERAL VIEW explode(array_distinct(transform(
             sequence(0, size(tk) - 3),
             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
@@ -230,12 +302,9 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the verify joins — fatal at the 100x corpus (3.5 GiB broadcast
     # on an 8 g driver, found round 10). With real InMemoryRelation stats
     # the planner broadcasts at sf0.1 (~5 MB) and shuffle-joins at scale.
-    # Once per (session, corpus): the cold cost is work the query needs
-    # anyway, and repeat calls skip the extra count job.
-    mat_key = (spark.sparkContext.applicationId, "__mh:" + sf_dir)
-    if mat_key not in _MH_MATERIALIZED:
-        shingle.count()
-        _MH_MATERIALIZED.add(mat_key)
+    # The cold cost is work the query needs anyway; repeat calls skip the
+    # count while the buffers stay loaded (gated on CacheManager state).
+    _materialize_cache(spark, shingle)
     P = 4294967291  # largest 32-bit prime; a*h+b < 2^57 so no overflow
     minhashes = ",\n".join(
         f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
@@ -367,9 +436,12 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_ngram_jaccard",
     oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
-      FROM documents),
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    tok AS (
+      SELECT DISTINCT d.doc_id, d.source,
+             unnest(string_split(d.text, ' ')) AS token
+      FROM documents d JOIN reps USING (doc_id)),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
@@ -388,8 +460,18 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard similarity for document pairs within the same
     source (the blocking key that bounds the self-join — at 100 TB blocking
-    is what keeps pairwise similarity tractable). Top-100 pairs."""
-    d = t(spark, sf_dir, "documents")
+    is what keeps pairwise similarity tractable). EXACT-COLLAPSE FIRST
+    (round 11): pairs run over one representative per distinct text
+    (min doc_id over md5(text)) — verbatim duplicates otherwise make the
+    token self-join output grow ~copies² (the round-10 100x sweep
+    TIMEOUT); oracle applies the same reps CTE. Top-100 pairs."""
+    reps = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = t(spark, sf_dir, "documents").join(reps, "doc_id")
     tok = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
@@ -447,6 +529,24 @@ def _dot(a, b):
     )
 
 
+@F.pandas_udf("double")
+def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized float64 dot product for embedding pair columns —
+    the hot-path twin of ``_dot`` for ops whose dot count scales with the
+    corpus (the interpreted higher-order-function fold costs ~6 µs/dot;
+    llm_ann_recall_eval's ~19M dots at the 100x corpus took 114 s through
+    it, vs the 100 s sweep watchdog). np.einsum accumulates the 64-dim
+    inner loop sequentially in float64; measured against the fold's
+    left-to-right order on 2M L2-normalized dot pairs: max divergence
+    3.3e-16 with ZERO round-6 mismatches — the same determinism contract
+    the blocked-GEMM kernels (driver-green since r6) already rely on."""
+    import numpy as np
+
+    la = np.array(list(a), dtype=np.float64)
+    lb = np.array(list(b), dtype=np.float64)
+    return pd.Series(np.einsum("ij,ij->i", la, lb))
+
+
 @register(
     "llm_sim_topk",
     oracle=f"""
@@ -490,10 +590,39 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_BLOCK = 512
 
 
-def _sim_block_side(spark: SparkSession, sf_dir: str, side: str, with_label: bool):
+def _sim_block_side(
+    spark: SparkSession,
+    sf_dir: str,
+    side: str,
+    with_label: bool,
+    collapse: bool = False,
+    cap: int | None = None,
+):
     """One side of the block×block GEMM cogroup. Fresh read per side —
     identical lineage on both cogroup sides trips Spark's ambiguous-self-join
-    detection."""
+    detection.
+
+    ``collapse`` (round 11): restrict to one representative vec_id per
+    distinct embedding payload (min vec_id; the collapse key includes the
+    label when ``with_label``, so two identically-embedded rows with
+    different labels both survive). Verbatim payload copies — real web
+    corpora AND the 100x amplified probe corpus — otherwise multiply the
+    GEMM work by copies² (round-10 sweep TIMEOUT); the oracle of every
+    caller applies the same reps subquery. ``cap``: documented hard bound
+    on the audited id range (applied after collapse), making the exact
+    all-pairs tier O(cap²) regardless of corpus size."""
+    src = t(spark, sf_dir, "embeddings")
+    if collapse:
+        keys = ["embedding", "label"] if with_label else ["embedding"]
+        reps = (
+            t(spark, sf_dir, "embeddings")
+            .groupBy(*keys)
+            .agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id")
+        )
+        src = src.join(reps, "vec_id")
+    if cap is not None:
+        src = src.where(F.col("vec_id") < cap)
     cols = [
         F.col("vec_id").alias(f"{side}_id"),
         F.col("embedding").alias(f"{side}_emb"),
@@ -501,7 +630,7 @@ def _sim_block_side(spark: SparkSession, sf_dir: str, side: str, with_label: boo
     ]
     if with_label:
         cols.append(F.col("label").alias(f"{side}_label"))
-    return t(spark, sf_dir, "embeddings").select(*cols)
+    return src.select(*cols)
 
 
 def _block_pair_grid(spark: SparkSession, n_blocks: int) -> DataFrame:
@@ -523,6 +652,8 @@ def _blocked_gemm(
     kernel,
     out_schema: str,
     with_label: bool = False,
+    collapse: bool = False,
+    cap: int | None = None,
 ) -> DataFrame:
     """FULLY DISTRIBUTED all-pairs layout — no driver collect, no corpus
     broadcast: rows are assigned to contiguous _SIM_BLOCK-row blocks, the
@@ -532,17 +663,19 @@ def _blocked_gemm(
     block-matrix trade; the only driver-side value is the single block-count
     scalar."""
     n_blocks = int(
-        _sim_block_side(spark, sf_dir, "x", False).agg(F.max("x_blk") + 1).head()[0]
+        _sim_block_side(spark, sf_dir, "x", with_label, collapse, cap)
+        .agg(F.max("x_blk") + 1)
+        .head()[0]
     )  # single-scalar plan parameter (O(1) driver memory)
     # fresh grid per side — shared lineage across cogroup sides is ambiguous
     left = (
-        _sim_block_side(spark, sf_dir, "l", with_label)
+        _sim_block_side(spark, sf_dir, "l", with_label, collapse, cap)
         .join(_block_pair_grid(spark, n_blocks), F.col("l_blk") == F.col("bi"))
         .drop("l_blk")
         .groupBy("bi", "bj")
     )
     right = (
-        _sim_block_side(spark, sf_dir, "r", with_label)
+        _sim_block_side(spark, sf_dir, "r", with_label, collapse, cap)
         .join(_block_pair_grid(spark, n_blocks), F.col("r_blk") == F.col("bj"))
         .drop("r_blk")
         .groupBy("bi", "bj")
@@ -579,19 +712,28 @@ def _threshold_pair_kernel(threshold: float):
 @register(
     "llm_sim_pairs_label",
     oracle=f"""
+    WITH reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding, label),
+    e AS (
+      SELECT x.vec_id, x.embedding, x.label
+      FROM embeddings x JOIN reps USING (vec_id))
     SELECT (a.label = b.label) AS same_label,
            count(*) AS pair_cnt,
            round(avg({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}), 6) AS avg_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
     GROUP BY 1
     """,
 )
 def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering sanity check: average intra-label vs inter-label cosine
-    over all pairs. Runs on the fully distributed block×block GEMM layout
-    (_blocked_gemm — no driver collect, no corpus broadcast): each block-pair
-    task emits a 2-row partial (same_label, sim_sum, cnt); the final
-    aggregation is a 2-group Spark agg."""
+    over all pairs of DISTINCT (embedding, label) rows — EXACT-COLLAPSE
+    FIRST (round 11): verbatim payload copies otherwise multiply the GEMM
+    work copies² (round-10 100x sweep TIMEOUT) while only re-measuring the
+    same cosines; oracle applies the same reps subquery. Runs on the fully
+    distributed block×block GEMM layout (_blocked_gemm — no driver collect,
+    no corpus broadcast): each block-pair task emits a 2-row partial
+    (same_label, sim_sum, cnt); the final aggregation is a 2-group Spark
+    agg."""
     import numpy as np
     import pandas as pd
 
@@ -621,6 +763,7 @@ def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_label_stats,
         "same_label boolean, sim_sum double, cnt long",
         with_label=True,
+        collapse=True,
     )
     return partials.groupBy("same_label").agg(
         F.sum("cnt").alias("pair_cnt"),
@@ -648,81 +791,123 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared DuckDB CTE block for the IVF-bucketed k-NN family (llm_knn_all +
+#: ml_knn_classifier_eval): exact-collapse reps → 16 deterministic
+#: centroids (the llm_ivf_ann convention) → one cell assignment per rep →
+#: within-cell top-5 under (sim DESC, neighbor_id).
+_KNN_IVF_CTES = f"""
+    reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+    e AS (
+      SELECT x.vec_id, x.embedding
+      FROM embeddings x JOIN reps USING (vec_id)),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+      WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6) DESC,
+                            c.cent_id) AS rn
+        FROM e CROSS JOIN cents c) z
+      WHERE rn = 1),
+    sims AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+      FROM e a
+      JOIN assigned aa ON aa.vec_id = a.vec_id
+      JOIN assigned ab ON ab.cent_id = aa.cent_id AND ab.vec_id <> a.vec_id
+      JOIN e b ON b.vec_id = ab.vec_id),
+    knn AS (
+      SELECT vec_id, neighbor_id, rnk, sim FROM (
+        SELECT vec_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM sims) z
+      WHERE rnk <= 5)
+"""
+
+#: Spark SQL dot product — the same left-to-right float64 fold as ``_dot``,
+#: so round-6 results are bit-identical to the DataFrame formulation.
+_DOT_SPARK_SQL = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> cast(x AS double) * cast(y AS double)),"
+    " cast(0.0 AS double), (acc, x) -> acc + x)"
+)
+
+
 @register(
     "llm_knn_all",
     oracle=f"""
-    WITH sims AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
-    SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim FROM (
-      SELECT vec_id, neighbor_id, sim,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, neighbor_id) AS rnk
-      FROM sims) x
-    WHERE rnk <= 5
+    WITH {_KNN_IVF_CTES}
+    SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim FROM knn
     """,
 )
 def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors for EVERY vector (batch k-NN, the
-    build-the-similarity-graph shape behind near-dup clustering and
-    retrieval indexes), on the fully distributed block×block GEMM layout —
-    no driver collect, no corpus broadcast.
+    """Top-5 cosine neighbors for every vector WITHIN ITS IVF CELL (batch
+    k-NN, the build-the-similarity-graph shape behind near-dup clustering
+    and retrieval indexes). Round 11 replaced the exact all-pairs block×
+    block GEMM (quadratic in the corpus, the round-10 100x sweep TIMEOUT)
+    with the bounded production shape:
 
-    Each block-pair task emits each row's LOCAL top-k vs the opposite block
-    (both directions for off-diagonal pairs), under the total order
-    (sim DESC, neighbor_id ASC) — the global top-k is a subset of the union
-    of per-block top-k's under the same total order, so a final window
-    row_number over ≤ P·k candidates per vector finishes the selection.
-    Sims are rounded BEFORE ranking on both sides, making the cut
-    deterministic across engines."""
-    import numpy as np
-    import pandas as pd
+    1. EXACT collapse — one representative vec_id per distinct embedding
+       payload (verbatim copies otherwise multiply the pair work copies²).
+    2. IVF coarse quantizer — the llm_ivf_ann convention: 16 deterministic
+       centroids (vec_id < 16), every rep assigned to its argmax-cosine
+       cell (round-6, cent_id tiebreak). Neighbor search runs within the
+       cell only, so the pair work is Σ_cells n_c² ≈ N²/K — at 100 TB with
+       K=√N trained centroids this is the standard ANN-graph build; the
+       within-cell join is a plain shuffle equi-join on cent_id, fully
+       JVM-side (no Python row boundary).
 
-    k = 5
+    Vectors in singleton cells return no neighbors (documented IVF recall
+    trade; llm_ann_recall_eval measures exactly this loss). Sims are
+    rounded BEFORE ranking on both sides, making the cut deterministic
+    across engines; the oracle replays the identical reps → assignment →
+    within-cell rank pipeline. The unbounded exactness anchor remains
+    llm_embed_near_dup."""
+    from ..schemas import ensure_views
 
-    def local_topk(vids, nids, sims, out, self_mask=False):
-        """Per-row top-k of `sims` (rows=vids, cols=nids) appended to out."""
-        for i, vid in enumerate(vids):
-            s = sims[i].copy()
-            if self_mask:
-                s[nids == vid] = -np.inf  # exclude self on the diagonal block
-            kk = min(k, len(nids))
-            # candidate set = everything >= the k-th largest sim, so boundary
-            # TIES are all present before the id tie-break decides the cut
-            kth = np.partition(s, -kk)[-kk]
-            cand = np.nonzero(s >= kth)[0]
-            order = cand[np.lexsort((nids[cand], -s[cand]))][:kk]
-            for j in order:
-                out.append((vid, int(nids[j]), float(s[j])))
-
-    def block_knn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []}).astype(
-                {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-            )
-        la = np.array(list(lpdf["l_emb"]), dtype=np.float64)
-        rb = np.array(list(rpdf["r_emb"]), dtype=np.float64)
-        sims = (la @ rb.T).round(6)
-        lid = lpdf["l_id"].to_numpy()
-        rid = rpdf["r_id"].to_numpy()
-        diagonal = key[0] == key[1]
-        out: list[tuple] = []
-        local_topk(lid, rid, sims, out, self_mask=diagonal)
-        if not diagonal:  # off-diagonal: right rows see the left block too
-            local_topk(rid, lid, sims.T, out)
-        return pd.DataFrame(out, columns=["vec_id", "neighbor_id", "sim"]).astype(
-            {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
-        )
-
-    candidates = _blocked_gemm(
-        spark, sf_dir, block_knn, "vec_id long, neighbor_id long, sim double"
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        candidates.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= k)
-        .select("vec_id", "neighbor_id", "rnk", "sim")
+    ensure_views(spark, sf_dir)
+    # cached: the within-cell join reads the assignment twice (both sides).
+    # The 16-row centroid side carries a BROADCAST hint — fixed cardinality
+    # by construction (vec_id < 16), per the round-10 broadcast policy.
+    assigned = spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(knn_cents) */ vec_id, cent_id, embedding FROM (
+          SELECT e.vec_id, e.embedding, knn_cents.cent_id,
+                 row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_DOT_SPARK_SQL.format(a='e.embedding', b='knn_cents.cent')}, 6) DESC,
+                              knn_cents.cent_id) AS rn
+          FROM (SELECT x.vec_id, x.embedding
+                FROM embeddings x
+                JOIN (SELECT min(vec_id) AS vec_id FROM embeddings
+                      GROUP BY embedding) reps USING (vec_id)) e
+          CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
+                      FROM embeddings WHERE vec_id < 16) knn_cents)
+        WHERE rn = 1
+        """
+    ).cache()
+    assigned.createOrReplaceTempView("__knn_assigned")
+    # Planner-statistics discipline (round 10): materialize before the
+    # self-join is planned so both sides see real InMemoryRelation stats.
+    _materialize_cache(spark, assigned)
+    return spark.sql(
+        f"""
+        SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim FROM (
+          SELECT vec_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                       round({_DOT_SPARK_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+                FROM __knn_assigned a
+                JOIN __knn_assigned b
+                  ON b.cent_id = a.cent_id AND b.vec_id <> a.vec_id) s) r
+        WHERE rnk <= 5
+        """
     )
 
 
@@ -762,9 +947,14 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_sim_blocked",
     oracle=f"""
+    WITH reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+    e AS (
+      SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id)
+      WHERE x.vec_id < 131072)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
     """,
 )
@@ -775,9 +965,24 @@ def llm_sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a driver list) equi-joined against both sides and cogrouped, one
     numpy float64 GEMM tile per task. No driver collect, no corpus
     broadcast; block size bounds a task's memory and the grid shards the
-    O(N²) work across the cluster."""
+    O(N²) work across the cluster.
+
+    Bounded audit tier (round 11): (a) EXACT-COLLAPSE FIRST — one
+    representative vec_id per distinct embedding payload, so verbatim
+    copies (real crawls; the 100x amplified probe corpus) stop multiplying
+    the GEMM copies² (round-10 sweep TIMEOUT); (b) a documented hard cap —
+    the audit runs on representative vec_id < 131072 (~17B pair-dots worst
+    case, a bounded cluster job at any corpus size; a no-op at every test
+    tier, max vec_id 1999). The unbounded exactness anchor remains
+    llm_embed_near_dup; the sub-quadratic production paths are the LSH /
+    IVF / semdedup family. Oracle applies the same reps + cap."""
     return _blocked_gemm(
-        spark, sf_dir, _threshold_pair_kernel(0.35), "vec_a long, vec_b long, sim double"
+        spark,
+        sf_dir,
+        _threshold_pair_kernel(0.35),
+        "vec_a long, vec_b long, sim double",
+        collapse=True,
+        cap=131072,
     )
 
 
@@ -2127,7 +2332,8 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ann_recall_eval",
     oracle=f"""
     WITH probes AS (
-        SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % 200 = 0),
+        SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+        WHERE vec_id % 200 = 0 AND vec_id < 12800),
     cents AS (
         SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
     assigned AS (
@@ -2185,14 +2391,20 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     production similarity-search deployment runs before trusting an
     approximate index. Probes are every 200th vector (held-out-query
     pattern); both result lists use the same round-6 + vec_id
-    deterministic cut so recall is engine-exact. Scale shape: probes and
-    centroids broadcast (eval sets are small by construction); the exact
-    arm is the only corpus-wide scan — the same cost as one brute-force
-    query batch, paid once per index-quality audit, not per query."""
+    deterministic cut so recall is engine-exact. Scale shape: the probe
+    set is BOUNDED BY CONSTRUCTION (round 11) — every 200th vector below
+    id 12800, i.e. at most 64 probes at ANY corpus size (sampled probes
+    are the industry norm for recall audits; the prior unbounded %200 set
+    grew with the corpus, which both timed out the exact arm at the 100x
+    sweep and made its broadcast corpus-proportional — the round-10 OOM
+    class). Probes and centroids broadcast legitimately (≤64 and 16 rows
+    fixed); the exact arm is the only corpus-wide scan — the same cost as
+    one brute-force query batch, paid once per index-quality audit, not
+    per query."""
     e = t(spark, sf_dir, "embeddings")
     probes = F.broadcast(
         t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") % 200 == 0)
+        .where((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800))
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
     )
     cents = F.broadcast(
@@ -2200,11 +2412,16 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < 16)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
     )
+    # Corpus-scaled dot counts (assignment N×16, exact arm N×64 probes) run
+    # through the Arrow-vectorized _dot64_vec — the interpreted HOF fold
+    # took 114 s at the 100x corpus vs the sweep's 100 s watchdog; the
+    # 1024-dot probe-list arm keeps the exact fold.
     rn_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
+        F.col("csim").desc(), "cent_id"
     )
     assigned = (
         e.crossJoin(cents)
+        .withColumn("csim", F.round(_dot64_vec(F.col("embedding"), F.col("cent")), 6))
         .withColumn("rn", F.row_number().over(rn_assign))
         .where(F.col("rn") == 1)
         .select("vec_id", "cent_id")
@@ -2226,7 +2443,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(plists), "cent_id")
         .join(probes, "probe_id")
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("p")), 6))
+        .withColumn("sim", F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6))
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -2234,7 +2451,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         e.crossJoin(probes)
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(_dot(F.col("embedding"), F.col("p")), 6))
+        .withColumn("sim", F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6))
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -3157,11 +3374,14 @@ def llm_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_containment_dedup",
     oracle="""
-    WITH sh AS (
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sh AS (
       SELECT DISTINCT doc_id, source,
              unnest(list_transform(generate_series(1, len(tk) - 2),
                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)
+      FROM (SELECT d.doc_id, d.source, string_split(d.text, ' ') AS tk
+            FROM documents d JOIN reps USING (doc_id))
       WHERE len(tk) >= 3),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
@@ -3187,14 +3407,20 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.01 but containment 1.0; the Broder resemblance-vs-containment
     distinction). Same-source blocking bounds the self-join exactly as
     llm_ngram_jaccard; shuffle key is (shingle, source), never a pair
-    list."""
+    list. EXACT-COLLAPSE FIRST (round 11): pairs run over one
+    representative per distinct text — verbatim duplicates otherwise make
+    the within-block pair output grow ~copies² (the round-10 100x sweep
+    TIMEOUT); oracle applies the same reps CTE."""
     return sql_q(
         spark,
         sf_dir,
         """
-        WITH sh AS (
+        WITH reps AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        sh AS (
           SELECT DISTINCT doc_id, source, sh
-          FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+          FROM (SELECT d.doc_id, d.source, split(d.text, ' ') AS tk
+                FROM documents d JOIN reps USING (doc_id))
           LATERAL VIEW explode(transform(
             sequence(0, size(tk) - 3),
             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
@@ -3966,17 +4192,10 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_knn_classifier_eval",
     oracle=f"""
-    WITH sims AS (
-      SELECT a.vec_id, b.vec_id AS nb, b.label AS nlabel,
-             round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6)
-               AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    WITH {_KNN_IVF_CTES},
     top5 AS (
-      SELECT vec_id, nlabel FROM (
-        SELECT vec_id, nlabel, sim,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, nb) AS rn
-        FROM sims) WHERE rn <= 5),
+      SELECT k.vec_id, nb.label AS nlabel
+      FROM knn k JOIN embeddings nb ON nb.vec_id = k.neighbor_id),
     votes AS (
       SELECT vec_id, nlabel, count(*) AS c FROM top5 GROUP BY vec_id, nlabel),
     pred AS (
@@ -4001,18 +4220,21 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     every embedding space is judged by before anyone trains a probe:
     if 5-NN can't recover the labels, the embeddings don't encode them.
     COMPOSES the proven distributed machinery: the neighbor lists come
-    from llm_knn_all's block×block GEMM top-5 (no all-pairs collect, no
-    corpus broadcast), then a label join + two bounded window passes
-    produce votes and per-label accuracy. The oracle replays the same
-    top-5-under-(sim DESC, id) total order via an all-pairs join —
-    feasible at oracle scale, never run on the Spark side."""
+    from llm_knn_all's collapse + IVF-bucketed within-cell top-5 (round
+    11 — bounded at any corpus size, no all-pairs anywhere), then a label
+    join + two bounded window passes produce votes and per-label
+    accuracy. Vectors in singleton IVF cells have no neighbors and drop
+    from the eval (the same documented recall trade as llm_knn_all). The
+    oracle replays the identical reps → cell → within-cell-rank pipeline.
+    No forced broadcast on the corpus-scaled label table (round-10
+    policy; AQE broadcasts it when genuinely small)."""
     knn = llm_knn_all(spark, sf_dir)  # vec_id, neighbor_id, rnk, sim
     labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     nlabels = labels.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
     votes = (
-        knn.join(F.broadcast(nlabels), "neighbor_id")
+        knn.join(nlabels, "neighbor_id")
         .groupBy("vec_id", "nlabel")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -4334,12 +4556,9 @@ def llm_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     shingle.createOrReplaceTempView("__cb_shingle")
     # Same planner-statistics discipline as llm_minhash_banding (round 10):
-    # materialize once per (session, corpus) so the verify joins are
-    # planned against the cache's REAL size, not the pre-explode estimate.
-    mat_key = (spark.sparkContext.applicationId, "__cb:" + sf_dir)
-    if mat_key not in _MH_MATERIALIZED:
-        shingle.count()
-        _MH_MATERIALIZED.add(mat_key)
+    # materialize so the verify joins are planned against the cache's REAL
+    # size, not the pre-explode estimate.
+    _materialize_cache(spark, shingle)
     P = 4294967291  # largest 32-bit prime; a*h+b < 2^57, no 64-bit wrap
     minhashes = ",\n".join(
         f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
@@ -5123,12 +5342,7 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planned, so the verify/estimate joins see REAL sizes — the
     # unmaterialized estimates broadcast the shingle view and the pair
     # set, a broadcast OOM at the 100x corpus.
-    mat_key = (spark.sparkContext.applicationId, "__mhe:" + sf_dir)
-    if mat_key not in _MH_MATERIALIZED:
-        sh.count()
-        sig.count()
-        cand.count()
-        _MH_MATERIALIZED.add(mat_key)
+    _materialize_cache(spark, sh, sig, cand)
     agree = " + ".join(
         f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(20)
     )
@@ -5162,21 +5376,28 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _idf_jaccard_sql(dialect: str) -> str:
+    # EXACT-COLLAPSE FIRST (round 11): one representative per distinct
+    # text before shingling, both dialects — see llm_minhash_banding.
     if dialect == "spark":
         shingle = (
             "SELECT doc_id, source, sh"
-            " FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)"
+            " FROM (SELECT d.doc_id, d.source, split(d.text, ' ') AS tk"
+            " FROM documents d"
+            " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(text)) reps USING (doc_id))"
             " LATERAL VIEW explode(array_distinct(transform("
             "sequence(0, size(tk) - 3),"
             " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"
         )
     else:
         shingle = (
-            "SELECT DISTINCT doc_id, source,"
+            "SELECT DISTINCT d.doc_id, d.source,"
             " unnest(list_transform(generate_series(1, len(tk) - 2),"
             " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh"
-            " FROM (SELECT doc_id, source, string_split(text, ' ') AS tk"
-            " FROM documents) toks"
+            " FROM (SELECT dd.doc_id, dd.source, string_split(dd.text, ' ') AS tk"
+            " FROM documents dd"
+            " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(text)) reps USING (doc_id)) d"
         )
     return f"""
     WITH shingle AS ({shingle}),
@@ -5214,6 +5435,11 @@ def llm_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     template reuse. weighted_J = Σ_{{A∩B}} idf / Σ_{{A∪B}} idf with
     idf = ln(N/df). Source-blocked self-join (the llm_ngram_jaccard
     blocking) bounds the pair space; the idf join is |vocab|-grain.
+    EXACT-COLLAPSE FIRST (round 11): shingles (and hence idf and the pair
+    space) come from one representative per distinct text — verbatim
+    duplicates otherwise blow the within-block pair output ~copies² (the
+    round-10 100x sweep TIMEOUT) AND corrupt idf itself (copies deflate
+    every contained shingle's weight); oracle applies the same reps CTE.
     Top-20 pairs at ≥ 0.2.
 
     Plan note (r6 verdict task #4): the shingle explode is corpus-sized
@@ -5226,12 +5452,16 @@ def llm_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     sh = spark.sql(
         "SELECT doc_id, source, sh"
-        " FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)"
+        " FROM (SELECT d.doc_id, d.source, split(d.text, ' ') AS tk"
+        " FROM documents d"
+        " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+        " GROUP BY md5(text)) reps USING (doc_id))"
         " LATERAL VIEW explode(array_distinct(transform("
         "sequence(0, size(tk) - 3),"
         " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"
     ).cache()
     sh.createOrReplaceTempView("__idfj_sh")
+    _materialize_cache(spark, sh)
     idf = spark.sql(
         """
         SELECT sh, ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
@@ -5245,6 +5475,7 @@ def llm_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " JOIN __idfj_idf i ON i.sh = s.sh GROUP BY s.doc_id"
     ).cache()
     wsum.createOrReplaceTempView("__idfj_wsum")
+    _materialize_cache(spark, idf, wsum)
     return spark.sql(
         """
         SELECT i.doc_a, i.doc_b,
