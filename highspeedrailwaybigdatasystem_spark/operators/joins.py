@@ -490,14 +490,26 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial self-join (all point pairs within 50 km, haversine) via
-    1°-grid bucketing: each point lands in one cell, the probe side
-    explodes to its 3×3 cell neighborhood, candidates equi-join ON THE
-    CELL KEY, and the exact haversine runs only inside buckets. The
+    RADIUS-MATCHED 0.5°-grid bucketing: each point lands in one cell, the
+    probe side explodes to its 3×3 cell neighborhood, candidates equi-join
+    ON THE CELL KEY, and the exact haversine runs only inside buckets. The
     oracle is the O(n²) brute force — identical results, because 50 km
-    < 1° of latitude everywhere and < 1° of longitude for |lat| ≤ 10°
-    (the synthesized band), so no qualifying pair can escape adjacency.
-    This is the standard way to make distance-radius joins linear at
-    100 TB: shuffle on cell, O(density²) work per cell, never O(n²).
+    < 0.5° of latitude everywhere (55.5 km) and < 0.5° of longitude for
+    |lat| ≤ 10° (≥ 54.6 km, the synthesized band), so no qualifying pair
+    can escape adjacency. This is the standard way to make distance-radius
+    joins linear at 100 TB: shuffle on cell, O(density²) work per cell,
+    never O(n²).
+
+    Grid sizing (round 11): the former 1° grid scanned a 9° cell²
+    neighborhood per probe — 14× the true 50 km disc — and timed out the
+    100x sweep at 208 points/cell; matching the cell edge to the radius
+    (the r-tree/geohash rule of thumb) cuts candidate work 4× to ~3.5× of
+    the true pair output, which is the floor any grid can reach. Hot-cell
+    subdivision buys nothing here: the md5-derived points are uniform, so
+    every cell is equally hot and a static refinement is the same work as
+    the adaptive one without mixed-resolution neighbor lookup. Beyond
+    this, the op is OUTPUT-bound — the true within-50 km pair count grows
+    with density² by geometry (≈1e8 pairs at the 100x corpus).
     Coordinates are md5-derived from the key (engine-identical ints, so
     both sides compute bit-equal doubles)."""
     h = F.md5(F.col("c_custkey").cast("string"))
@@ -506,9 +518,9 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
         (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
     ).toDF("id", "lat", "lon")
-    cell = lambda df: df.withColumn("cy", F.floor("lat").cast("int")).withColumn(
-        "cx", F.floor("lon").cast("int")
-    )
+    cell = lambda df: df.withColumn(
+        "cy", F.floor(F.col("lat") * 2).cast("int")
+    ).withColumn("cx", F.floor(F.col("lon") * 2).cast("int"))
     build = cell(pts).toDF("b_id", "b_lat", "b_lon", "cy", "cx")
     probe = (
         cell(pts)
@@ -525,7 +537,17 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", "lat", "lon", F.col("nc.cy").alias("cy"), F.col("nc.cx").alias("cx"))
     )
-    cand = probe.join(build, ["cy", "cx"]).where(F.col("id") < F.col("b_id"))
+    # SHUFFLE_HASH pins the cell equi-join to a shuffle on (cy, cx) — the
+    # design the docstring promises. Left to stats, the planner BROADCASTS
+    # the corpus-scaled build side (its compressed estimate sits under the
+    # 32 MB threshold at the 100x corpus) and inherits the scan's handful
+    # of partitions: 114 s on 4 tasks at 100x, and a guaranteed OOM once
+    # the point table outgrows the driver. The shuffle spreads the
+    # per-cell haversine across all cores (114.8 s → 16.6 s at 100x) and
+    # AQE skew-join splits hot cells.
+    cand = probe.join(build.hint("shuffle_hash"), ["cy", "cx"]).where(
+        F.col("id") < F.col("b_id")
+    )
     dist = (
         2
         * 6371.0
