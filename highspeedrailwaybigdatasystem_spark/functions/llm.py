@@ -20,6 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from ..registry import register
@@ -352,9 +353,10 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- the join's two scans + shuffle-both-sides (probed at sf0.1 and
           -- amplified sf1: identical 254-pair output, ~15% faster warm).
           -- Grain: pairs-per-bucket is quadratic either way (that IS the
-          -- candidate set); at 100 TB a degenerate hot bucket means exact
-          -- duplicates, which the production pipeline collapses linearly
-          -- BEFORE this stage (llm_dedup_survivorship twin).
+          -- candidate set); exact duplicates — the one degenerate-bucket
+          -- source — are collapsed to representatives upstream in this
+          -- very pipeline (round 11), so bucket fan-out tracks DISTINCT
+          -- near-dup density only.
           -- No BROADCAST hints anywhere in this query (round 10): with AQE,
           -- runtime stats already convert these joins to broadcast when the
           -- built side is genuinely small (sf0.1: 254 candidate pairs), and
@@ -529,8 +531,8 @@ def _dot(a, b):
     )
 
 
-@F.pandas_udf("double")
-def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:
+@F.pandas_udf(DoubleType())  # type instance: a DDL string would need an
+def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:  # active session at import
     """Arrow-vectorized float64 dot product for embedding pair columns —
     the hot-path twin of ``_dot`` for ops whose dot count scales with the
     corpus (the interpreted higher-order-function fold costs ~6 µs/dot;
@@ -6971,11 +6973,10 @@ def _register_dup_partner_degree() -> None:
         bounded by the max dup-cluster size; the window runs on the
         |degrees|-row histogram. Oracle composes the banding oracle
         verbatim as a CTE — lockstep by construction. Scale note:
-        inherits llm_minhash_banding's OUTPUT-BOUND pair population
-        (the 10x amplified corpus is 90% verbatim dups → 250k real
-        pairs vs 254; 12.8x measured) — like llm_lsh_tuning_curve, the
-        production ordering runs llm_exact_dedup's collapse first,
-        which returns the pair set (and this histogram) to ~1x."""
+        inherits llm_minhash_banding's round-11 exact-collapse, so the
+        pair population (and this histogram) tracks DISTINCT content —
+        the formerly output-bound verbatim-duplicate blowup (12.8x
+        measured at 10x amplification in round 10) is gone."""
         pairs = llm_minhash_banding(spark, sf_dir)
         pairs.createOrReplaceTempView("__dupdeg_pairs")
         return spark.sql(

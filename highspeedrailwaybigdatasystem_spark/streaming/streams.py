@@ -111,7 +111,15 @@ def _run_heavy_state(spark: SparkSession, df, tag: str):
         q.awaitTermination()
     finally:
         spark.conf.set(key, prev)
-    return spark.read.parquet(out)
+    try:
+        return spark.read.parquet(out)
+    except Exception:  # noqa: BLE001
+        # Zero emitted rows leave the sink directory without data files and
+        # schema inference raises — the memory sink used to register an
+        # empty table WITH a schema, so preserve that contract for sparse
+        # corpora: an empty frame with the stream's own schema keeps any
+        # downstream aggregation SQL runnable (advice item, round 11).
+        return spark.createDataFrame([], df.schema)
 
 
 @register(

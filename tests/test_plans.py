@@ -170,6 +170,9 @@ def test_full_surface_plan_hygiene(spark):
         "ts_rfm_segmentation",     # 1-row median-cutpoint broadcast
         "llm_importance_resample", # 1-row min-lang-count broadcast
         "llm_semdedup_centroid",   # 16-row centroid broadcast (IVF pattern)
+        "llm_knn_all",             # 16-row centroid broadcast (IVF-bucketed
+                                   # within-cell k-NN, round 11)
+        "ml_knn_classifier_eval",  # composes llm_knn_all's centroid BNLJ
         "llm_semdedup_sqrtn",      # sqrt(N_reps)-row centroid broadcast (IVF
                                    # assignment grain — bounded at k ~ sqrt(N))
         "ml_naive_bayes_langid",   # 5-row lang-totals + 1-row vocab broadcast
@@ -522,9 +525,19 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
     table fails here with that context.
 
     join_broadcast (the broadcast-API exhibit) and join_theta_range (a
-    non-equi join, which REQUIRES a broadcast side; join_range_binned is
-    its scale twin) are the two deliberate per-op exceptions.
+    non-equi join, which REQUIRES a broadcast side and pre-filters its
+    probe sliver; join_range_binned is its scale twin) are the two
+    deliberate per-op exceptions.
+
+    Round 11 (advice items): the F.broadcast scan is an ast.walk over Call
+    nodes — the old single-nesting regex silently skipped 9 real call
+    sites (among them llm_ann_recall_eval's then-unbounded probe
+    broadcast) — with a completeness assertion that every textual
+    ``F.broadcast(`` occurrence was classified, and both allowlists are
+    keyed by (file, target) so an alias blessed in one module can't bless
+    a new hint elsewhere.
     """
+    import ast
     import glob
     import os
     import re
@@ -532,37 +545,139 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(repo, "highspeedrailwaybigdatasystem_spark")
     allowed_sql_hints = {
-        "probe", "m", "w", "cents", "c",  # probe rows / 1-row min / lang grain / centroids
-        "nation", "region", "dim",        # fixed dims (dim: sql_hints exhibit docstring)
+        # llm.py: 1-row probe vectors (sim_topk family), 16 IVF centroids,
+        # 1-row min / lang-grain / centroid / total aliases
+        ("llm.py", "probe"),
+        ("llm.py", "knn_cents"),
+        ("llm.py", "m"),
+        ("llm.py", "w"),
+        ("llm.py", "cents"),
+        ("llm.py", "c"),
+        ("ml.py", "c"),  # 16 deterministic centroids (kmeans/fuzzy)
+        # fixed dims (dim: sql_hints exhibit docstring)
+        ("aggregates.py", "dim"),
+        ("aggregates.py", "nation"),
+        ("joins.py", "nation"),
+        ("joins.py", "region"),
+        ("tpch.py", "nation"),
+        ("tpch.py", "region"),
     }
-    allowed_dsl = {
-        "nation", "region", "n1", "n2",                 # fixed dims + aliases
-        "tot", "cuts", "off", "top", "best", "mx",      # tiny derived aggregates
-        "marks", "factors", "nlabels", "sketch", "df_", # bounded-grain builds
-        "block", "del_list",                            # human-scale request lists
-        "freq", "words", "plists",                      # vocab table / bitmap words / probes x4 routing
-        "dim",                                          # join_temporal_scd2: orders pinned to a FIXED 100-key range
-        't(spark, sf_dir, "nation")',
-        't(spark, sf_dir, "region")',
-        't(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")',
+    allowed_dsl_names = {
+        # fixed dims + aliases
+        ("tpch.py", "nation"), ("tpch.py", "region"),
+        ("tpch.py", "n1"), ("tpch.py", "n2"),
+        ("streams.py", "nation"),
+        # tiny derived aggregates / bounded-grain builds
+        ("llm.py", "tot"), ("llm.py", "cuts"), ("llm.py", "mx"),
+        ("llm.py", "factors"), ("llm.py", "marks"), ("llm.py", "freq"),
+        ("llm.py", "words"), ("llm.py", "df_"),
+        ("llm.py", "plists"),  # probes(<=64) x nprobe=4 routing, bounded
+        ("timeseries.py", "cuts"), ("windows.py", "cuts"),
+        ("windows.py", "off"), ("aggregates.py", "sketch"),
+        ("tpch.py", "top"), ("tpch.py", "best"),
+        # human-scale request lists
+        ("streams.py", "block"), ("etl.py", "del_list"),
+        # join_temporal_scd2: orders pinned to a FIXED 100-key range
+        ("etl.py", "dim"),
+    }
+    allowed_dsl_exprs = {
+        ("aggregates.py", "t(spark, sf_dir, 'nation')"),
+        ("aggregates.py", "t(spark, sf_dir, 'region')"),
+        ("tpch.py", "t(spark, sf_dir, 'nation')"),
+        ("tpch.py", "t(spark, sf_dir, 'region')"),
+        ("tpch.py", "t(spark, sf_dir, 'region').where(F.col('r_name') == 'EUROPE')"),
+        # 30-row literal date spine (etl_missing_partition_detect)
+        (
+            "etl.py",
+            "t(spark, sf_dir, 'events').sparkSession.range(1).select("
+            "F.explode(F.expr(\"sequence(DATE '2024-01-01', DATE '2024-01-30',"
+            " interval 1 day)\")).alias('day'))",
+        ),
+        # 16 fixed IVF centroids / 1-row probes / <=64 capped probe set
+        # (llm_ivf_ann, llm_ann_recall_eval, mm_embed_sim_stub)
+        (
+            "llm.py",
+            "t(spark, sf_dir, 'embeddings').where(F.col('vec_id') < 16)"
+            ".select(F.col('vec_id').alias('cent_id'), F.col('embedding').alias('cent'))",
+        ),
+        (
+            "llm.py",
+            "t(spark, sf_dir, 'embeddings').where(F.col('vec_id') == 0)"
+            ".select(F.col('embedding').alias('p'))",
+        ),
+        (
+            "llm.py",
+            "t(spark, sf_dir, 'embeddings').where((F.col('vec_id') % 200 == 0)"
+            " & (F.col('vec_id') < 12800))"
+            ".select(F.col('vec_id').alias('probe_id'), F.col('embedding').alias('p'))",
+        ),
+        (
+            "llm.py",
+            "cents.crossJoin(probe).orderBy(F.round(_dot(F.col('cent'),"
+            " F.col('p')), 6).desc(), 'cent_id').limit(4).select('cent_id')",
+        ),
+        (
+            "llm.py",
+            "cents.crossJoin(probes).withColumn('rn',"
+            " F.row_number().over(rn_plist)).where(F.col('rn') <= 4)"
+            ".select('probe_id', 'cent_id')",
+        ),
+        ("llm.py", "emb.where(F.col('doc_id') == 0).select(F.col('e').alias('p'))"),
     }
     exempt_ops = {"join_broadcast", "join_theta_range"}
     sql_bad, dsl_bad = [], []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        fname = os.path.basename(path)
         with open(path) as f:
             src = f.read()
         for m in re.finditer(r"BROADCAST\((\w+)\)", src):
-            if m.group(1) not in allowed_sql_hints:
-                sql_bad.append((os.path.basename(path), m.group(1)))
-        for m in re.finditer(r"F\.broadcast\(((?:[^()]|\([^()]*\))*)\)", src):
-            tgt = m.group(1).strip()
-            if tgt in allowed_dsl:
+            if (fname, m.group(1)) not in allowed_sql_hints:
+                sql_bad.append((fname, m.group(1)))
+        tree = ast.parse(src)
+        # owner map: innermost enclosing function per line
+        owners: list[tuple[int, int, str]] = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef):
+                owners.append((node.lineno, node.end_lineno, node.name))
+        matched = 0
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
                 continue
-            owners = re.findall(r"def ([a-z_0-9]+)\(", src[: m.start()])
-            owner = owners[-1] if owners else "?"
+            matched += 1
+            tgt = ast.unparse(node.args[0]) if node.args else ""
+            if isinstance(node.args[0], ast.Name) and (
+                (fname, node.args[0].id) in allowed_dsl_names
+            ):
+                continue
+            if (fname, tgt) in allowed_dsl_exprs:
+                continue
+            owner = "?"
+            for lo, hi, nm in owners:
+                if lo <= node.lineno <= hi:
+                    owner = nm  # keep innermost (walk order nests outward-in)
             if owner in exempt_ops:
                 continue
-            line = src[: m.start()].count("\n") + 1
-            dsl_bad.append((os.path.basename(path), line, owner, tgt[:60]))
-    assert not sql_bad, f"unallowlisted SQL BROADCAST hints: {sql_bad}"
-    assert not dsl_bad, f"unallowlisted F.broadcast targets: {dsl_bad}"
+            dsl_bad.append((fname, node.lineno, owner, tgt[:80]))
+        # completeness: the AST scan must have seen every textual site —
+        # a formatting trick can't hide a forced broadcast from this test
+        textual = len(re.findall(r"\bF\.broadcast\(", src))
+        assert matched == textual, (
+            f"{fname}: AST matched {matched} F.broadcast calls but source"
+            f" text contains {textual} — scanner gap"
+        )
+    assert not sql_bad, (
+        f"unallowlisted SQL BROADCAST hints: {sql_bad} — a forced broadcast"
+        " is only safe at fixed cardinality; the 100x probe OOMed on"
+        " SF-scaled ones (BASELINE.md round 10)"
+    )
+    assert not dsl_bad, (
+        f"unallowlisted F.broadcast targets: {dsl_bad} — a forced broadcast"
+        " is only safe at fixed cardinality; the 100x probe OOMed on"
+        " SF-scaled ones (BASELINE.md round 10)"
+    )

@@ -6,8 +6,11 @@ appeared only at 100×): does each operator COMPLETE at a two-orders-of-
 magnitude corpus without a planner blow-up (forced broadcast OOM, driver
 collect explosion, runaway cartesian)? Each op runs under a job-group
 watchdog; on timeout its Spark jobs are cancelled and the op is recorded
-TIMEOUT rather than blocking the sweep. Output: one line per op —
-``OK <rows> <sec>`` / ``TIMEOUT`` / ``FAIL <error>``.
+TIMEOUT rather than blocking the sweep. After any FAIL the SparkContext is
+health-probed and rebuilt if dead (round 11: one OOM used to cascade into
+false FAILs for every later op), and the estimator/streaming ops most
+likely to OOM the shared JVM run last. Output: one line per op —
+``OK <rows> <sec>`` / ``TIMEOUT`` / ``FAIL <error>`` (+ ``RESTART`` marks).
 
 TIMEOUT is not automatically a defect: on the amplified corpus every
 payload repeats ``--copies`` times verbatim, so pair-generating ops'
@@ -29,6 +32,20 @@ import time
 sys.path.insert(0, ".")
 
 
+#: estimator-valued / streaming-state ops most likely to OOM the shared
+#: JVM — run LAST so a crash can't poison the batch tier (round-10 lesson:
+#: one heap OOM killed the context and 11 later ops recorded false FAILs).
+_RUN_LAST_PREFIXES = ("stream_", "agg_approx_distinct", "agg_hll_sketch", "llm_ann_lsh")
+
+
+def _context_alive(spark) -> bool:
+    """True iff the shared SparkContext can still run a trivial job."""
+    try:
+        return spark.range(1).count() == 1
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("ops", nargs="*")
@@ -39,20 +56,28 @@ def main() -> None:
     import __spark_entry__ as mod
     from highspeedrailwaybigdatasystem_spark.session import build_session
 
-    spark = build_session("scale-survival", shuffle_partitions=256)
-    sc = spark.sparkContext
+    def fresh_session():
+        return build_session("scale-survival", shuffle_partitions=256)
+
+    spark = fresh_session()
     qs = mod.queries()
     names = args.ops or list(qs)
+    # crash-prone tail last, stable relative order otherwise
+    names = sorted(names, key=lambda n: n.startswith(_RUN_LAST_PREFIXES))
 
-    n_ok = n_to = n_fail = 0
+    n_ok = n_to = n_fail = n_restart = 0
     for name in names:
+        sc = spark.sparkContext
         group = f"survival-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         done = threading.Event()
 
-        def watchdog() -> None:
+        def watchdog(sc=sc, group=group, done=done) -> None:
             if not done.wait(args.timeout):
-                sc.cancelJobGroup(group)
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001
+                    pass  # context died mid-op; the main thread handles it
 
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
@@ -70,10 +95,29 @@ def main() -> None:
             else:
                 print(f"FAIL {name} {el:.1f}s {msg}", flush=True)
                 n_fail += 1
+            done.set()
+            # Cascade-proofing (round 11): a heap OOM can kill the shared
+            # local JVM and every later op would FAIL on the dead context
+            # (round 10 recorded 11 such false rows). Probe it; if dead,
+            # tear down and rebuild so the remaining ops run for real.
+            if not _context_alive(spark):
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+                spark = fresh_session()
+                n_restart += 1
+                print(f"RESTART context rebuilt after {name}", flush=True)
         finally:
             done.set()
-            sc.setJobGroup("", "")
-    print(f"survival: {n_ok} ok, {n_to} timeout, {n_fail} fail / {len(names)}")
+            try:
+                spark.sparkContext.setJobGroup("", "")
+            except Exception:  # noqa: BLE001
+                pass
+    print(
+        f"survival: {n_ok} ok, {n_to} timeout, {n_fail} fail,"
+        f" {n_restart} restarts / {len(names)}"
+    )
 
 
 if __name__ == "__main__":
