@@ -474,9 +474,14 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     d = t(spark, sf_dir, "documents").join(reps, "doc_id")
-    tok = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    # cached: read 3x (sizes + both self-join sides) — uncached, each
+    # reference re-ran the reps collapse + explode (15 shuffles; round 11)
+    tok = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .cache()
+    )
+    _materialize_cache(spark, tok)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -3412,36 +3417,44 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     list. EXACT-COLLAPSE FIRST (round 11): pairs run over one
     representative per distinct text — verbatim duplicates otherwise make
     the within-block pair output grow ~copies² (the round-10 100x sweep
-    TIMEOUT); oracle applies the same reps CTE."""
-    return sql_q(
-        spark,
-        sf_dir,
+    TIMEOUT); oracle applies the same reps CTE. The shingle stage is a
+    cached temp view (read 3x: sizes + both self-join sides; the CTE form
+    inlined the reps collapse + explode per reference — 15 shuffles)."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    sh = spark.sql(
         """
-        WITH reps AS (
-          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        sh AS (
-          SELECT DISTINCT doc_id, source, sh
-          FROM (SELECT d.doc_id, d.source, split(d.text, ' ') AS tk
-                FROM documents d JOIN reps USING (doc_id))
-          LATERAL VIEW explode(transform(
-            sequence(0, size(tk) - 3),
-            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-          WHERE size(tk) >= 3),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source
-                             AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+        SELECT DISTINCT doc_id, source, sh
+        FROM (SELECT d.doc_id, d.source, split(d.text, ' ') AS tk
+              FROM documents d
+              JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY md5(text)) reps USING (doc_id))
+        LATERAL VIEW explode(transform(
+          sequence(0, size(tk) - 3),
+          i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+        WHERE size(tk) >= 3
+        """
+    ).cache()
+    sh.createOrReplaceTempView("__cd_sh")
+    _materialize_cache(spark, sh)
+    return spark.sql(
+        """
         SELECT doc_a, doc_b,
                round(CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
-        FROM shared
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
+        FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_cnt
+          FROM __cd_sh a JOIN __cd_sh b ON a.sh = b.sh AND a.source = b.source
+                                       AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) shared
+        JOIN (SELECT doc_id, count(*) AS n FROM __cd_sh GROUP BY doc_id) sa
+          ON sa.doc_id = doc_a
+        JOIN (SELECT doc_id, count(*) AS n FROM __cd_sh GROUP BY doc_id) sb
+          ON sb.doc_id = doc_b
         WHERE CAST(shared_cnt AS DOUBLE) / least(sa.n, sb.n) >= 0.2
         ORDER BY containment DESC, doc_a, doc_b
         LIMIT 100
-        """,
+        """
     )
 
 

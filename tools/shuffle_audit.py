@@ -43,30 +43,41 @@ def _dedup_cached_blocks(plan: str) -> str:
     plan under every InMemoryTableScan that references it, so an op that
     stages a table once but reads it 5 times would count the staging
     shuffles 5×. The cached stage executes once; keep the first printed
-    copy, drop the repeats (distinct cached plans each still count once)."""
-    out, seen, lines = [], set(), plan.splitlines()
-    i = 0
-    while i < len(lines):
-        line = lines[i]
-        if "InMemoryRelation" in line:
-            depth = len(_GLYPHS.match(line).group(0))
-            j = i + 1
-            while j < len(lines) and len(_GLYPHS.match(lines[j]).group(0)) > depth:
-                j += 1
-            # key ignores per-reference expression ids (#123) and glyphs
-            block = re.sub(
-                r"#\d+", "#", "\n".join(ln.lstrip(" :+|-") for ln in lines[i:j])
-            )
-            if block in seen:
+    copy, drop the repeats (distinct cached plans each still count once).
+    Recursive since round 11: a cached view whose BUILD reads another
+    cached view embeds that inner build in its own printed block, so the
+    inner copies never matched a standalone occurrence and chained caches
+    (shingle → idf → wsum) re-counted the shingle build once per printed
+    context — 112 'shuffles' for llm_idf_weighted_jaccard's 12 real ones."""
+
+    def _key(lines: list[str]) -> str:
+        # ignores per-reference expression ids (#123) and tree glyphs
+        return re.sub(r"#\d+", "#", "\n".join(ln.lstrip(" :+|-") for ln in lines))
+
+    def _walk(lines: list[str], seen: set[str]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            if "InMemoryRelation" in line:
+                depth = len(_GLYPHS.match(line).group(0))
+                j = i + 1
+                while j < len(lines) and len(_GLYPHS.match(lines[j]).group(0)) > depth:
+                    j += 1
+                block = _key(lines[i:j])
+                if block in seen:
+                    i = j
+                    continue
+                seen.add(block)
+                out.append(line)
+                out.extend(_walk(lines[i + 1 : j], seen))
                 i = j
-                continue
-            seen.add(block)
-            out.extend(lines[i:j])
-            i = j
-        else:
-            out.append(line)
-            i += 1
-    return "\n".join(out)
+            else:
+                out.append(line)
+                i += 1
+        return out
+
+    return "\n".join(_walk(plan.splitlines(), set()))
 
 
 # Bounded-grain justifications for every op at >=10 deduped exchanges
@@ -108,6 +119,68 @@ _NOTES = {
 }
 
 
+_PY_EXECS = {
+    "BatchEvalPythonExec",
+    "ArrowEvalPythonExec",
+    "FlatMapGroupsInPandasExec",
+    "MapInPandasExec",
+    "FlatMapCoGroupsInPandasExec",
+}
+
+
+def _count_plan_tree(spark, df) -> tuple[int, int, int, bool]:
+    """(shuffles, broadcasts, python-boundaries, cartesian) of an op's plan,
+    counted by walking the JVM SparkPlan TREE instead of its toString.
+
+    Round-11 rewrite: once a cached stage has EXECUTED, toString prints it
+    as AQE '== Final Plan ==' sections at arbitrary indentation, so the
+    old text parser (indent-scoped InMemoryRelation block dedup) re-counted
+    chained cached builds once per printed context — llm_idf_weighted_
+    jaccard showed 112 'shuffles' for 12 real ones. The tree walk is exact:
+    AQE wrappers recurse via initialPlan() (the static post-EnsureRequirements
+    shape — exchanges present, no execution triggered; inputPlan() would
+    predate exchange insertion), query stages via plan(), ReusedExchange subtrees are
+    skipped (they re-read a counted exchange), and each InMemoryRelation's
+    build subtree is counted exactly once per op (keyed by the JVM
+    identity of its cache builder)."""
+    ident = spark._jvm.java.lang.System.identityHashCode
+    shuffles = bcasts = py = 0
+    cartesian = False
+    seen_caches: set[int] = set()
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        if cls.endswith("QueryStageExec") or cls.startswith("ResultQueryStage"):
+            stack.append(node.plan())
+            continue
+        if cls == "ReusedExchangeExec":
+            continue
+        if cls == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = ident(rel.cacheBuilder())
+            if key not in seen_caches:
+                seen_caches.add(key)
+                stack.append(rel.cacheBuilder().cachedPlan())
+            continue
+        if cls == "ShuffleExchangeExec":
+            part = node.outputPartitioning().getClass().getSimpleName()
+            if part in ("HashPartitioning", "RangePartitioning"):
+                shuffles += 1
+        elif cls == "BroadcastExchangeExec":
+            bcasts += 1
+        elif cls in _PY_EXECS:
+            py += 1
+        elif cls == "CartesianProductExec":
+            cartesian = True
+        kids = node.children()
+        stack.extend(kids.apply(i) for i in range(kids.size()))
+    return shuffles, bcasts, py, cartesian
+
+
 def main() -> None:
     spark = build_session("shuffle_audit", shuffle_partitions=16)
     rows = []
@@ -117,21 +190,11 @@ def main() -> None:
             continue  # streaming plans asserted in their own tests
         try:
             df = fn(spark, SF_DIR)
-            plan = _dedup_cached_blocks(
-                df._jdf.queryExecution().executedPlan().toString()
-            )
+            sh, bc, py, cart = _count_plan_tree(spark, df)
         except Exception as exc:  # pragma: no cover - audit tool
             errors.append(f"{name}: {exc}")
             continue
-        rows.append(
-            (
-                name,
-                len(_SHUFFLE.findall(plan)),
-                len(_BCAST.findall(plan)),
-                len(_PY.findall(plan)),
-                "CartesianProduct" in plan,
-            )
-        )
+        rows.append((name, sh, bc, py, cart))
     total_shuffles = sum(r[1] for r in rows)
     heavy = [r for r in rows if r[1] >= 4]
     with open(os.path.join(REPO, "SHUFFLES.md"), "w") as f:
