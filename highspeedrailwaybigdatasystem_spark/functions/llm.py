@@ -24,36 +24,7 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..operators._util import ratio, sql_q, t
-
-def _materialize_cache(spark: SparkSession, *dfs: DataFrame) -> None:
-    """count() each cached DataFrame whose in-memory buffers are NOT yet
-    built, so downstream queries are planned against the cache's REAL
-    InMemoryRelation statistics (see llm_minhash_banding's
-    planner-statistics note — unmaterialized cached explodes carry
-    pre-explode size estimates, under which Catalyst force-broadcasts the
-    whole view: a 3.5 GiB OOM at the 100x corpus). Gating on the actual
-    CacheManager state (not a process-global seen-set, round 11) keeps the
-    guard correct across spark.catalog.clearCache()/unpersist(): a cleared
-    entry re-registers unmaterialized and gets re-counted here. Falls back
-    to an unconditional count() if the JVM probe is unavailable."""
-    for df in dfs:
-        try:
-            opt = (
-                spark._jsparkSession.sharedState()
-                .cacheManager()
-                .lookupCachedData(df._jdf)
-            )
-            loaded = opt.isDefined() and (
-                opt.get()
-                .cachedRepresentation()
-                .cacheBuilder()
-                .isCachedColumnBuffersLoaded()
-            )
-        except Exception:
-            loaded = False
-        if not loaded:
-            df.count()
+from ..operators._util import _materialize_cache, ratio, sql_q, t
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -781,9 +752,13 @@ def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_embed_near_dup",
     oracle=f"""
+    WITH reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+    e AS (
+      SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id))
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
     """,
 )
@@ -792,9 +767,20 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fully distributed block×block GEMM layout — no driver collect, no
     corpus broadcast. Threshold applied inside the kernel so only qualifying
     pairs leave Python, and it compares the ROUNDED sim on both sides so a
-    last-ulp GEMM-vs-fold difference can't flip membership at the cut."""
+    last-ulp GEMM-vs-fold difference can't flip membership at the cut.
+    EXACT-COLLAPSE FIRST (round 11): pairs run over one representative per
+    distinct embedding payload — identical vectors are exact duplicates by
+    definition, and carrying the copies multiplies the GEMM copies² (the
+    100x sweep TIMEOUT) while every extra pair is sim=1.0 noise; oracle
+    applies the same reps subquery. This op stays the exactness anchor:
+    collapse-only, NO row cap (llm_sim_blocked carries the capped audit
+    tier; the sub-quadratic production paths are LSH / IVF / semdedup)."""
     return _blocked_gemm(
-        spark, sf_dir, _threshold_pair_kernel(0.35), "vec_a long, vec_b long, sim double"
+        spark,
+        sf_dir,
+        _threshold_pair_kernel(0.35),
+        "vec_a long, vec_b long, sim double",
+        collapse=True,
     )
 
 
@@ -996,9 +982,13 @@ def llm_sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_components",
     oracle=f"""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE reps AS (
+      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+    e AS (
+      SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id)),
+    edges AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round({_DOT_ORACLE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35),
     undirected AS (
       SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
@@ -1023,8 +1013,12 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph diameter, and each superstep is a fully distributed shuffle-join —
     the standard way to run fixpoint algorithms on Spark without a graph
     library. Only nodes that appear in at least one edge are returned
-    (singletons are trivially their own component). Oracle: recursive-CTE
-    transitive reachability with the same min-label rule."""
+    (singletons are trivially their own component). Inherits
+    llm_embed_near_dup's round-11 exact-collapse, so the edge set (and the
+    component graph) is over distinct embedding payloads — exact copies
+    belong to their representative's cluster by construction. Oracle:
+    recursive-CTE transitive reachability with the same min-label rule
+    over the same collapsed reps."""
     edges = (
         llm_embed_near_dup(spark, sf_dir)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
@@ -5238,11 +5232,18 @@ _MHP = 4294967291  # same 32-bit-prime affine family as llm_minhash_banding
 def _mh_est_sql(dialect: str) -> str:
     """MinHash estimate-vs-exact SQL in either engine's dialect. The lane
     constants are IDENTICAL to llm_minhash_banding's, so this op audits
-    the exact signature family the production near-dedup runs."""
+    the exact signature family the production near-dedup runs — including
+    its round-11 exact-collapse (one representative per distinct text),
+    which also keeps the audited candidate-pair population a function of
+    DISTINCT content (uncollapsed, the 100x verbatim-duplicate corpus made
+    the pair set copies²-large: sweep TIMEOUT)."""
     if dialect == "spark":
         shingle = (
             "SELECT doc_id, sh"
-            " FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)"
+            " FROM (SELECT d.doc_id, split(d.text, ' ') AS tk"
+            " FROM documents d"
+            " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(text)) reps USING (doc_id))"
             " LATERAL VIEW explode(array_distinct(transform("
             "sequence(0, size(tk) - 3),"
             " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"
@@ -5250,11 +5251,13 @@ def _mh_est_sql(dialect: str) -> str:
         base_hash = "cast(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
     else:
         shingle = (
-            "SELECT DISTINCT doc_id,"
+            "SELECT DISTINCT d.doc_id,"
             " unnest(list_transform(generate_series(1, len(tk) - 2),"
             " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh"
-            " FROM (SELECT doc_id, string_split(text, ' ') AS tk"
-            " FROM documents) toks"
+            " FROM (SELECT dd.doc_id, string_split(dd.text, ' ') AS tk"
+            " FROM documents dd"
+            " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+            " GROUP BY md5(text)) reps USING (doc_id)) d"
         )
         base_hash = "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
     lanes = ",\n             ".join(
@@ -5351,7 +5354,10 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     sh = spark.sql(
         "SELECT doc_id, sh"
-        " FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)"
+        " FROM (SELECT d.doc_id, split(d.text, ' ') AS tk"
+        " FROM documents d"
+        " JOIN (SELECT min(doc_id) AS doc_id FROM documents"
+        " GROUP BY md5(text)) reps USING (doc_id))"
         " LATERAL VIEW explode(array_distinct(transform("
         "sequence(0, size(tk) - 3),"
         " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh"

@@ -35,6 +35,36 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir, name)
 
 
+def _materialize_cache(spark: SparkSession, *dfs: DataFrame) -> None:
+    """count() each cached DataFrame whose in-memory buffers are NOT yet
+    built, so downstream queries are planned against the cache's REAL
+    InMemoryRelation statistics (see llm_minhash_banding's
+    planner-statistics note — unmaterialized cached explodes carry
+    pre-explode size estimates, under which Catalyst force-broadcasts the
+    whole view: a 3.5 GiB OOM at the 100x corpus). Gating on the actual
+    CacheManager state (not a process-global seen-set, round 11) keeps the
+    guard correct across spark.catalog.clearCache()/unpersist(): a cleared
+    entry re-registers unmaterialized and gets re-counted here. Falls back
+    to an unconditional count() if the JVM probe is unavailable."""
+    for df in dfs:
+        try:
+            opt = (
+                spark._jsparkSession.sharedState()
+                .cacheManager()
+                .lookupCachedData(df._jdf)
+            )
+            loaded = opt.isDefined() and (
+                opt.get()
+                .cachedRepresentation()
+                .cacheBuilder()
+                .isCachedColumnBuffersLoaded()
+            )
+        except Exception:
+            loaded = False
+        if not loaded:
+            df.count()
+
+
 def sql_q(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Run one Spark SQL text over the memoized corpus views.
 

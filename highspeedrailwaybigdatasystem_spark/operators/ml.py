@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import sql_q, t
+from ._util import _materialize_cache, sql_q, t
 
 _K = 4
 _ITERS = 5
@@ -232,7 +232,18 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ran the explode per reference and defeated CacheManager's
     cached-plan substitution (CTE definitions are not rewritten — see
     graph_common_neighbors), so the final query is deliberately
-    CTE-free."""
+    CTE-free.
+
+    Round-11 scoring-arm rewrite (100x sweep TIMEOUT), pure execution
+    strategy — the ORACLE is unchanged because results are provably
+    identical: (a) eval documents collapse to one representative per
+    distinct (text, lang) and the confusion counts weight by multiplicity
+    (identical texts receive identical scores, hence identical argmax);
+    (b) rep token streams pre-aggregate to (doc, token) counts, scoring
+    k·ll instead of k repeated ll terms (integer sums — exact). On a
+    duplicate-heavy corpus the scored volume tracks DISTINCT eval content:
+    the op went from >100 s (sweep watchdog kill) to 44.1 s at the 100x
+    probe, now dominated by the linear train-side model aggregates."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
@@ -247,23 +258,39 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     tok.createOrReplaceTempView("__nb_tok")
+    _materialize_cache(spark, tok)
+    reps = spark.sql(
+        """
+        SELECT min(doc_id) AS doc_id, lang, count(*) AS mult
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2) >= 'cc'
+        GROUP BY md5(text), lang
+        """
+    ).cache()
+    reps.createOrReplaceTempView("__nb_reps")
+    _materialize_cache(spark, reps)
     return spark.sql(
         f"""
-        SELECT actual_lang, pred_lang, count(*) AS n_docs
+        SELECT actual_lang, pred_lang, CAST(sum(mult) AS BIGINT) AS n_docs
         FROM (
-          SELECT doc_id, actual_lang, cand_lang AS pred_lang,
+          SELECT doc_id, actual_lang, mult, cand_lang AS pred_lang,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY score DESC, cand_lang) AS rn
           FROM (
-            SELECT s.doc_id, s.actual_lang, s.cand_lang,
+            SELECT s.doc_id, s.actual_lang, s.mult, s.cand_lang,
                    s.ll + CAST(round(ln(CAST(p.d AS DOUBLE) / dt.dt) * {_LLQ})
                                AS BIGINT) AS score
             FROM (
-              SELECT e.doc_id, e.actual_lang, t.lang AS cand_lang,
-                     sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v))
+              SELECT e.doc_id, e.actual_lang, e.mult, t.lang AS cand_lang,
+                     sum(e.k * CAST(round(ln((COALESCE(c.c, 0) + 1.0)
+                                             / (t.tt + v.v))
                                     * {_LLQ}) AS BIGINT)) AS ll
-              FROM (SELECT doc_id, lang AS actual_lang, token
-                    FROM __nb_tok WHERE is_train = 0) e
+              FROM (SELECT tk.doc_id, tk.lang AS actual_lang, r.mult,
+                           tk.token, count(*) AS k
+                    FROM __nb_tok tk
+                    JOIN __nb_reps r ON r.doc_id = tk.doc_id
+                    WHERE tk.is_train = 0
+                    GROUP BY tk.doc_id, tk.lang, r.mult, tk.token) e
               CROSS JOIN (SELECT lang, count(*) AS tt
                           FROM __nb_tok WHERE is_train = 1 GROUP BY lang) t
               CROSS JOIN (SELECT count(DISTINCT token) AS v
@@ -272,7 +299,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                          FROM __nb_tok WHERE is_train = 1
                          GROUP BY lang, token) c
                 ON c.lang = t.lang AND c.token = e.token
-              GROUP BY e.doc_id, e.actual_lang, t.lang) s
+              GROUP BY e.doc_id, e.actual_lang, e.mult, t.lang) s
             JOIN (SELECT lang, count(DISTINCT doc_id) AS d
                   FROM __nb_tok WHERE is_train = 1 GROUP BY lang) p
               ON p.lang = s.cand_lang

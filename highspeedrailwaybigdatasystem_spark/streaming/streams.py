@@ -122,6 +122,52 @@ def _run_heavy_state(spark: SparkSession, df, tag: str):
         return spark.createDataFrame([], df.schema)
 
 
+def _run_heavy_complete(spark: SparkSession, df, tag: str):
+    """COMPLETE-mode sibling of ``_run_heavy_state`` for stateful queries
+    whose final table is corpus-scaled (session windows: one row per
+    session). The parquet sink only supports append, and append + a
+    keep-everything watermark emits nothing under availableNow session
+    aggregation — so the complete-mode result is landed through
+    foreachBatch: each micro-batch OVERWRITES the parquet output with the
+    full current state, state lives in RocksDB, and nothing collects into
+    driver heap (the memory sink's complete mode held every session row
+    on-heap and OOMed the 8 g JVM at the 100x corpus — round-11 survival
+    sweep find). The last availableNow batch leaves the final table on
+    disk; results are engine-identical to the memory-sink path."""
+    out = scratch_dir(f"stream_out_{tag}")
+    ckpt = scratch_dir(f"stream_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            df.writeStream.foreachBatch(
+                lambda batch, _bid: batch.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    try:
+        return spark.read.parquet(out)
+    except Exception:  # noqa: BLE001
+        return spark.createDataFrame([], df.schema)
+
+
 @register(
     "stream_tumbling",
     oracle=f"""
@@ -201,7 +247,12 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap (stateful
     session_window aggregation). Oracle is the batch gaps-and-islands
-    formulation: new session when the gap ≥ the timeout."""
+    formulation: new session when the gap ≥ the timeout. Runs on the
+    heavy-complete harness (round 11): one output row PER SESSION scales
+    with the corpus, and the memory sink's complete mode collected them
+    all into driver heap — a Java-heap OOM at the 100x corpus (survival
+    sweep find); RocksDB state + foreachBatch parquet overwrite keeps
+    both state and output off-heap."""
     agg = (
         _stream_events(spark, sf_dir, tag="sess")
         .withWatermark("ts", "40 days")  # ≥ data span: keep all state
@@ -213,9 +264,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "stream_session_sink", "complete")
-    return spark.sql(
-        "SELECT user_id, session_start, n_events FROM stream_session_sink"
+    return _run_heavy_complete(spark, agg, "sess").select(
+        "user_id", "session_start", "n_events"
     )
 
 

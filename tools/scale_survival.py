@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import threading
 import time
@@ -99,15 +100,49 @@ def main() -> None:
             # Cascade-proofing (round 11): a heap OOM can kill the shared
             # local JVM and every later op would FAIL on the dead context
             # (round 10 recorded 11 such false rows). Probe it; if dead,
-            # tear down and rebuild so the remaining ops run for real.
+            # tear down and rebuild so the remaining ops run for real. If
+            # the rebuild itself fails (a wedged context never unregisters
+            # — assertNoOtherContextIsRunning — or the py4j gateway died
+            # with the JVM), re-exec the REMAINING ops in a fresh python
+            # subprocess: its output streams through and its summary marks
+            # the handoff, so one crash can never silence the tail.
             if not _context_alive(spark):
                 try:
                     spark.stop()
                 except Exception:  # noqa: BLE001
                     pass
-                spark = fresh_session()
-                n_restart += 1
-                print(f"RESTART context rebuilt after {name}", flush=True)
+                try:
+                    spark = fresh_session()
+                    n_restart += 1
+                    print(f"RESTART context rebuilt after {name}", flush=True)
+                except Exception:  # noqa: BLE001
+                    remaining = names[names.index(name) + 1 :]
+                    print(
+                        f"RESTART in-process rebuild failed after {name};"
+                        f" re-exec {len(remaining)} remaining ops in a"
+                        " fresh subprocess",
+                        flush=True,
+                    )
+                    if remaining:
+                        import subprocess
+
+                        subprocess.run(
+                            [
+                                sys.executable,
+                                os.path.abspath(__file__),
+                                "--sf",
+                                args.sf,
+                                "--timeout",
+                                str(args.timeout),
+                                *remaining,
+                            ],
+                            check=False,
+                        )
+                    print(
+                        f"survival (pre-handoff): {n_ok} ok, {n_to} timeout,"
+                        f" {n_fail} fail, {n_restart} restarts"
+                    )
+                    return
         finally:
             done.set()
             try:
