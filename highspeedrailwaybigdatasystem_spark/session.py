@@ -30,6 +30,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE right-size CACHED plan output too (off by default for
+        # partitioning stability): a cached stage ending in a shuffle
+        # otherwise pins spark.sql.shuffle.partitions forever — at test
+        # scale every warm read of such a cache scheduled 32 near-empty
+        # tasks per downstream stage (q_minhash 0.62 s → 0.98 s after the
+        # round-11 collapse join entered the cached shingle build), and at
+        # 100 TB the same knob lets the coalescer target the advisory
+        # partition size instead of a fixed count (round 11).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Legacy-corpus support: if events.ts is TIMESTAMP(NANOS) parquet
