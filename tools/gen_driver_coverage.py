@@ -20,6 +20,11 @@ History sources (auditable from git):
                 CORRECTNESS_r04.json, verified on disk).
   r5+ window  — the live ``registry._WINDOW_PRIORITY`` (verdict "pending"
                 until the round's CORRECTNESS file lands).
+  r11 verdicts — the driver's CORRECTNESS_r11.json was never left on disk
+                (unlike r1–r10); frozen from the judge's verbatim quote in
+                VERDICT.md @ afa2ff0 ("50/50 green ... all rows_match/
+                schema_match/hash_match true, zero err") via
+                ``rotate_window.py --freeze-window-green 11``.
 
 Run: ``python tools/gen_driver_coverage.py`` (writes DRIVER_COVERAGE.md).
 ``tests/test_registry.py`` pins that the generated file is in sync and that
@@ -44,6 +49,81 @@ from highspeedrailwaybigdatasystem_spark import registry  # noqa: E402
 # ---------------------------------------------------------------------------
 
 _HISTORY_JSON = Path(__file__).resolve().parent / "gate_history.json"
+
+# ---------------------------------------------------------------------------
+# Re-proof ledger: op -> round in which its implementation (or oracle) was
+# REWRITTEN after its last driver green. A green that predates the rewrite
+# proves the old code, not the shipped code, so these ops jump the re-proof
+# queue until the driver re-gates them. An entry retires automatically once
+# the op has a green at or after the listed round (see ``plan_window``) —
+# keep stale entries here for the audit trail; they cost nothing.
+# ---------------------------------------------------------------------------
+
+REPROOF_REWRITTEN: dict[str, int] = {
+    # round-11 scale rewrites (quadratic-tier fixes; r10 verdict weak list)
+    "llm_minhash_banding": 11,
+    "llm_near_dedup_minhash": 11,
+    "llm_knn_all": 11,
+    "llm_sim_blocked": 11,
+    "llm_ann_recall_eval": 11,
+    "llm_dedup_components": 11,
+    "llm_sim_pairs_label": 11,
+    "stream_session": 11,
+    "geo_grid_join": 11,
+    "ml_naive_bayes_langid": 11,
+    "llm_data_scaling_curve": 11,
+    "llm_containment_dedup": 11,
+    "llm_embed_near_dup": 11,
+}
+
+
+def last_green(hist: dict[int, dict[str, str]]) -> dict[str, int]:
+    """op -> most recent round with a driver green."""
+    out: dict[str, int] = {}
+    for rnd in sorted(hist):
+        for op, verdict in hist[rnd].items():
+            if verdict == "green":
+                out[op] = rnd
+    return out
+
+
+def plan_window(hist: dict[int, dict[str, str]], size: int = 50) -> list[str]:
+    """The next gate window, given a frozen history — THE rotation policy.
+
+    Slots are spent in strict priority order (steady-state policy, r11
+    verdict task #3 — the generator keeps emitting windows forever instead
+    of freezing once the never-gated pool drains):
+
+      1. never-gated oracle-backed ops (sorted by name) — drain the pool;
+      2. gated-but-never-green ops (a fail/err must be re-proven first);
+      3. ``REPROOF_REWRITTEN`` ops whose last green predates their rewrite
+         round (rewrite order: rewrite round desc, then name);
+      4. re-proof rotation over driver greens, oldest last-green first
+         (tie-break by name) — so every op's evidence keeps refreshing.
+
+    Rows-only ops (no oracle) are excluded throughout: they can never gate
+    green and would waste a slot every round.
+    """
+    qs, ors = registry.all_queries(), registry.all_oracles()
+    oracle_backed = [n for n in qs if n in ors]
+    gated = {op for verdicts in hist.values() for op in verdicts}
+    lg = last_green(hist)
+
+    window: list[str] = sorted(n for n in oracle_backed if n not in gated)
+    window += sorted(
+        n for n in oracle_backed if n in gated and n not in lg
+    )
+    window += sorted(
+        (n for n in oracle_backed
+         if n in lg and lg[n] < REPROOF_REWRITTEN.get(n, 0)),
+        key=lambda n: (-REPROOF_REWRITTEN[n], n),
+    )
+    rest = sorted(
+        (n for n in oracle_backed if n in lg and n not in set(window)),
+        key=lambda n: (lg[n], n),
+    )
+    window += rest
+    return window[:size]
 
 
 def history() -> dict[int, dict[str, str]]:
@@ -197,26 +277,39 @@ def build(fold_live: bool = True, live_round: int | None = None) -> str:
 
     # Planned window sequence — GENERATED name lists (r8-verdict task #9:
     # plans must come from the regenerated ledger, not be hand-written).
-    # Deterministic draw order: the never-gated pool sorted by name,
-    # chunked into 50-op windows starting at the round after the live one.
-    # max(h) is the LIVE round (its window is already pinned in
-    # registry._WINDOW_PRIORITY); the first plannable window follows it.
+    # ``plan_window`` is the single policy: drain the never-gated pool
+    # first, then requeue fails, then rewritten-since-green ops, then
+    # re-proof driver greens oldest-first — so the generator emits a
+    # meaningful window FOREVER (steady-state re-verification), instead of
+    # freezing once the pool drains (r11 verdict task #3). Simulation folds
+    # each planned window in as green; a real fail simply requeues at the
+    # next rotation via priority 2.
     lines += [
         "",
-        "## Next windows (GENERATED from the live pool — copy each list",
+        "## Next windows (GENERATED via plan_window() — copy each list",
         "## verbatim into `registry._WINDOW_PRIORITY` at that round's start)",
         "",
     ]
-    for i in range(0, len(pool), 50):
-        rnd = max(h) + 1 + i // 50
-        chunk = pool[i:i + 50]
-        lines.append(f"### r{rnd} planned window ({len(chunk)} ops)")
+    sim = {rnd: dict(v) for rnd, v in h.items()}
+    sim[live_round] = {n: "green" for n in live_window}
+    for rnd in range(live_round + 1, live_round + 3):
+        chunk = plan_window(sim)
+        n_new = sum(1 for n in chunk if n in pool)
+        lines.append(
+            f"### r{rnd} planned window ({len(chunk)} ops; "
+            f"{n_new} never-gated, {len(chunk) - n_new} re-proof)"
+        )
         lines.append("")
         for j in range(0, len(chunk), 4):
             lines.append(", ".join(f"`{n}`" for n in chunk[j:j + 4]))
         lines.append("")
+        sim[rnd] = {n: "green" for n in chunk}
     if not pool:
-        lines += ["(pool drained — every oracle-backed op has been gated)", ""]
+        lines += [
+            "(pool drained — every oracle-backed op has been driver-gated; "
+            "windows above are steady-state re-proof rotations)",
+            "",
+        ]
     return "\n".join(lines)
 
 

@@ -43,13 +43,40 @@ START = "# --- WINDOW START (rewritten by tools/rotate_window.py) ---"
 END = "# --- WINDOW END ---"
 
 
-def freeze_finished_round() -> int | None:
+def freeze_finished_round(all_green_round: int | None = None) -> int | None:
     """Append the finished round's driver verdicts to gate_history.json.
-    Returns the frozen round number, or None if nothing new is on disk."""
+    Returns the frozen round number, or None if nothing new is on disk.
+
+    ``all_green_round`` handles a round whose CORRECTNESS_r{N}.json was
+    consumed by the driver instead of being left on disk, but whose verdict
+    the judge quoted verbatim as all-green in VERDICT.md (round 11 is the
+    precedent — provenance documented in gen_driver_coverage's docstring).
+    It freezes the LIVE window as green for that round; it refuses any
+    round other than the next unfrozen one, and is a no-op if an on-disk
+    artifact exists (the artifact always wins)."""
     hist = gdc.history()
     n = max(hist) + 1
     path = REPO / f"CORRECTNESS_r{n:02d}.json"
     if not path.exists():
+        if all_green_round == n:
+            window = sorted(
+                name for name in registry._WINDOW_PRIORITY
+                if name in registry.all_queries()
+                and name in registry.all_oracles()
+            )
+            raw = json.loads(gdc._HISTORY_JSON.read_text())
+            raw[str(n)] = {name: "green" for name in window}
+            gdc._HISTORY_JSON.write_text(json.dumps(raw, indent=1))
+            print(
+                f"froze round {n}: {len(window)}/{len(window)} green from "
+                "--freeze-window-green (verdict-quoted; no on-disk artifact)"
+            )
+            return n
+        if all_green_round is not None:
+            raise SystemExit(
+                f"--freeze-window-green {all_green_round}: next unfrozen "
+                f"round is {n}; refusing."
+            )
         print(f"nothing to freeze: {path.name} not on disk (round {n} pending)")
         return None
     verdicts = gdc._disk_verdicts(path)
@@ -74,23 +101,23 @@ def freeze_finished_round() -> int | None:
 
 
 def next_window(frozen: dict[int, dict[str, str]]) -> list[str]:
-    gated = {op for verdicts in frozen.values() for op in verdicts}
-    ors = registry.all_oracles()
-    pool = sorted(
-        n for n in registry.all_queries() if n in ors and n not in gated
-    )
-    return pool[:50]
+    """Delegates to gen_driver_coverage.plan_window — the ONE rotation
+    policy (never-gated pool, then fail requeue, then rewritten-since-green
+    re-proofs, then oldest-green re-proof rotation)."""
+    return gdc.plan_window(frozen)
 
 
 def rewrite_window(names: list[str], round_no: int, pool_size: int) -> None:
     src = REGISTRY_PATH.read_text()
     i, j = src.index(START), src.index(END)
+    n_new = min(pool_size, len(names))
     body = [
         START,
         "_WINDOW_PRIORITY: tuple[str, ...] = (",
         f"    # ROUND {round_no} window — generated by tools/rotate_window.py:",
-        f"    # first {len(names)} of the {pool_size}-op never-gated pool,",
-        "    # sorted (matches DRIVER_COVERAGE.md's planned-window lists).",
+        f"    # {n_new} never-gated (pool was {pool_size}) + "
+        f"{len(names) - n_new} re-proof slots",
+        "    # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).",
     ]
     for k in range(0, len(names), 3):
         body.append("    " + " ".join(f'"{n}",' for n in names[k:k + 3]))
@@ -103,9 +130,19 @@ def rewrite_window(names: list[str], round_no: int, pool_size: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--freeze-window-green", type=int, default=None, metavar="ROUND",
+        help="freeze the live window as all-green for ROUND when the "
+        "driver consumed CORRECTNESS_r{ROUND}.json but the judge quoted it "
+        "as 50/50 green in VERDICT.md (document provenance in "
+        "gen_driver_coverage.py's docstring)",
+    )
     args = ap.parse_args()
 
-    frozen_round = freeze_finished_round() if not args.dry_run else None
+    frozen_round = (
+        freeze_finished_round(args.freeze_window_green)
+        if not args.dry_run else None
+    )
     if frozen_round is None and not args.dry_run:
         return
     hist = gdc.history()
@@ -128,10 +165,9 @@ def main() -> None:
         for n in window:
             print(" ", n)
         return
-    if not window:
-        print("pool drained — every oracle-backed op has been gated; window unchanged")
-    else:
-        rewrite_window(window, max(hist) + 1, pool_size)
+    rewrite_window(window, max(hist) + 1, pool_size)
+    if pool_size == 0:
+        print("pool drained — window is a steady-state re-proof rotation")
     # regenerate in a SUBPROCESS: this process's operator modules registered
     # themselves into the pre-rewrite registry module object, so an in-process
     # reload would see an empty registry and render a bogus ledger
