@@ -513,16 +513,21 @@ def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:  # active session at im
     the hot-path twin of ``_dot`` for ops whose dot count scales with the
     corpus (the interpreted higher-order-function fold costs ~6 µs/dot;
     llm_ann_recall_eval's ~19M dots at the 100x corpus took 114 s through
-    it, vs the 100 s sweep watchdog). np.einsum accumulates the 64-dim
-    inner loop sequentially in float64; measured against the fold's
-    left-to-right order on 2M L2-normalized dot pairs: max divergence
-    3.3e-16 with ZERO round-6 mismatches — the same determinism contract
-    the blocked-GEMM kernels (driver-green since r6) already rely on."""
+    it, vs the 100 s sweep watchdog). The kernel reproduces the fold's
+    accumulation order STRUCTURALLY, not just empirically: np.cumsum along
+    axis=1 accumulates strictly sequentially left-to-right in float64, and
+    0.0 + x0 == x0 exactly, so every partial sum is bit-identical to
+    ``aggregate(zip_with(...))``'s left fold and to the DuckDB oracle's
+    list_aggregate 'sum'. (The previous np.einsum kernel was only
+    empirically identical — max divergence 3.3e-16 on 2M pairs — which
+    left round-to-1e-6 cut boundaries one ulp from flipping on a new
+    corpus; ADVICE r11 medium.) Bit-identity is pinned by
+    tests/test_properties_r12_window.py::test_dot64_vec_bit_identical_to_fold."""
     import numpy as np
 
     la = np.array(list(a), dtype=np.float64)
     lb = np.array(list(b), dtype=np.float64)
-    return pd.Series(np.einsum("ij,ij->i", la, lb))
+    return pd.Series((la * lb).cumsum(axis=1)[:, -1])
 
 
 @register(
@@ -2441,7 +2446,7 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = (
         e.join(assigned, "vec_id")
-        .join(F.broadcast(plists), "cent_id")
+        .join(plists, "cent_id")  # already broadcast at its definition
         .join(probes, "probe_id")
         .where(F.col("vec_id") != F.col("probe_id"))
         .withColumn("sim", F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6))

@@ -310,3 +310,37 @@ def test_rolling_slope_matches_pandas(spark):
         den = n * (x * x).sum() - x.sum() ** 2
         slope = 0.0 if den == 0 else (n * (x * y).sum() - x.sum() * y.sum()) / den
         assert abs(r["slope_7d"] - slope) < 1e-4
+
+
+def test_dot64_vec_bit_identical_to_fold():
+    """The Arrow-vectorized dot kernel must reproduce the left-to-right
+    float64 fold of ``aggregate(zip_with(...))`` (and the DuckDB oracle's
+    list_aggregate 'sum') BIT-FOR-BIT, not merely to ~1e-16 — round-to-1e-6
+    cut boundaries in llm_ann_recall_eval/llm_ivf_ann sit one ulp from
+    flipping otherwise (ADVICE r11 medium: the old np.einsum kernel was
+    only empirically identical). cumsum(axis=1) accumulates strictly
+    sequentially, and 0.0 + x0 == x0 exactly, so identity is structural."""
+    from highspeedrailwaybigdatasystem_spark.functions.llm import _dot64_vec
+
+    rng = np.random.default_rng(12)
+    n, dim = 5000, 64
+    a = [rng.standard_normal(dim).astype(np.float32) for _ in range(n)]
+    b = [rng.standard_normal(dim).astype(np.float32) for _ in range(n)]
+    # a handful of adversarial rows: huge magnitude spread + cancellation,
+    # where accumulation order visibly changes the float64 result
+    a[0] = np.array([1e8, 1.0, -1e8, 1e-8] * 16, dtype=np.float32)
+    b[0] = np.ones(dim, dtype=np.float32)
+    a[1] = np.array([1e-4, 1e4] * 32, dtype=np.float32)
+    b[1] = np.array([1e4, 1e-4] * 32, dtype=np.float32)
+
+    out = _dot64_vec.func(pd.Series(a), pd.Series(b)).to_numpy()
+
+    def left_fold(x, y):
+        acc = 0.0
+        for u, v in zip(x, y):
+            acc = acc + float(u) * float(v)
+        return acc
+
+    ref = np.array([left_fold(x, y) for x, y in zip(a, b)])
+    mism = int((out != ref).sum())
+    assert mism == 0, f"{mism}/{n} rows diverge from the left fold"

@@ -123,10 +123,17 @@ def main() -> None:
                         " fresh subprocess",
                         flush=True,
                     )
+                    # Stream the child's output through while capturing its
+                    # final summary line, then MERGE its counts and
+                    # propagate its exit status — a crashed child must be
+                    # distinguishable from a clean tail, and the printed
+                    # totals must cover the whole sweep (ADVICE r11).
+                    child_counts, child_rc = (0, 0, 0, 0), 0
                     if remaining:
+                        import re as _re
                         import subprocess
 
-                        subprocess.run(
+                        proc = subprocess.Popen(
                             [
                                 sys.executable,
                                 os.path.abspath(__file__),
@@ -136,13 +143,38 @@ def main() -> None:
                                 str(args.timeout),
                                 *remaining,
                             ],
-                            check=False,
+                            stdout=subprocess.PIPE,
+                            text=True,
                         )
+                        summary = None
+                        assert proc.stdout is not None
+                        for line in proc.stdout:
+                            print(line, end="", flush=True)
+                            m = _re.search(
+                                r"survival[^:]*: (\d+) ok, (\d+) timeout,"
+                                r" (\d+) fail, (\d+) restarts",
+                                line,
+                            )
+                            if m:
+                                summary = tuple(int(g) for g in m.groups())
+                        child_rc = proc.wait()
+                        if summary is None:
+                            print(
+                                f"HANDOFF CHILD CRASHED (rc={child_rc}, no"
+                                " summary line) — totals below understate"
+                                f" the {len(remaining)}-op tail",
+                                flush=True,
+                            )
+                            child_rc = child_rc or 1
+                        else:
+                            child_counts = summary
+                    co, ct, cf, cr = child_counts
                     print(
-                        f"survival (pre-handoff): {n_ok} ok, {n_to} timeout,"
-                        f" {n_fail} fail, {n_restart} restarts"
+                        f"survival (merged, incl. handoff): {n_ok + co} ok,"
+                        f" {n_to + ct} timeout, {n_fail + cf} fail,"
+                        f" {n_restart + cr + 1} restarts / {len(names)}"
                     )
-                    return
+                    sys.exit(child_rc)
         finally:
             done.set()
             try:
