@@ -29,6 +29,16 @@ from highspeedrailwaybigdatasystem_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Honest comparison points for the default sf0.1 headline set.
+#: - RECORDED_BASELINE_SEC: the r1 BASELINE.md total (3.94 s) — the
+#:   contract gate (≤2×) is measured against this.
+#: - STEADY_STATE_SEC: the quiet-host steady-state figure from BASELINE.md's
+#:   round-11 addendum (~3.0 s): same code, same host, load-free. Rounds
+#:   are graded against THIS (r11 verdict task #4) — beating 3.94 stopped
+#:   being informative once the engine warmed past it for good.
+RECORDED_BASELINE_SEC = 3.94
+STEADY_STATE_SEC = 3.0
+
 #: bench name → queries() key (BASELINE.md names first, same query shapes)
 HEADLINE = {
     "q_scan_agg": "agg_scan_group",          # TPC-H Q1 shape
@@ -116,6 +126,15 @@ def main() -> None:
                 "sf": sf_val,
                 "host_probe": probe,
                 "bench_vs_control": round(total / probe["duckdb_control_sec"], 4),
+                # vs_* only meaningful at the default sf0.1 headline set
+                "vs_recorded_baseline": (
+                    round(total / RECORDED_BASELINE_SEC, 4)
+                    if sf_val == 0.1 else None
+                ),
+                "vs_steady_state": (
+                    round(total / STEADY_STATE_SEC, 4)
+                    if sf_val == 0.1 else None
+                ),
             }
         )
     )

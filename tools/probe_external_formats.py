@@ -98,6 +98,70 @@ def probe_delta(spark) -> str:
     return "PASS (write + MERGE + time-travel)"
 
 
+def probe_protobuf_tws(spark) -> str:
+    """transformWithStateInPandas (the arbitrary-stateful-processing API
+    stream_custom_state would upgrade to) needs the ``google.protobuf``
+    python package on every worker — its state-server client speaks
+    proto (pyspark/sql/streaming/proto/StateMessage_pb2.py). This env
+    lacks it (r11 verdict task #8: notice the round an env upgrade lands),
+    so stream_custom_state ships on applyInPandasWithState instead."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return "UNAVAILABLE (google.protobuf not importable; TWS blocked)"
+    # package present: prove the client stack actually loads its generated
+    # proto module, then drive one micro-batch end-to-end.
+    from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountProc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            self._c = handle.getValueState(
+                "c", StructType([StructField("n", IntegerType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = sum(len(b) for b in rows)
+            prev = self._c.get()
+            total = n + (prev[0] if prev else 0)
+            self._c.update((total,))
+            yield pd.DataFrame({"id": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select((F.col("value") % 4).alias("id"))
+    )
+    q = (
+        src.groupBy("id")
+        .transformWithStateInPandas(
+            CountProc(),
+            outputStructType="id bigint, n int",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName("tws_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+    assert spark.table("tws_probe").count() >= 0
+    return "PASS (transformWithStateInPandas micro-batch ran)"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -129,7 +193,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = False
-    for name, probe in (("avro", probe_avro), ("delta", probe_delta)):
+    for name, probe in (
+        ("avro", probe_avro),
+        ("delta", probe_delta),
+        ("protobuf/TWS", probe_protobuf_tws),
+    ):
         try:
             print(f"{name}: {probe(spark)}")
         except Exception as e:  # noqa: BLE001 — probe STARTED then broke
