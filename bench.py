@@ -62,14 +62,28 @@ def host_probe() -> dict:
     depends only on host contention — if a future round's Spark totals
     inflate but the control holds steady, the regression is real; if the
     control inflates too, it's load."""
-    import duckdb
+    import subprocess
 
-    t0 = time.perf_counter()
-    duckdb.sql(
-        "SELECT count(DISTINCT h) FROM (SELECT md5(CAST(r AS VARCHAR)) h "
-        "FROM range(8000000) t(r))"
-    ).fetchall()
-    control = round(time.perf_counter() - t0, 4)
+    # Round 12 hardening — the control must not manufacture its own noise:
+    # (a) PRAGMA threads=1: the default connection parallelizes across all
+    #     32 cores and oversubscribed against the resident Spark JVM's
+    #     thread pools (13.7 s on an idle host vs 2.4 s standalone);
+    # (b) fresh subprocess: isolates the measurement from this process's
+    #     post-workload state (JVM heap, GC threads, Arrow buffers).
+    # Pinned this way it reads 3.05 s ± 1% on an idle host; treat ~3.0 s as
+    # the idle signature from r12 on (r1–r11 artifacts used an in-process
+    # multi-threaded control, idle ≈ 2.3 s — not comparable).
+    code = (
+        "import duckdb, time; con = duckdb.connect();"
+        " con.execute('PRAGMA threads=1'); t0 = time.perf_counter();"
+        " con.sql(\"SELECT count(DISTINCT h) FROM (SELECT"
+        " md5(CAST(r AS VARCHAR)) h FROM range(8000000) t(r))\").fetchall();"
+        " print(round(time.perf_counter() - t0, 4))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    control = float(out.stdout.strip().splitlines()[-1])
     la1, la5, la15 = os.getloadavg()
     return {
         "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
@@ -109,6 +123,11 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # probe AFTER spark.stop(): with the post-workload JVM still alive the
+    # control read 4.8-13.7 s on an idle host (GC/cleaner threads contend
+    # with it even from a subprocess); after stop it reads ~3.1-3.3 s,
+    # within noise of the 3.05 s idle signature.
+    spark.stop()
     probe = host_probe()
     total = round(sum(timings.values()), 4)
     # Load-corrected ratio (r9 verdict task #5): total / duckdb_control_sec.
@@ -138,7 +157,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
