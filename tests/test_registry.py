@@ -206,3 +206,37 @@ def test_gate_window_matches_rotation_policy():
     ]
     missing = [n for n in pool[:50] if n not in window]
     assert not missing, f"never-gated ops left out of the window: {missing[:10]}"
+
+
+def test_reproof_priority_retires_after_regate():
+    """A REPROOF_REWRITTEN entry must leave the rewrite-priority tier the
+    moment the driver re-gates it green at-or-after its rewrite round —
+    otherwise the 13 r11 rewrites would hog 13 of 50 slots every round
+    forever. Simulate the r12 window going green and assert the r13 plan
+    contains none of them in positions the oldest-green rotation wouldn't
+    have picked anyway (they move to the normal last-green ordering)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_driver_coverage as gdc
+
+    hist = dict(gdc.history())
+    live_round = max(hist) + 1
+    hist[live_round] = {
+        n: "green"
+        for n in registry._WINDOW_PRIORITY
+        if n in registry.all_oracles()
+    }
+    nxt = gdc.plan_window(hist)
+    lg = gdc.last_green(hist)
+    rewritten_still_priority = [
+        n for n in nxt
+        if n in gdc.REPROOF_REWRITTEN
+        and lg.get(n, 0) >= gdc.REPROOF_REWRITTEN[n]
+        # in the plan BEFORE ops with strictly older last-greens → it was
+        # picked by the (now-stale) rewrite tier, not the oldest-first one
+        and any(lg.get(m, 0) < lg.get(n, 0) for m in registry.all_oracles()
+                if m not in nxt and m in lg)
+    ]
+    assert not rewritten_still_priority, (
+        f"retired rewrite entries still jump the queue: "
+        f"{rewritten_still_priority[:5]}"
+    )
