@@ -764,14 +764,29 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (price-weighted quantity per return flag): the
     smallest value whose cumulative weight reaches half the group total.
-    The RANGE frame makes every tie-peer share one cumulative value, and
-    weights are integer cents, so the frontier is engine-exact — no
-    float-accumulation ordering hazard. One shuffle on the group key;
-    the two windows share a single sort."""
-    w = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").alias("v"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("wt"),
+    Weights are integer cents, so the frontier is engine-exact — no
+    float-accumulation ordering hazard.
+
+    Sufficient-statistics shape (round-12 sweep find): the original
+    per-ROW window partitioned by l_returnflag — 3 distinct keys — so at
+    the 100× corpus each window task buffered a ~20 M-row partition for
+    the whole-partition total frame and the spill read-ahead thread OOMed
+    the 8 g heap (the one FAIL of the r12 sweep). The cumulative-weight
+    frontier only needs the WEIGHT SUM PER DISTINCT VALUE: pre-aggregate
+    to (flag, v) — a partial-agg shuffle that scales with the value
+    domain, not the row count — and run both windows over that tiny
+    relation (RANGE ≡ ROWS once v is distinct). Identical result, oracle
+    unchanged; at a truly continuous 100 TB value domain the same grain
+    is where an approx-quantile sketch would slot in."""
+    per_v = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("v"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("wt"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("wt").alias("wt"))
     )
     cum_w = (
         Window.partitionBy("l_returnflag")
@@ -779,7 +794,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot_w = Window.partitionBy("l_returnflag")
-    cum = w.select(
+    cum = per_v.select(
         "l_returnflag",
         "v",
         F.sum("wt").over(cum_w).alias("cw"),
