@@ -74,6 +74,10 @@ REPROOF_REWRITTEN: dict[str, int] = {
     "llm_data_scaling_curve": 11,
     "llm_containment_dedup": 11,
     "llm_embed_near_dup": 11,
+    # round-12 sweep find: rewritten to (flag, value) sufficient statistics
+    # after the 100x window-buffer heap OOM; its r4 green proves the old
+    # per-row-window code
+    "agg_weighted_median": 12,
 }
 
 
@@ -87,8 +91,18 @@ def last_green(hist: dict[int, dict[str, str]]) -> dict[str, int]:
     return out
 
 
-def plan_window(hist: dict[int, dict[str, str]], size: int = 50) -> list[str]:
+def plan_window(
+    hist: dict[int, dict[str, str]],
+    size: int = 50,
+    for_round: int | None = None,
+) -> list[str]:
     """The next gate window, given a frozen history — THE rotation policy.
+
+    ``for_round`` (default ``max(hist) + 1``): the round this window will
+    gate in. A ``REPROOF_REWRITTEN`` entry recorded DURING round N (its
+    value is N) is first eligible for round N+1's window — the round-N
+    window was pinned at round start and may already be gated, so a
+    mid-round ledger amendment must not retroactively invalidate it.
 
     Slots are spent in strict priority order (steady-state policy, r11
     verdict task #3 — the generator keeps emitting windows forever instead
@@ -108,6 +122,8 @@ def plan_window(hist: dict[int, dict[str, str]], size: int = 50) -> list[str]:
     oracle_backed = [n for n in qs if n in ors]
     gated = {op for verdicts in hist.values() for op in verdicts}
     lg = last_green(hist)
+    if for_round is None:
+        for_round = max(hist) + 1
 
     window: list[str] = sorted(n for n in oracle_backed if n not in gated)
     window += sorted(
@@ -115,7 +131,8 @@ def plan_window(hist: dict[int, dict[str, str]], size: int = 50) -> list[str]:
     )
     window += sorted(
         (n for n in oracle_backed
-         if n in lg and lg[n] < REPROOF_REWRITTEN.get(n, 0)),
+         if n in lg
+         and lg[n] < REPROOF_REWRITTEN.get(n, 0) < for_round),
         key=lambda n: (-REPROOF_REWRITTEN[n], n),
     )
     rest = sorted(
@@ -293,7 +310,7 @@ def build(fold_live: bool = True, live_round: int | None = None) -> str:
     sim = {rnd: dict(v) for rnd, v in h.items()}
     sim[live_round] = {n: "green" for n in live_window}
     for rnd in range(live_round + 1, live_round + 3):
-        chunk = plan_window(sim)
+        chunk = plan_window(sim, for_round=rnd)
         n_new = sum(1 for n in chunk if n in pool)
         lines.append(
             f"### r{rnd} planned window ({len(chunk)} ops; "
