@@ -250,8 +250,25 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     this pipeline spent ~0.85 s PER CALL in driver-side DataFrame
     construction alone (hundreds of JVM round-trips for 20×6 arithmetic
     Columns), which dominated the sf0.1 wall-clock. The physical plan is
-    identical."""
-    from ..schemas import ensure_views
+    identical. The WHOLE constructed plan is additionally memoized per
+    (live session, sf_dir, corpus fingerprint) — the ensure_views pattern
+    one level up: a dedup service calls this operator per request, and
+    re-parsing two SQL texts + three cache probes cost ~0.15 s of pure
+    driver time per warm call. The memoized DataFrame is an immutable
+    logical plan; cache hits/misses are resolved per-action by
+    CacheManager, so a clearCache() simply recomputes (cold-run behavior)
+    and an in-place corpus regeneration changes the fingerprint and
+    rebuilds."""
+    from ..schemas import _events_fingerprint, ensure_views
+
+    memo_key = (
+        id(spark._jsparkSession),
+        sf_dir,
+        _events_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+    hit = _BANDING_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     ensure_views(spark, sf_dir)
     # cached: read 4× (sizes, signature build, both sides of the verify)
@@ -345,7 +362,9 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle cache above): with honest row counts the planner broadcasts
     # the pair side at sf0.1 and AQE shuffle-joins at the 100x corpus.
     _materialize_cache(spark, cand, sizes)
-    return spark.sql(
+    if len(_BANDING_MEMO) > 8:
+        _BANDING_MEMO.clear()
+    _BANDING_MEMO[memo_key] = spark.sql(
         """
         SELECT i.doc_a, i.doc_b,
                round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
@@ -371,6 +390,7 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE cast(i.shared AS double) / (za.n + zb.n - i.shared) >= 0.2
         """
     )
+    return _BANDING_MEMO[memo_key]
 
 
 # Shared SQL fragment: 16-bit SimHash bit logic, identical semantics both
@@ -505,6 +525,11 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # similarity search over embeddings (cosine ≡ dot: vectors are L2-normalized)
 # ---------------------------------------------------------------------------
+
+#: llm_minhash_banding's constructed-plan memo: (live JVM session id,
+#: sf_dir, documents fingerprint) -> result DataFrame. Bounded: cleared
+#: wholesale past 8 entries (sessions x corpora in any real process: <=2).
+_BANDING_MEMO: dict = {}
 
 _DOT_ORACLE = (
     "list_aggregate(list_transform(list_zip({a}, {b}),"
