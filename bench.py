@@ -6,17 +6,21 @@ Prints ONE JSON line:
 
 Methodology (mirrors BASELINE.md): one reused warmed SparkSession for the
 whole set; per query, one untimed warmup pass then best-of-2 timed runs
-(timing = execute + collect, perf_counter). Since round 12 the headline
-operators reuse their constructed logical plan across calls
-(registry.plan_memo), so the warmup pass absorbs Catalyst
-analysis/optimization — measured 50–90% of warm wall-clock at sf0.1 —
-and the timed runs measure steady-state repeat invocation, the regime a
-bench loop / dashboard tick / service endpoint actually runs in. Results
-re-execute on every call (plan reuse, NOT result caching). `value` is the
-sum of per-query times — total wall-clock for the headline set, excluding
-session startup (amortized across the set, per SURVEY.md §4.3).
-r1–r11 artifacts timed fresh-plan construction per call and are ~3–5×
-larger on identical execution work.
+(timing = plan + execute + collect on a FRESH DataFrame per run,
+perf_counter — ops carrying registry.plan_memo are unwrapped via
+``__wrapped__`` so the timed runs include a full Catalyst pass and a full
+execution). `value` is the sum of per-query times — total wall-clock for
+the headline set, excluding session startup (amortized across the set,
+per SURVEY.md §4.3) — and is directly comparable to every r1–r11 artifact.
+
+``steady_state`` is reported SEPARATELY: repeat-collect of the memoized
+DataFrame, the regime a dashboard tick / service endpoint runs in. Honesty
+note (round 12): re-collecting the same DataFrame lets AQE REUSE its
+already-materialized shuffle stages — on a 60 M-row corpus the repeat
+collect is ~30× the fresh one because the scan+partial-agg stages are
+served from shuffle files, not re-run. That is a real, load-bearing Spark
+capability for repeated identical queries on an unchanged corpus, but it
+is NOT engine execution speed, so it never contributes to `value`.
 
 Headline set: the six BASELINE.md shapes (q_scan_agg q_join3 q_window
 q_topk q_json q_session_ish) plus the LLM-pipeline differentiators
@@ -100,11 +104,32 @@ def host_probe() -> dict:
 
 
 def time_query(fn, spark, runs: int = 2) -> float:
-    fn(spark, SF_DIR).collect()  # warmup: plan + codegen + file listing
+    """Best-of-N FRESH-call timing: plan + execute + collect per run.
+
+    plan_memo-wrapped ops are unwrapped so every timed run constructs a new
+    DataFrame — a memoized DF would let AQE serve re-collects from its
+    already-materialized shuffle stages (~30× fast on big corpora), which
+    is steady-state serving, not engine speed (see module docstring)."""
+    fresh = getattr(fn, "__wrapped__", fn)
+    fresh(spark, SF_DIR).collect()  # warmup: plan + codegen + file listing
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        fresh(spark, SF_DIR).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_steady_state(fn, spark, runs: int = 2) -> float:
+    """Repeat-collect of the op's memoized/reused DataFrame: plan reuse +
+    AQE materialized-stage reuse. The service-loop number, reported
+    alongside (never as) the headline value."""
+    df = fn(spark, SF_DIR)
+    df.collect()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.collect()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -123,8 +148,10 @@ def main() -> None:
     qs["scan_full"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for bench_name, qname in HEADLINE.items():
         timings[bench_name] = round(time_query(qs[qname], spark), 4)
+        steady[bench_name] = round(time_steady_state(qs[qname], spark), 4)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -150,6 +177,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "steady_state": {
+                    "total": round(sum(steady.values()), 4),
+                    "queries": steady,
+                    "note": "repeat-collect of the reused plan; AQE serves "
+                    "materialized shuffle stages — serving mode, not "
+                    "engine speed",
+                },
                 "sf": sf_val,
                 "host_probe": probe,
                 "bench_vs_control": round(total / probe["duckdb_control_sec"], 4),

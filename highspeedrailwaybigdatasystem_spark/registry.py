@@ -81,16 +81,25 @@ def plan_memo(fn: QueryFn) -> QueryFn:
     Why (round 12): at sf0.1, Catalyst analysis/optimization/physical
     planning of a FRESH DataFrame is 50–90% of every headline query's warm
     wall-clock (measured: agg_scan_group 0.40 s planning vs 0.05 s
-    execution; join_multiway 0.57 vs 0.05). A repeated caller — a bench
-    loop, a dashboard tick, a dedup service — reuses the logical plan, and
-    Spark then reuses the cached QueryExecution, so only real execution
-    remains. This is NOT result caching: every collect re-executes the
-    physical plan; CacheManager resolves any .cache() hits per-action, so
-    clearCache() just recomputes. The fingerprint (mtime+size over the
-    sf_dir's parquet files) invalidates on in-place corpus regeneration;
-    a new session gets a fresh entry. At 100 TB the same reuse matters
-    MORE: analyzing a 60-relation plan against a petabyte catalog is
-    pure driver latency."""
+    execution; join_multiway 0.57 vs 0.05). A repeated caller — a
+    dashboard tick, a dedup service — reuses the logical plan, and Spark
+    then reuses the cached QueryExecution, so planning drops out entirely.
+
+    Be precise about what a repeat collect reuses (measured, round 12):
+    beyond the plan, AQE serves the DataFrame's ALREADY-MATERIALIZED
+    shuffle stages from shuffle files — a 60 M-row scan+partial-agg stage
+    is not re-run on the second collect (2.7 s → 0.09 s). That is the
+    production behavior of a held DataFrame on an unchanged corpus, and
+    exactly what a serving loop wants — but it is serving-mode reuse, not
+    engine speed, so bench.py unwraps the memo (``__wrapped__``) for its
+    headline timings and reports the repeat-collect regime separately as
+    ``steady_state``. Fresh results are still guaranteed where it matters:
+    the fingerprint (mtime+size over the sf_dir's parquet files)
+    invalidates on in-place corpus regeneration, a new session gets a
+    fresh entry, and a fresh construction (what every correctness gate
+    does) re-executes everything. At 100 TB plan reuse matters MORE:
+    analyzing a 60-relation plan against a petabyte catalog is pure
+    driver latency on the one resource that does not scale out."""
     import functools
 
     @functools.wraps(fn)
