@@ -95,6 +95,11 @@ def host_probe() -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"duckdb control subprocess failed (rc={out.returncode}): "
+            f"{out.stderr.strip()[-500:]}"
+        )
     control = float(out.stdout.strip().splitlines()[-1])
     la1, la5, la15 = os.getloadavg()
     return {

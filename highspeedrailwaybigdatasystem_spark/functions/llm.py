@@ -543,7 +543,12 @@ def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:  # active session at im
     list_aggregate 'sum'. (The previous np.einsum kernel was only
     empirically identical — max divergence 3.3e-16 on 2M pairs — which
     left round-to-1e-6 cut boundaries one ulp from flipping on a new
-    corpus; ADVICE r11 medium.) Bit-identity is pinned by
+    corpus; ADVICE r11 medium.) One signed-zero exception (ADVICE r12):
+    the fold's 0.0 + x0 seed turns a leading -0.0 product into +0.0 while
+    cumsum keeps -0.0, so an all-signed-zero product row yields -0.0 here
+    vs the fold's +0.0 — numerically equal everywhere (-0.0 == 0.0; no
+    round-to-1e-6 cut can flip on it), just not bit-identical for that
+    degenerate row. Pinned (including the -0.0 row) by
     tests/test_properties_r12_window.py::test_dot64_vec_bit_identical_to_fold."""
     import numpy as np
 

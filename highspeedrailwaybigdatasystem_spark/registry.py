@@ -106,9 +106,16 @@ def plan_memo(fn: QueryFn) -> QueryFn:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .schemas import _events_fingerprint
 
+        # Session identity: the JVM session's UUID, not id() of the py4j
+        # proxy. Two Python wrappers of one JVM session share a UUID (the
+        # memo hits, as it should); a stopped session's UUID is never
+        # reused (no stale entry can resurface on a new session whose
+        # proxy happens to land at the same id()). applicationId alone
+        # would alias sibling newSession() clones, whose conf/temp-view
+        # state may differ.
         key = (
             fn.__name__,
-            id(spark._jsparkSession),
+            str(spark._jsparkSession.sessionUUID()),
             sf_dir,
             _events_fingerprint(sf_dir),
         )
@@ -157,26 +164,26 @@ def _ensure_loaded() -> None:
 #: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 window — generated by tools/rotate_window.py:
-    # 37 never-gated (pool was 37) + 13 re-proof slots
+    # ROUND 13 window — generated by tools/rotate_window.py:
+    # 0 never-gated (pool was 0) + 50 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    "ml_gini_auc_identity", "ml_learning_curve_stump", "ml_pinball_quantile_eval",
-    "ml_ratio_metric_delta_ci", "ml_ridge_regression_grid", "ml_two_proportion_ztest",
-    "mm_audio_vad_stub", "mm_patch_embed_stub", "pandas_api_bridge",
-    "scalar_try_funcs", "scan_dpp", "scan_predicate_correlation_audit",
-    "set_symmetric_diff", "sql_cache_table", "sql_execute_immediate",
-    "sql_order_by_all", "sql_pipe_syntax", "sql_scripting",
-    "sql_session_variables", "sql_try_cast_audit", "src_csv_permissive_corrupt",
-    "stat_crosstab", "str_trigram_similarity", "ts_value_at_risk",
-    "ts_variance_ratio", "ts_velocity_acceleration", "ts_weekday_weekend_lift",
-    "udaf_custom", "win_bollinger_bands", "win_exponential_decay_score",
-    "win_max_drawdown", "win_ntile_cutpoint", "win_rolling_corr",
-    "win_rolling_slope", "win_rsi", "win_stochastic_oscillator",
-    "win_vwap_anchored", "geo_grid_join", "llm_ann_recall_eval",
-    "llm_containment_dedup", "llm_data_scaling_curve", "llm_dedup_components",
-    "llm_embed_near_dup", "llm_knn_all", "llm_minhash_banding",
-    "llm_near_dedup_minhash", "llm_sim_blocked", "llm_sim_pairs_label",
-    "ml_naive_bayes_langid", "stream_session",
+    "agg_weighted_median", "agg_collect", "agg_count_distinct",
+    "agg_cube", "agg_distinct_rows", "agg_filter_clause",
+    "agg_grouping_sets", "agg_having", "agg_minmax_by",
+    "agg_mode_median", "agg_percentile", "agg_pivot",
+    "agg_rollup", "agg_scan_group", "agg_stats",
+    "agg_unpivot", "filt_hash_sample", "filt_in_list",
+    "filt_like", "filt_null_safe", "filt_pred_and_or",
+    "join_anti", "join_bloom_filter", "join_broadcast",
+    "join_cross", "join_full_outer", "join_left_outer",
+    "join_multiway", "join_null_aware_anti", "join_range_binned",
+    "join_semi", "join_shuffle", "join_skew_salted",
+    "join_theta_range", "null_handling", "proj_case_when",
+    "proj_expr_arith", "scan_agg_pushdown", "scan_full",
+    "scan_metadata_cols", "scan_partition_prune", "scan_project",
+    "sql_exists_subquery", "sql_group_by_all", "sql_pivot",
+    "sql_recursive_cte", "sql_scalar_subquery", "agg_bitmap_distinct",
+    "agg_boolean", "agg_histogram",
 )
 # --- WINDOW END ---
 

@@ -139,13 +139,27 @@ _EVENTS_TS_KIND: dict[tuple[str, int, int], str] = {}
 
 
 def _events_fingerprint(path: str) -> tuple[str, int, int]:
+    """Corpus fingerprint (max mtime_ns, total bytes) over every parquet
+    data file under ``path`` — recursive, so a Spark-written directory
+    dataset (table.parquet/part-*.parquet) is covered by its part files,
+    not just the directory entry: an in-place part rewrite changes the
+    fingerprint and invalidates any memo keyed on it."""
     import glob
     import os
 
-    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [path]
     mtime = 0
     size = 0
     for f in files:
+        if os.path.isdir(f):
+            # a *.parquet-named directory: its part files are already in
+            # the recursive glob; the dir entry itself carries no data.
+            continue
         st = os.stat(f)
         mtime = max(mtime, st.st_mtime_ns)
         size += st.st_size

@@ -65,11 +65,18 @@ def freeze_finished_round(all_green_round: int | None = None) -> int | None:
                 and name in registry.all_oracles()
             )
             raw = json.loads(gdc._HISTORY_JSON.read_text())
-            raw[str(n)] = {name: "green" for name in window}
+            # Recorded as "green-attested", NOT "green": the provenance is
+            # a judge quote, not an on-disk CORRECTNESS artifact. The
+            # ledger displays the distinction and plan_window re-proves
+            # attested greens before artifact greens of the same round
+            # (r12 ADVICE: the auditable-from-git chain must show which
+            # rounds are artifact-backed).
+            raw[str(n)] = {name: "green-attested" for name in window}
             gdc._HISTORY_JSON.write_text(json.dumps(raw, indent=1))
             print(
-                f"froze round {n}: {len(window)}/{len(window)} green from "
-                "--freeze-window-green (verdict-quoted; no on-disk artifact)"
+                f"froze round {n}: {len(window)}/{len(window)} "
+                "green-attested from --freeze-window-green (verdict-quoted; "
+                "no on-disk artifact)"
             )
             return n
         if all_green_round is not None:
