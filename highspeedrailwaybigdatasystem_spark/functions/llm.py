@@ -937,22 +937,12 @@ def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ann_lsh")  # rows-only: LSH ANN is approximate by design
-def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors for probe vec_id=0 via random-hyperplane
-    LSH (BucketedRandomProjectionLSH, fixed seed): hash the corpus into
-    buckets, search the probe's bucket neighborhood only. Returns the approx
-    top-10 (vec_id, euclid_dist) — on normalized vectors the euclidean order
-    is the inverse cosine order.
-
-    Rows-only is EARNED, not a shortcut (round-4 probe, re-measured
-    round 6 / 2026-08-14 against the brute-force DuckDB exact top-10):
-    recall@10 = 10/10 at sf0.001, 9/10 at sf0.01, 10/10 at sf0.1 —
-    bucket pruning genuinely excludes a true neighbor at sf0.01, so no
-    deterministic SQL oracle can match it.
-    The recall/latency trade is the op's entire point; its exact-checkable
-    twins are llm_ivf_ann (+ llm_ann_recall_eval, which audits recall@10
-    against brute force) and llm_knn_all."""
+def _lsh_approx_neighbors(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """LSH approximate top-k for probe vec_id=0 (BucketedRandomProjectionLSH,
+    fixed seed): hash the corpus into buckets, search the probe's bucket
+    neighborhood only. Distances are TRUE euclidean distances — LSH prunes
+    the candidate set, it never fabricates a distance. Shared by the
+    registered audit op and the estimator-claim property test."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -963,11 +953,48 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(e)
-    probe = e.where(F.col("vec_id") == 0).head()
+    probe = e.where(F.col("vec_id") == 0).head()  # single bounded row: the probe key
     neighbors = model.approxNearestNeighbors(
-        e.where(F.col("vec_id") != 0), probe["vec"], 10, distCol="euclid_dist"
+        e.where(F.col("vec_id") != 0), probe["vec"], k, distCol="euclid_dist"
     )
     return neighbors.select("vec_id", F.round("euclid_dist", 6).alias("euclid_dist"))
+
+
+@register(
+    "llm_ann_lsh",
+    oracle="SELECT 0 AS probe_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with an in-plan recall audit (r12 verdict task #2; rows-only
+    r1–r12, first oracle-backed r13): run the seeded random-hyperplane LSH
+    top-10 for probe vec_id=0, compute the EXACT top-10 by brute-force dot
+    against the same probe (one linear scan — cheap for a single probe at
+    any scale), and emit one row asserting recall@10 ≥ 0.8. The floor, not
+    exact set equality, is the gateable contract: bucket pruning genuinely
+    excludes a true neighbor at sf0.01 (measured recall 10/10 at sf0.001,
+    9/10 at sf0.01, 10/10 at sf0.1 — round-6 probe), so no deterministic
+    SQL oracle can reproduce the neighbor SET, but every measurement sits
+    ≥1 hit above the floor. The recall/latency trade is the op's point;
+    exact-checkable twins: llm_ivf_ann, llm_ann_recall_eval, llm_knn_all."""
+    neighbors = _lsh_approx_neighbors(spark, sf_dir, k=10)
+    raw = t(spark, sf_dir, "embeddings")
+    probe_arr = raw.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    exact_top = (
+        raw.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe_arr))
+        .select("vec_id", _dot(F.col("embedding"), F.col("p")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+    return (
+        neighbors.join(exact_top, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(0).alias("probe_id"),
+            F.lit(10).cast("long").alias("k"),
+            (F.col("hits") >= 8).alias("recall_ok"),
+        )
+    )
 
 
 @register(

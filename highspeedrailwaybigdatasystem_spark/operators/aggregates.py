@@ -75,18 +75,42 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per event type (HyperLogLog++). At 100 TB
-    this replaces exact distinct: constant-size sketch per group, mergeable
-    map-side. No oracle — estimates differ across engines by design.
-    Estimate-vs-exact evidence (re-measured round 6 / 2026-08-14): exact
-    150/150 every group at sf0.01; 1494 vs 1500 true (0.4% err, well
-    inside rsd=0.02) every group at sf0.1."""
+    """Approximate distinct users per event type (HyperLogLog++), emitted in
+    bounded-error audit form: the exact count plus a boolean asserting the
+    HLL estimate landed within 3×rsd of it — the encoding that turns an
+    engine-specific estimate into a hash-gateable oracle row (r12 verdict
+    task #2; rows-only from r1–r12, first oracle-backed r13). At 100 TB the
+    production form is the estimate alone (constant-size sketch per group,
+    mergeable map-side); the exact side here is the audit yardstick, and
+    3×rsd is a ~99.7% normal-regime bound the estimator has never
+    approached on this corpus (measured: exact at sf0.01 where groups sit
+    in HLL sparse mode; 0.4% err at sf0.1 vs the 6% bound)."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.06
+            ).alias("hll_within_bound"),
+        )
     )
 
 
@@ -608,31 +632,62 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch")  # rows-only: sketch binary + estimate are impl-specific
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_within_bound
+    FROM events
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL surface (Spark 3.5+): per-event-type distinct-
     user sketches merged into a global union — the mergeable-summary pattern
     that makes 100 TB distinct counting cheap (O(2^lgK) state per group,
     re-aggregatable across days/partitions without rescanning raw data).
-    Estimates are deterministic for a fixed lgK + input but DuckDB's HLL
-    differs bit-for-bit → rows-only check. Estimate-vs-exact evidence
-    (re-measured round 6 / 2026-08-14): exact at sf0.01 (150 distinct per
-    group, below sketch resolution); at sf0.1 worst group 1480 vs 1500
-    true (1.33% err, consistent with lgK=12's ~1.6% RSE), union row 1488
-    vs 1500 (0.8%)."""
+    Emitted in bounded-error audit form (r12 verdict task #2; rows-only
+    r1–r12, first oracle-backed r13): exact distinct count per group plus
+    a boolean asserting the sketch estimate is within 5% of it — ~3× the
+    lgK=12 RSE of 1.04/sqrt(2^12) ≈ 1.6%. The "__all__" row additionally
+    proves SKETCH-UNION CONSISTENCY: the merged union sketch must land
+    within the same bound of the GLOBAL exact distinct (not the per-group
+    sum), which is the property that makes cross-partition re-aggregation
+    sound. Estimate-vs-exact evidence (round 6): exact at sf0.01 (sparse
+    mode); worst group 1.33% err at sf0.1, union row 0.8%."""
     e = t(spark, sf_dir, "events")
+
+    def within(est, exact):
+        return F.abs(est - exact) / exact <= 0.05
+
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    return per_type.select(
+    typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
-    ).unionAll(
-        per_type.agg(F.hll_union_agg("sk").alias("u")).select(
+        "exact_users",
+        within(
+            F.hll_sketch_estimate("sk").cast("long"), F.col("exact_users")
+        ).alias("sketch_within_bound"),
+    )
+    union_row = (
+        per_type.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(e.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(
             F.lit("__all__").alias("event_type"),
-            F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+            "exact_users",
+            within(
+                F.hll_sketch_estimate("u").cast("long"), F.col("exact_users")
+            ).alias("sketch_within_bound"),
         )
     )
+    return typed.unionAll(union_row)
 
 
 @register(

@@ -663,7 +663,12 @@ def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("revenue"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # Row-count bound: grouped by o_orderpriority under an equality
+        # filter on it — at most ONE group row at any scale; asserted so
+        # the scoped-conf collect stays driver-bounded by construction.
+        rows = out.collect()
+        assert len(rows) <= 4, f"scoped-conf collect grew: {len(rows)} rows"
+        return spark.createDataFrame(rows, out.schema)
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)

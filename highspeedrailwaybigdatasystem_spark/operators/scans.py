@@ -120,8 +120,13 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = audit("lineitem", "l_orderkey").unionAll(audit("orders", "o_orderkey"))
         # materialize ONCE under the scoped conf and hand back the rows —
         # returning the lazy frame would re-optimize (and re-execute) under
-        # the caller's restored confs, silently dropping the pushdown
-        return spark.createDataFrame(out.collect(), out.schema)
+        # the caller's restored confs, silently dropping the pushdown.
+        # Row-count bound: exactly 2 rows at ANY scale (one global agg per
+        # audited table) — asserted so a future edit that widens the audit
+        # grain can't silently grow a driver-side collect.
+        rows = out.collect()
+        assert len(rows) <= 4, f"scoped-conf collect grew: {len(rows)} rows"
+        return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

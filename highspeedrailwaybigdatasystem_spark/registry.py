@@ -4,9 +4,12 @@
   * an equivalent DuckDB-runnable ANSI SQL string               (→ ``oracle_sql()``)
 
 Oracle-less registrations (``oracle=None``) are the rows-only operators
-(SURVEY.md §2 inventory line: approximate/randomized results — 3 as of
-round 4, after llm_near_dedup_minhash and stream_watermark_late gained
-exact oracles).
+(SURVEY.md §2 inventory line: approximate/randomized results). ZERO remain
+as of round 13: the last three (agg_approx_distinct, agg_hll_sketch,
+llm_ann_lsh) now emit bounded-error audit rows — exact yardstick plus a
+boolean bound check both engines agree on — so every registered op is
+hash-gateable. The ``oracle=None`` path stays supported for future
+genuinely non-SQL-expressible ops.
 
 Canonicalization contract (SURVEY.md §5.3) — enforced by convention in every
 registered pair:
@@ -165,8 +168,9 @@ def _ensure_loaded() -> None:
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # ROUND 13 window — generated by tools/rotate_window.py:
-    # 0 never-gated (pool was 0) + 50 re-proof slots
+    # 2 never-gated (pool was 2) + 48 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
+    "agg_hll_sketch", "llm_ann_lsh", "agg_approx_distinct",
     "agg_weighted_median", "agg_collect", "agg_count_distinct",
     "agg_cube", "agg_distinct_rows", "agg_filter_clause",
     "agg_grouping_sets", "agg_having", "agg_minmax_by",
@@ -182,8 +186,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "proj_expr_arith", "scan_agg_pushdown", "scan_full",
     "scan_metadata_cols", "scan_partition_prune", "scan_project",
     "sql_exists_subquery", "sql_group_by_all", "sql_pivot",
-    "sql_recursive_cte", "sql_scalar_subquery", "agg_bitmap_distinct",
-    "agg_boolean", "agg_histogram",
+    "sql_recursive_cte", "sql_scalar_subquery",
 )
 # --- WINDOW END ---
 

@@ -169,7 +169,12 @@ def test_driver_window_invariants():
     assert len(set(window)) == 50
     assert all(n in oracles for n in window), [n for n in window if n not in oracles]
 
-    first_rows_only = next(i for i, n in enumerate(names) if n not in oracles)
+    # rows-only ops (if any remain) must form a contiguous tail; since
+    # round 13 all three former rows-only ops carry bounded-error oracles,
+    # so the tail may be empty.
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracles), len(names)
+    )
     assert all(n not in oracles for n in names[first_rows_only:]), (
         "rows-only ops must form a contiguous tail"
     )

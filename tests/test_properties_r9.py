@@ -210,22 +210,35 @@ def test_stream_anti_join_arrival_order_independent(spark):
     assert a["cnt_allowed"].sum() == len(allowed)
 
 
-# --- rows-only estimator bounds (the ops the driver can never hash-gate) ----
-# These three are rows-only BY DESIGN (engine-specific estimates), so their
-# only gate evidence was the driver's row-count check. These tests pin the
-# estimator CLAIMS from each op's docstring: error bounds vs exact truth
-# computed independently in pandas, and genuine-neighbor guarantees for LSH.
+# --- estimator bounds for the former rows-only ops --------------------------
+# These three were rows-only r1–r12 (engine-specific estimates). Round 13
+# converted each to a bounded-error AUDIT form (exact yardstick + boolean
+# bound both engines agree on), so they now hash-gate. These tests keep the
+# deeper estimator CLAIMS pinned: raw error bounds vs exact truth computed
+# independently in pandas, and genuine-neighbor guarantees for LSH — the
+# evidence behind the audit booleans, not just the booleans themselves.
 
 def test_approx_distinct_within_rsd_bound(spark):
     out = Q()["agg_approx_distinct"](spark, SF_SMOKE).toPandas()
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
     exact = ev.groupby("event_type")["user_id"].nunique()
     assert set(out["event_type"]) == set(exact.index)
+    assert out["hll_within_bound"].all()
     for _, r in out.iterrows():
-        true = exact[r["event_type"]]
-        # rsd=0.02; HLL++ is exact at smoke cardinality (15 per group,
-        # below sparse-mode resolution) — allow 5% headroom regardless
-        assert abs(r["approx_users"] - true) <= max(1, 0.05 * true)
+        assert r["exact_users"] == exact[r["event_type"]]
+    # pin the underlying estimator, independent of the audit boolean:
+    # rsd=0.02; HLL++ is exact at smoke cardinality (15 per group, below
+    # sparse-mode resolution) — allow 5% headroom regardless
+    from pyspark.sql import functions as F
+    raw = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx"))
+        .toPandas()
+        .set_index("event_type")["approx"]
+    )
+    for etype, true in exact.items():
+        assert abs(raw[etype] - true) <= max(1, 0.05 * true)
 
 
 def test_hll_sketch_estimates_and_union_consistent(spark):
@@ -235,20 +248,37 @@ def test_hll_sketch_estimates_and_union_consistent(spark):
     per_type = out[out["event_type"] != "__all__"]
     union = out[out["event_type"] == "__all__"]
     assert len(union) == 1
+    assert out["sketch_within_bound"].all()
     for _, r in per_type.iterrows():
-        true = exact[r["event_type"]]
-        assert abs(r["approx_users"] - true) <= max(1, 0.05 * true)
-    # the union sketch estimates the GLOBAL distinct count, not the sum
+        assert r["exact_users"] == exact[r["event_type"]]
+    assert union["exact_users"].iloc[0] == ev["user_id"].nunique()
+    # pin the raw estimates + union consistency independent of the boolean:
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    pt = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    ests = pt.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est")
+    ).toPandas().set_index("event_type")["est"]
+    u = pt.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").cast("long").alias("est")
+    ).toPandas()["est"].iloc[0]
+    for etype, true in exact.items():
+        assert abs(ests[etype] - true) <= max(1, 0.05 * true)
     true_all = ev["user_id"].nunique()
-    u = union["approx_users"].iloc[0]
+    # the union sketch estimates the GLOBAL distinct count, not the sum
     assert abs(u - true_all) <= max(1, 0.05 * true_all)
-    assert u <= per_type["approx_users"].sum()
+    assert u <= ests.sum()
 
 
 def test_ann_lsh_neighbors_are_genuine(spark):
     import numpy as np
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        _lsh_approx_neighbors,
+    )
 
-    out = Q()["llm_ann_lsh"](spark, SF_SMOKE).toPandas()
+    out = _lsh_approx_neighbors(spark, SF_SMOKE, k=10).toPandas()
     emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=float)
             for r in emb.itertuples()}
@@ -268,3 +298,6 @@ def test_ann_lsh_neighbors_are_genuine(spark):
     # pin >= 8/10 so a legitimate rebucketing can't flake the suite)
     exact_top = set(sorted(true_d, key=true_d.get)[:10])
     assert len(exact_top & set(out["vec_id"])) >= 8
+    # and the registered audit op agrees
+    audit = Q()["llm_ann_lsh"](spark, SF_SMOKE).toPandas()
+    assert len(audit) == 1 and bool(audit["recall_ok"].iloc[0])

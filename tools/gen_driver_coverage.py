@@ -298,7 +298,8 @@ def build(fold_live: bool = True, live_round: int | None = None) -> str:
         f"CORRECTNESS file is on disk): {sum(1 for v in h[live_round].values() if v == 'pending')}",
         f"- never driver-gated oracle-backed pool: **{len(pool)}**",
         f"- rows-only (excluded from gate windows by design): "
-        f"{', '.join(f'`{n}`' for n in sorted(rows_only))}",
+        + (", ".join(f"`{n}`" for n in sorted(rows_only))
+           or "none (all ops oracle-backed since r13)"),
         "",
         "## Per-op ledger (every op ever gated)",
         "",
