@@ -3926,65 +3926,71 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation is worth buying (the neural-scaling-laws measurement
     protocol applied to a cheap proxy model). Nested content-stable
     subsets mean every curve point trains on a superset of the previous
-    one, exactly like production data-ablation studies. Plan: ONE cached
-    tokenization feeds all four models; the 4-row cut table and the
-    (cut × lang) model tables ride broadcast theta/true joins
-    (allowlisted); everything else is the NB plan keyed by (cut, doc).
-    Chained temp views (not CTEs) keep the cached token stage
-    substitutable."""
+    one, exactly like production data-ablation studies. Plan (round 13,
+    exact-collapse-first): copies collapse to DISTINCT (md5(text), lang)
+    content groups FIRST — one representative is tokenized per group, and
+    per-(group, cut) train-copy multiplicities are counted with a plain
+    scan + 4-row broadcast theta join (no token explode). Every model
+    statistic is then an exact integer product-sum over group grain:
+    cnt(cut,lang,token) = Σ_h k(h,token)·m(h,cut) (identical copies
+    contribute identical token counts), prior = Σ_h m, vocab = distinct
+    rep tokens with m>0. The corpus-sized token explode that previously
+    dominated (cached 100×-corpus explode → 72.5 s) disappears; tokenized
+    volume now tracks DISTINCT content exactly like the minhash/knn tier,
+    and on a low-duplication corpus the collapse degrades to the one
+    md5(text) group-by shuffle every exact-collapse op already pays.
+    Results are provably identical, so the ORACLE is unchanged.
+    Chained temp views (not CTEs) keep the cached stages substitutable."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    tok = spark.sql(
-        """
-        SELECT doc_id, lang, substr(md5(CAST(doc_id AS STRING)), 1, 2) AS b2,
-               token
-        FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
-        WHERE token <> ''
-        """
-    ).cache()
-    tok.createOrReplaceTempView("__lc_tok")
-    # Round-10 planner-statistics discipline (round-11 fix here): the
-    # cached explode feeds FIVE consumers (four model views + the eval
-    # slice); unmaterialized it carries the pre-explode estimate, so the
-    # per-fraction model joins were planned against bogus sizes and the
-    # token stage recomputed per consumer at the 100x corpus (sweep
-    # TIMEOUT). Materialize before anything downstream is planned.
-    _materialize_cache(spark, tok)
     spark.sql(
         "SELECT explode(array('33', '66', '99', 'cc')) AS cut"
     ).createOrReplaceTempView("__lc_cuts")
-    # Sufficient-statistics pre-aggregation (round 11): the four model
-    # views each used to theta-join the FULL token explode against the cut
-    # table — four corpus-sized scans fanned out ×4 cuts. Collapsing once
-    # to (b2, lang, token) token counts and (b2, lang) distinct-doc counts
-    # (docs partition cleanly by b2, so per-bucket distincts sum exactly)
-    # makes every model view a theta-join over a vocabulary-grain table.
-    # One linear shuffle replaces the fan-out; results are identical.
-    pretok = spark.sql(
-        "SELECT b2, lang, token, count(*) AS c"
-        " FROM __lc_tok GROUP BY b2, lang, token"
+    # per-(content group, cut) train multiplicity: linear scan, no explode
+    m = spark.sql(
+        """
+        SELECT md5(d.text) AS h, d.lang, c.cut, count(*) AS m
+        FROM documents d JOIN __lc_cuts c
+          ON substr(md5(CAST(d.doc_id AS STRING)), 1, 2) < c.cut
+        GROUP BY md5(d.text), d.lang, c.cut
+        """
     ).cache()
-    pretok.createOrReplaceTempView("__lc_pretok")
-    predoc = spark.sql(
-        "SELECT b2, lang, count(DISTINCT doc_id) AS d"
-        " FROM __lc_tok GROUP BY b2, lang"
+    m.createOrReplaceTempView("__lc_m")
+    # one representative text per content group, tokenized ONCE
+    spark.sql(
+        """
+        SELECT md5(text) AS h, lang, min(doc_id) AS rep_doc
+        FROM documents GROUP BY md5(text), lang
+        """
+    ).createOrReplaceTempView("__lc_reps")
+    k = spark.sql(
+        """
+        SELECT r.h, r.lang, token, count(*) AS k
+        FROM __lc_reps r JOIN documents d ON d.doc_id = r.rep_doc
+        LATERAL VIEW explode(split(d.text, ' ')) AS token
+        WHERE token <> ''
+        GROUP BY r.h, r.lang, token
+        """
     ).cache()
-    predoc.createOrReplaceTempView("__lc_predoc")
-    _materialize_cache(spark, pretok, predoc)
+    k.createOrReplaceTempView("__lc_k")
+    # Round-10 planner-statistics discipline: both cached stages feed
+    # several model views each — materialize before anything downstream
+    # is planned so the joins see real InMemoryRelation stats.
+    _materialize_cache(spark, m, k)
     views = {
         "__lc_cnt": """
-            SELECT c.cut, p.lang, p.token, sum(p.c) AS c FROM __lc_pretok p
-            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang, p.token""",
+            SELECT m.cut, k.lang, k.token, sum(k.k * m.m) AS c
+            FROM __lc_k k JOIN __lc_m m ON m.h = k.h AND m.lang = k.lang
+            GROUP BY m.cut, k.lang, k.token""",
         "__lc_tot": """
-            SELECT c.cut, p.lang, sum(p.c) AS tt FROM __lc_pretok p
-            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang""",
+            SELECT cut, lang, sum(c) AS tt FROM __lc_cnt GROUP BY cut, lang""",
         "__lc_vocab": """
-            SELECT c.cut, count(DISTINCT p.token) AS v FROM __lc_pretok p
-            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut""",
+            SELECT m.cut, count(DISTINCT k.token) AS v
+            FROM __lc_k k JOIN __lc_m m ON m.h = k.h AND m.lang = k.lang
+            GROUP BY m.cut""",
         "__lc_prior": """
-            SELECT c.cut, p.lang, sum(p.d) AS d FROM __lc_predoc p
-            JOIN __lc_cuts c ON p.b2 < c.cut GROUP BY c.cut, p.lang""",
+            SELECT cut, lang, sum(m) AS d FROM __lc_m GROUP BY cut, lang""",
     }
     for name, sql in views.items():
         spark.sql(sql).createOrReplaceTempView(name)
@@ -3992,15 +3998,21 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT cut, sum(d) AS dt FROM __lc_prior GROUP BY cut"
     ).createOrReplaceTempView("__lc_dtot")
     # Eval slice bounded BY CONSTRUCTION (round 11): the md5-bucket slice
-    # alone scales with the corpus, so the scoring join (eval tokens ×
-    # (cut, lang) models) dominated the 100x sweep; capping the slice to
-    # doc_id < 50000 fixes its size at any scale (a no-op at every test
-    # tier — max doc_id 4999) exactly like llm_ann_recall_eval's probe
-    # cap. Sampled fixed-size eval sets are the scaling-law-measurement
-    # norm; the oracle applies the same predicate.
+    # alone scales with the corpus, so capping it to doc_id < 50000 fixes
+    # its size at any scale (a no-op at every test tier — max doc_id 4999)
+    # exactly like llm_ann_recall_eval's probe cap. Sampled fixed-size
+    # eval sets are the scaling-law-measurement norm; the oracle applies
+    # the same predicate. Tokenized DIRECTLY from the filtered documents
+    # scan (round 13) — the filter reaches the parquet scan instead of an
+    # already-exploded corpus-sized token stage.
     spark.sql(
-        "SELECT doc_id, lang AS actual_lang, token FROM __lc_tok"
-        " WHERE b2 >= 'e6' AND doc_id < 50000"
+        """
+        SELECT doc_id, lang AS actual_lang, token
+        FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
+        WHERE token <> ''
+          AND substr(md5(CAST(doc_id AS STRING)), 1, 2) >= 'e6'
+          AND doc_id < 50000
+        """
     ).createOrReplaceTempView("__lc_eval")
     return spark.sql(
         """
@@ -4019,9 +4031,14 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS BIGINT) AS score
             FROM (
               SELECT t.cut, e.doc_id, e.actual_lang, t.lang AS cand_lang,
-                     sum(CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (t.tt + v.v))
+                     -- eval tokens pre-aggregated to (doc, token) counts:
+                     -- ke identical integer terms sum as ke * term (exact)
+                     sum(e.ke * CAST(round(ln((COALESCE(c.c, 0) + 1.0)
+                                              / (t.tt + v.v))
                                     * 1000000) AS BIGINT)) AS ll
-              FROM __lc_eval e
+              FROM (SELECT doc_id, actual_lang, token, count(*) AS ke
+                    FROM __lc_eval
+                    GROUP BY doc_id, actual_lang, token) e
               JOIN __lc_tot t ON true
               JOIN __lc_vocab v ON v.cut = t.cut
               LEFT JOIN __lc_cnt c ON c.cut = t.cut AND c.lang = t.lang
@@ -4217,29 +4234,48 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is one of this repo's proven primitives composed into a
     single plan; the output is the funnel (docs, tokens, fraction of
     raw per stage), which is what curation reviews actually read. Scale
-    shape: hash shuffle + bounded filters + the blocked (token, source)
-    self-join — no stage is pairwise-global; the 1-row raw-count
-    broadcast is allowlisted. The per-doc metadata stage is CACHED and
-    the stage views are CTE-free: the WITH-CTE formulation re-derived
-    the whole upstream chain inside every UNION branch (33 accounted
-    shuffles → ~12; the round-4 cache-substitution rule)."""
+    shape (round-13 collapse rewrite, provably identical): per-doc text
+    attributes (two splits + the normalized hash) are computed on ONE
+    representative per distinct (text, source) group instead of every
+    copy — stage 0 weights by copy multiplicity (exact integer sums),
+    and stages 1–3 operate on survivors, which are one-per-normalized-
+    hash by definition, so the keep-lowest winner is the group holding
+    the globally minimal doc_id (min over group minima). The near-dedup
+    self-join was already survivor-bounded; now the metadata stage is
+    too. The 1-row raw-count broadcast is allowlisted; stage views are
+    CTE-free (the round-4 cache-substitution rule)."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
+    # copies → (text, source) content groups: the only full-corpus pass
+    grp = spark.sql(
+        """
+        SELECT md5(text) AS ht, source, min(doc_id) AS rep_doc,
+               count(*) AS mult
+        FROM documents GROUP BY md5(text), source
+        """
+    ).cache()
+    grp.createOrReplaceTempView("__cf_grp")
+    # text attributes on representatives only
     meta = spark.sql(
         """
-        SELECT doc_id, source, md5(lower(trim(text))) AS h,
-               size(split(text, ' ')) AS n_tok,
-               size(array_distinct(split(text, ' '))) AS n_uniq
-        FROM documents
+        SELECT g.rep_doc AS doc_id, g.source, g.mult,
+               md5(lower(trim(d.text))) AS h,
+               size(split(d.text, ' ')) AS n_tok,
+               size(array_distinct(split(d.text, ' '))) AS n_uniq
+        FROM __cf_grp g JOIN documents d ON d.doc_id = g.rep_doc
         """
     ).cache()
     meta.createOrReplaceTempView("__cf_meta")
+    _materialize_cache(spark, grp, meta)
+    # keep-lowest per normalized hash: the winning group is the one whose
+    # min doc_id is globally minimal (copies share their group's rep)
     spark.sql(
         """
-        SELECT m.* FROM __cf_meta m
-        JOIN (SELECT h, min(doc_id) AS keep FROM __cf_meta GROUP BY h) k
-          ON m.h = k.h AND m.doc_id = k.keep
+        SELECT doc_id, source, h, n_tok, n_uniq FROM (
+          SELECT m.*, min(doc_id) OVER (PARTITION BY h) AS keep
+          FROM __cf_meta m)
+        WHERE doc_id = keep
         """
     ).createOrReplaceTempView("__cf_s1")
     spark.sql(
@@ -4250,12 +4286,16 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("__cf_s2")
     tok = spark.sql(
         """
-        SELECT DISTINCT d.doc_id, d.source, token
+        SELECT DISTINCT d.doc_id, s2.source, token
         FROM documents d JOIN __cf_s2 s2 ON d.doc_id = s2.doc_id
         LATERAL VIEW explode(split(d.text, ' ')) AS token
         """
     ).cache()
     tok.createOrReplaceTempView("__cf_tok")
+    # per-doc token-set sizes once; both Jaccard sides broadcast it
+    spark.sql(
+        "SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id"
+    ).createOrReplaceTempView("__cf_cnt")
     spark.sql(
         """
         SELECT * FROM __cf_s2 WHERE doc_id NOT IN (
@@ -4265,10 +4305,8 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON a.token = b.token AND a.source = b.source
              AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id) s
-          JOIN (SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id) za
-            ON za.doc_id = s.da
-          JOIN (SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id) zb
-            ON zb.doc_id = s.db
+          JOIN __cf_cnt za ON za.doc_id = s.da
+          JOIN __cf_cnt zb ON zb.doc_id = s.db
           WHERE CAST(s.c AS DOUBLE) / (za.n + zb.n - s.c) >= 0.5)
         """
     ).createOrReplaceTempView("__cf_s3")
@@ -4277,8 +4315,9 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT stage, n_docs, n_tokens,
                round(CAST(n_docs AS DOUBLE) / raw.rd, 6) AS frac_of_raw
         FROM (
-          SELECT '0_raw' AS stage, count(*) AS n_docs,
-                 CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM __cf_meta
+          SELECT '0_raw' AS stage, sum(mult) AS n_docs,
+                 CAST(sum(mult * n_tok) AS BIGINT) AS n_tokens
+          FROM __cf_meta
           UNION ALL
           SELECT '1_exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
           FROM __cf_s1
@@ -4288,7 +4327,7 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT '3_near_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
           FROM __cf_s3) f
-        CROSS JOIN (SELECT count(*) AS rd FROM __cf_meta) raw
+        CROSS JOIN (SELECT sum(mult) AS rd FROM __cf_meta) raw
         """
     )
 
@@ -5912,12 +5951,20 @@ def mm_video_scene_cut_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_DIVISOR = 16  # expected chunk length ≈ divisor tokens
 
 _CDC_SPARK = f"""
-    WITH d AS (
-      SELECT doc_id, source, split(text, ' ') AS tk,
-             size(split(text, ' ')) AS n
-      FROM documents),
+    WITH g AS (
+      -- exact-collapse-first (round 13): chunk boundaries depend only on
+      -- text, so chunk ONE representative per distinct (text, source)
+      -- group and weight instance stats by copy multiplicity — exact
+      -- integer products; chunked volume tracks DISTINCT content
+      SELECT md5(text) AS ht, source, min(doc_id) AS rep_doc,
+             count(*) AS mult
+      FROM documents GROUP BY md5(text), source),
+    d AS (
+      SELECT g.ht, g.source, g.mult, split(dd.text, ' ') AS tk,
+             size(split(dd.text, ' ')) AS n
+      FROM g JOIN documents dd ON dd.doc_id = g.rep_doc),
     b AS (
-      SELECT doc_id, source, tk, n,
+      SELECT ht, source, mult, tk, n,
              concat(
                array(0),
                CASE WHEN n >= 4 THEN
@@ -5929,24 +5976,38 @@ _CDC_SPARK = f"""
                array(n)) AS bs
       FROM d),
     ch AS (
-      SELECT doc_id, source, c.h AS h, c.len AS len
+      SELECT ht, source, mult, c.h AS h, c.len AS len
       FROM b
       LATERAL VIEW explode(
         transform(sequence(1, size(bs) - 1), j -> struct(
           md5(concat_ws(' ',
             slice(tk, element_at(bs, j) + 1,
                   element_at(bs, j + 1) - element_at(bs, j)))) AS h,
-          element_at(bs, j + 1) - element_at(bs, j) AS len))) t AS c)
-    SELECT source,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS total_chunks,
-           CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
-           round(1e0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+          element_at(bs, j + 1) - element_at(bs, j) AS len))) t AS c),
+    pergroup AS (
+      SELECT ht, source, mult, count(*) AS n_chunks,
+             sum(CAST(len AS BIGINT)) AS sum_len
+      FROM ch GROUP BY ht, source, mult),
+    srcstats AS (
+      SELECT source, sum(mult) AS n_docs,
+             sum(mult * n_chunks) AS total_chunks,
+             sum(mult * sum_len) AS total_len
+      FROM pergroup GROUP BY source),
+    dch AS (
+      SELECT source, count(DISTINCT h) AS distinct_chunks
+      FROM ch GROUP BY source)
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.total_chunks AS BIGINT) AS total_chunks,
+           CAST(d.distinct_chunks AS BIGINT) AS distinct_chunks,
+           round(1e0 - CAST(d.distinct_chunks AS DOUBLE) / s.total_chunks, 6)
              AS dup_chunk_rate,
-           round(avg(CAST(len AS DOUBLE)), 2) AS avg_chunk_tokens
-    FROM ch
-    GROUP BY source
-    ORDER BY source
+           -- identical to avg over chunk instances: integer-valued double
+           -- sums are exact, copies contribute identical chunk sets
+           round(CAST(s.total_len AS DOUBLE) / s.total_chunks, 2)
+             AS avg_chunk_tokens
+    FROM srcstats s JOIN dch d ON d.source = s.source
+    ORDER BY s.source
 """
 
 _CDC_DUCK = f"""
@@ -7007,10 +7068,64 @@ def llm_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies the n=3 every other dedup op here uses (small n inflates
     matches with common phrases, large n misses paraphrase overlap;
     the pair count should fall monotonically in n). EXACT-COLLAPSE
-    FIRST like its siblings. Scale shape: three source-blocked shingle
-    joins over the collapsed reps; in production the pair sets come
-    from the banding pipeline and this audit runs on candidates only."""
-    return sql_q(spark, sf_dir, _shsens_sql("spark"))
+    FIRST like its siblings. Scale shape (round 13 staging rewrite —
+    the r12 verdict's 21-exchange finding): each arm's shingle explode
+    is CACHED ONCE and its per-doc shingle counts once more; the old
+    single-CTE form inlined the shingle subquery 4× per arm (Spark CTEs
+    are not materialization points), re-exploding the corpus 12× across
+    the sweep. Same SQL semantics per arm, oracle unchanged; in
+    production the pair sets come from the banding pipeline and this
+    audit runs on candidates only."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    reps = spark.sql(
+        "SELECT min(doc_id) AS doc_id, source, text"
+        " FROM documents GROUP BY source, text"
+    ).cache()
+    reps.createOrReplaceTempView("__shs_reps")
+    _materialize_cache(spark, reps)
+    parts = []
+    staged = []
+    for n in (2, 3, 5):
+        grams = ", ".join(f"tk[i+{j}]" for j in range(n))
+        sh = spark.sql(
+            f"""
+            SELECT doc_id, source, g FROM (SELECT doc_id, source,
+            split(text, ' ') AS tk FROM __shs_reps)
+            LATERAL VIEW explode(array_distinct(transform(
+            sequence(0, size(tk) - {n}),
+            i -> concat_ws(' ', {grams})))) AS g
+            WHERE size(tk) >= {n}
+            """
+        ).cache()
+        sh.createOrReplaceTempView(f"__shs_sh{n}")
+        cnt = spark.sql(
+            f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n"
+            f" FROM __shs_sh{n} GROUP BY doc_id"
+        ).cache()
+        cnt.createOrReplaceTempView(f"__shs_cnt{n}")
+        staged.extend([sh, cnt])
+        parts.append(
+            f"""
+    SELECT {n} AS shingle_n,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(j), 6) AS mean_jaccard
+    FROM (
+      SELECT i.shared * 1e0 / (za.n + zb.n - i.shared) AS j
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM __shs_sh{n} a
+            JOIN __shs_sh{n} b ON b.source = a.source AND b.g = a.g
+                         AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) i
+      JOIN __shs_cnt{n} za ON za.doc_id = i.doc_a
+      JOIN __shs_cnt{n} zb ON zb.doc_id = i.doc_b
+      WHERE i.shared * 1e0 / (za.n + zb.n - i.shared) >= 0.5) v"""
+        )
+    _materialize_cache(spark, *staged)
+    u = " UNION ALL ".join(parts)
+    return spark.sql(f"SELECT * FROM ({u}) allrows ORDER BY shingle_n")
 
 
 def _degree_dist_sql(pairs_sql: str) -> str:

@@ -240,25 +240,41 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (text, lang) and the confusion counts weight by multiplicity
     (identical texts receive identical scores, hence identical argmax);
     (b) rep token streams pre-aggregate to (doc, token) counts, scoring
-    k·ll instead of k repeated ll terms (integer sums — exact). On a
-    duplicate-heavy corpus the scored volume tracks DISTINCT eval content:
-    the op went from >100 s (sweep watchdog kill) to 44.1 s at the 100x
-    probe, now dominated by the linear train-side model aggregates."""
+    k·ll instead of k repeated ll terms (integer sums — exact).
+
+    Round-13 train-side collapse (same provably-identical family): the
+    model aggregates no longer explode the full corpus either. Copies
+    collapse to DISTINCT (md5(text), lang) groups with a per-group
+    train-copy count n_train; ONE representative per group is tokenized,
+    and cnt(lang,token) = Σ_h k(h,token)·n_train(h) (identical copies
+    contribute identical token counts), tot = Σ cnt, prior = Σ n_train,
+    vocab = distinct rep tokens with n_train>0 — exact integer
+    product-sums. The corpus-sized cached token explode (the 44.1 s
+    dominator at the 100x probe) disappears; tokenized volume tracks
+    DISTINCT content, and on a low-duplication corpus the collapse
+    degrades to the one md5(text) group-by every exact-collapse op pays."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    tok = spark.sql(
+    grp = spark.sql(
         """
-        SELECT doc_id, lang,
-               CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
-                    THEN 1 ELSE 0 END AS is_train,
-               token
-        FROM documents LATERAL VIEW explode(split(text, ' ')) AS token
-        WHERE token <> ''
+        SELECT md5(text) AS h, lang, min(doc_id) AS rep_doc,
+               sum(CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc'
+                        THEN 1 ELSE 0 END) AS n_train
+        FROM documents GROUP BY md5(text), lang
         """
     ).cache()
-    tok.createOrReplaceTempView("__nb_tok")
-    _materialize_cache(spark, tok)
+    grp.createOrReplaceTempView("__nb_grp")
+    k = spark.sql(
+        """
+        SELECT g.h, g.lang, g.n_train, token, count(*) AS k
+        FROM __nb_grp g JOIN documents d ON d.doc_id = g.rep_doc
+        LATERAL VIEW explode(split(d.text, ' ')) AS token
+        WHERE token <> ''
+        GROUP BY g.h, g.lang, g.n_train, token
+        """
+    ).cache()
+    k.createOrReplaceTempView("__nb_k")
     reps = spark.sql(
         """
         SELECT min(doc_id) AS doc_id, lang, count(*) AS mult
@@ -268,7 +284,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     reps.createOrReplaceTempView("__nb_reps")
-    _materialize_cache(spark, reps)
+    _materialize_cache(spark, grp, k, reps)
     return spark.sql(
         f"""
         SELECT actual_lang, pred_lang, CAST(sum(mult) AS BIGINT) AS n_docs
@@ -285,28 +301,25 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sum(e.k * CAST(round(ln((COALESCE(c.c, 0) + 1.0)
                                              / (t.tt + v.v))
                                     * {_LLQ}) AS BIGINT)) AS ll
-              FROM (SELECT tk.doc_id, tk.lang AS actual_lang, r.mult,
-                           tk.token, count(*) AS k
-                    FROM __nb_tok tk
-                    JOIN __nb_reps r ON r.doc_id = tk.doc_id
-                    WHERE tk.is_train = 0
-                    GROUP BY tk.doc_id, tk.lang, r.mult, tk.token) e
-              CROSS JOIN (SELECT lang, count(*) AS tt
-                          FROM __nb_tok WHERE is_train = 1 GROUP BY lang) t
+              FROM (SELECT r.doc_id, r.lang AS actual_lang, r.mult,
+                           token, count(*) AS k
+                    FROM __nb_reps r JOIN documents d ON d.doc_id = r.doc_id
+                    LATERAL VIEW explode(split(d.text, ' ')) AS token
+                    WHERE token <> ''
+                    GROUP BY r.doc_id, r.lang, r.mult, token) e
+              CROSS JOIN (SELECT lang, sum(k * n_train) AS tt
+                          FROM __nb_k WHERE n_train > 0 GROUP BY lang) t
               CROSS JOIN (SELECT count(DISTINCT token) AS v
-                          FROM __nb_tok WHERE is_train = 1) v
-              LEFT JOIN (SELECT lang, token, count(*) AS c
-                         FROM __nb_tok WHERE is_train = 1
+                          FROM __nb_k WHERE n_train > 0) v
+              LEFT JOIN (SELECT lang, token, sum(k * n_train) AS c
+                         FROM __nb_k WHERE n_train > 0
                          GROUP BY lang, token) c
                 ON c.lang = t.lang AND c.token = e.token
               GROUP BY e.doc_id, e.actual_lang, e.mult, t.lang) s
-            JOIN (SELECT lang, count(DISTINCT doc_id) AS d
-                  FROM __nb_tok WHERE is_train = 1 GROUP BY lang) p
+            JOIN (SELECT lang, sum(n_train) AS d
+                  FROM __nb_grp WHERE n_train > 0 GROUP BY lang) p
               ON p.lang = s.cand_lang
-            CROSS JOIN (SELECT sum(d) AS dt FROM (
-                          SELECT lang, count(DISTINCT doc_id) AS d
-                          FROM __nb_tok WHERE is_train = 1
-                          GROUP BY lang)) dt) f) ranked
+            CROSS JOIN (SELECT sum(n_train) AS dt FROM __nb_grp) dt) f) ranked
         WHERE rn = 1
         GROUP BY actual_lang, pred_lang
         """

@@ -161,6 +161,10 @@ def test_full_surface_plan_hygiene(spark):
         "llm_mixture_temperature", # 1-row corpus-total + weight-sum broadcasts
         "llm_curriculum_buckets",  # 1-row quartile-cutpoint broadcast
         "llm_ann_recall_eval",     # bounded eval-probe-set × corpus broadcast
+        "llm_ann_lsh",             # 1-row probe-embedding broadcast (r13
+                                   # recall audit; exact side of recall@10)
+        "agg_hll_sketch",          # 1-row union-sketch × 1-row global-exact
+                                   # crossJoin (r13 bounded-error audit form)
         "mm_embed_sim_stub",       # 1-row probe-vector broadcast
         "llm_oversample_minority", # 1-row majority-count broadcast
         "llm_kl_divergence_split", # 1-row distribution-total broadcast
@@ -573,6 +577,8 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         ("llm.py", "tot"), ("llm.py", "cuts"), ("llm.py", "mx"),
         ("llm.py", "factors"), ("llm.py", "marks"), ("llm.py", "freq"),
         ("llm.py", "words"), ("llm.py", "df_"),
+        # llm_ann_lsh recall audit: 1-row probe embedding (vec_id = 0)
+        ("llm.py", "probe_arr"),
         ("timeseries.py", "cuts"), ("windows.py", "cuts"),
         ("windows.py", "off"), ("aggregates.py", "sketch"),
         ("tpch.py", "top"), ("tpch.py", "best"),

@@ -83,6 +83,15 @@ REPROOF_REWRITTEN: dict[str, int] = {
     # after the 100x window-buffer heap OOM; its r4 green proves the old
     # per-row-window code
     "agg_weighted_median": 12,
+    # round-13 slow-tier rewrites (r12 verdict tasks #3/#4): exact-collapse-
+    # first on the train/chunk side (scaling curve, NB language-ID, CDC
+    # chunking, curation funnel) and per-arm staged shingle caches (shingle
+    # sensitivity). Oracles unchanged; plans rewritten.
+    "llm_data_scaling_curve": 13,
+    "ml_naive_bayes_langid": 13,
+    "llm_cdc_chunking": 13,
+    "llm_curation_funnel": 13,
+    "llm_shingle_size_sensitivity": 13,
 }
 
 

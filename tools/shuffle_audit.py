@@ -85,10 +85,12 @@ def _dedup_cached_blocks(plan: str) -> str:
 # Counts are distinct EXECUTED stages — cached-stage builds count once;
 # none of these re-runs a corpus-sized stage per reference.
 _NOTES = {
-    "llm_curation_funnel": "9 funnel steps over one cached token/feature "
-    "stage; each stagelet is a source-grain or doc-grain agg on the cache",
-    "llm_data_scaling_curve": "cached doc-feature stage; per-budget-point "
-    "stagelets aggregate the cache at source grain",
+    "llm_curation_funnel": "r13 collapse: text attrs on one rep per "
+    "(text,source) group; exchanges are rep-grain stagelets (5.4 s flat "
+    "at 100x), only the md5(text) group-by is corpus-sized",
+    "llm_data_scaling_curve": "r13 collapse: rep tokenize + (group,cut) "
+    "multiplicity join; exchanges are group/vocab-grain model aggs "
+    "(5.3 s at 100x), corpus touched once",
     "llm_semdedup_sqrtn": "cached collapse + assignment stages; exchanges "
     "are the distinct cluster-grain aggs and LSH-bounded verify joins",
     "llm_containment_banded": "cached shingle stage; exchanges are the "
