@@ -81,3 +81,32 @@ def test_memo_only_on_pure_ops():
     bad = [n for n in memoized if n.startswith(impure_prefixes)]
     assert not bad, f"plan_memo on side-effectful ops: {bad}"
     assert "agg_scan_group" in memoized and "llm_minhash_banding" in memoized
+
+
+def test_memo_keyed_on_jvm_session_uuid(spark):
+    """Session identity is the JVM session's sessionUUID, not id() of the
+    py4j proxy (ADVICE r12): two Python wrappers of ONE JVM session must
+    share memo entries, while a sibling newSession() clone (same
+    applicationId, own conf/temp-view state) must get its own."""
+    from pyspark.sql import SparkSession
+
+    qs = all_queries()
+    a = qs["agg_scan_group"](spark, SF_ORACLE)
+    # a second Python wrapper of the same JVM session: same UUID -> hit
+    twin = SparkSession(spark.sparkContext, spark._jsparkSession)
+    assert str(twin._jsparkSession.sessionUUID()) == str(
+        spark._jsparkSession.sessionUUID()
+    )
+    b = qs["agg_scan_group"](twin, SF_ORACLE)
+    assert b is a, "wrapper of the same JVM session must hit the memo"
+    # a sibling session clone: distinct UUID -> own entry
+    clone = spark.newSession()
+    try:
+        assert str(clone._jsparkSession.sessionUUID()) != str(
+            spark._jsparkSession.sessionUUID()
+        )
+        c = qs["agg_scan_group"](clone, SF_ORACLE)
+        assert c is not a, "newSession() clone must not share memo entries"
+    finally:
+        # no stop(): the clone shares the SparkContext with the suite
+        pass

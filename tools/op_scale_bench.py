@@ -21,11 +21,15 @@ import time
 sys.path.insert(0, ".")
 
 
-def _time_op(fn, spark, sf_dir: str) -> float:
+def _time_op(fn, spark, sf_dir: str, drive: str = "collect") -> float:
     best = float("inf")
     for _ in range(2):
         t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
+        df = fn(spark, sf_dir)
+        if drive == "count":
+            df.count()
+        else:
+            df.collect()
         best = min(best, time.monotonic() - t0)
     return best
 
@@ -35,6 +39,14 @@ def main() -> None:
     ap.add_argument("ops", nargs="+")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="_scratch/sf1")
+    ap.add_argument(
+        "--drive", choices=("collect", "count"), default="collect",
+        help="how to force execution: 'collect' (default, matches bench "
+        "semantics) or 'count' for audit ops whose OUTPUT scales with the "
+        "corpus (a 1000x geo pair set blows driver.maxResultSize under "
+        "collect; count keeps the full computation but leaves results "
+        "distributed, like the survival sweep does)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,8 +65,8 @@ def main() -> None:
     rows = []
     for name in args.ops:
         fn = queries[name]
-        small = _time_op(fn, spark, args.base)
-        big = _time_op(fn, spark, args.big)
+        small = _time_op(fn, spark, args.base, args.drive)
+        big = _time_op(fn, spark, args.big, args.drive)
         ratio = big / small if small > 0 else float("inf")
         rows.append((name, small, big, ratio))
         print(
