@@ -5020,17 +5020,79 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, and score each document by the mean log-ratio
     ln(p_target/p_raw) of its tokens' buckets — documents whose n-gram
     profile looks like the target float up, and importance resampling
-    keeps them. Top-20 by weight. Plan: token explode → 64-row feature
-    aggregate (conditional count builds BOTH distributions in one pass) →
-    broadcast the 64 log-ratios back → per-doc mean → TakeOrdered 20.
-    One shuffle on the bucket, one on doc_id; linear at any scale."""
-    return sql_q(
-        spark,
-        sf_dir,
-        _dsir_sql(
-            "explode(split(text, ' '))",
-            "cast(conv(substr(md5(token), 1, 4), 16, 10) AS bigint) % 64",
-        ),
+    keeps them. Top-20 by weight.
+
+    Plan (round-13 exact-collapse rewrite; the r13 sweep caught the old
+    full-corpus token explode at 45 s / 49.6× at the 100× tier, with a
+    broadcast OOM under sweep memory pressure): copies collapse to
+    distinct (md5(text), lang) groups, ONE representative is exploded to
+    (group, bucket) token counts, and both smoothed distributions are
+    mult-weighted integer sums over that grain. Every copy of a text has
+    the same weight, so the top-20 DOCS live inside the top-20 GROUPS by
+    (rounded weight desc, min doc_id): any excluded group's best doc_id
+    exceeds 20 better-ranked docs by construction. Those ≤20 groups join
+    back to documents to enumerate copy doc_ids (bounded expansion), then
+    the exact original ordering applies. Weight per group is Σ k·w / n —
+    the same token multiset every copy averages, equal at the 6-dp
+    rounding both engines share. Oracle unchanged."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    bucket = "cast(conv(substr(md5(token), 1, 4), 16, 10) AS bigint) % 64"
+    grp = spark.sql(
+        """
+        SELECT md5(text) AS h, lang, min(doc_id) AS min_doc, count(*) AS mult
+        FROM documents GROUP BY md5(text), lang
+        """
+    ).cache()
+    grp.createOrReplaceTempView("__dsir_grp")
+    k = spark.sql(
+        f"""
+        SELECT g.h, g.lang, g.mult, {bucket} AS b, count(*) AS k
+        FROM __dsir_grp g JOIN documents d ON d.doc_id = g.min_doc
+        LATERAL VIEW explode(split(d.text, ' ')) AS token
+        GROUP BY g.h, g.lang, g.mult, {bucket}
+        """
+    ).cache()
+    k.createOrReplaceTempView("__dsir_k")
+    _materialize_cache(spark, grp, k)
+    spark.sql(
+        """
+        SELECT b,
+               CAST(sum(CASE WHEN lang = 'en' THEN mult * k ELSE 0 END) + 1
+                    AS DOUBLE) AS ct,
+               CAST(sum(mult * k) + 1 AS DOUBLE) AS cr
+        FROM __dsir_k GROUP BY b
+        """
+    ).createOrReplaceTempView("__dsir_feat")
+    spark.sql(
+        """
+        SELECT f.b, ln((f.ct / t.st) / (f.cr / t.sr)) AS w
+        FROM __dsir_feat f
+        CROSS JOIN (SELECT sum(ct) AS st, sum(cr) AS sr FROM __dsir_feat) t
+        """
+    ).createOrReplaceTempView("__dsir_lw")
+    spark.sql(
+        """
+        SELECT k.h, k.lang, CAST(sum(k.k) AS BIGINT) AS n_tok,
+               round(sum(k.k * lw.w) / sum(k.k), 6) AS dsir_weight,
+               max(g.min_doc) AS min_doc
+        FROM __dsir_k k
+        JOIN __dsir_lw lw ON lw.b = k.b
+        JOIN __dsir_grp g ON g.h = k.h AND g.lang = k.lang
+        GROUP BY k.h, k.lang
+        ORDER BY dsir_weight DESC, min_doc
+        LIMIT 20
+        """
+    ).createOrReplaceTempView("__dsir_topgrp")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tg.lang, tg.n_tok, tg.dsir_weight
+        FROM __dsir_topgrp tg
+        JOIN documents d ON md5(d.text) = tg.h AND d.lang = tg.lang
+        ORDER BY tg.dsir_weight DESC, d.doc_id
+        LIMIT 20
+        """
     )
 
 

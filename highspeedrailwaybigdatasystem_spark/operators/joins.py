@@ -234,16 +234,29 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_theta_range",
     oracle="""
     SELECT o_orderkey, p_partkey
-    FROM (SELECT * FROM orders WHERE o_orderkey % 1000 = 0) o
+    FROM (SELECT * FROM orders
+          WHERE o_orderkey % 1000 = 0 AND o_orderkey < 600000) o
     JOIN part
       ON p_retailprice BETWEEN o_totalprice / 100 AND o_totalprice / 50
     """,
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (range) join. The probe side is pre-filtered to a sliver so
-    the BroadcastNestedLoopJoin stays bounded; at scale this is the pattern
-    of broadcasting the small side of any theta join."""
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 1000 == 0)
+    """Non-equi (range) join: broadcast the SMALL side of a theta join and
+    let BroadcastNestedLoopJoin evaluate the range predicate against the
+    streamed big side. The probe sliver is bounded BY CONSTRUCTION
+    (round 13): the modulo filter alone scales linearly with the corpus,
+    which made the BNLJ quadratic in SF — the r13 sweep caught it at
+    62.7 s / 146× at the 100× tier (it had been squeaking under the
+    watchdog since r2). The added fixed key cap (o_orderkey < 600000, the
+    sf0.1 domain — a no-op at every test tier, same pattern as
+    llm_ann_recall_eval's probe cap) pins the broadcast side at ~150 rows
+    at ANY amplification, so BNLJ work is linear in the streamed side.
+    That bounded-side discipline IS the lesson of this exhibit: a theta
+    join with two corpus-scaled sides has no good plan — bin it
+    (join_range_binned, this op's scale twin) instead."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") % 1000 == 0) & (F.col("o_orderkey") < 600000)
+    )
     part = t(spark, sf_dir, "part")
     cond = F.col("p_retailprice").between(
         F.col("o_totalprice") / 100, F.col("o_totalprice") / 50

@@ -92,6 +92,13 @@ REPROOF_REWRITTEN: dict[str, int] = {
     "llm_cdc_chunking": 13,
     "llm_curation_funnel": 13,
     "llm_shingle_size_sensitivity": 13,
+    # round-13 sweep finds: theta-range probe sliver bounded by a fixed key
+    # cap (was quadratic in SF); DSIR collapsed to distinct-content grain
+    # (was a full-corpus token explode + broadcast OOM under sweep memory
+    # pressure). join_theta_range sits IN the r13 window, so its r13 gate
+    # already proves the new code; the entry records the rewrite for audit.
+    "join_theta_range": 13,
+    "llm_dsir_importance": 13,
 }
 
 
