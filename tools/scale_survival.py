@@ -179,6 +179,14 @@ def main() -> None:
             done.set()
             try:
                 spark.sparkContext.setJobGroup("", "")
+                # Per-op cache isolation (round 13): without this, 487 ops'
+                # cached stages accumulate in the shared JVM until eviction
+                # thrash — llm_template_boilerplate_detect reliably timed
+                # out in-sweep (>100 s) while running 3 s standalone, and
+                # llm_dsir_importance's broadcast OOMed under the same
+                # pressure. Each op should survive 100x on ITS OWN plan,
+                # not on whatever blocks its 400 predecessors left behind.
+                spark.catalog.clearCache()
             except Exception:  # noqa: BLE001
                 pass
     print(
