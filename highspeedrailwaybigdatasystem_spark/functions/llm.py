@@ -3266,32 +3266,72 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id — ingestion order) is this document. Aggregated per
     source, low avg novelty flags template/mirror-dominated feeds before
     any pairwise dedup runs. Scale shape: the global first-occurrence
-    table is one min() aggregate keyed by shingle — the same gram-keyed
-    shuffle every dedup op here pays, with map-side partial mins; the
-    rejoin is shingle-keyed and colocated with that aggregate under AQE.
-    Nothing is ever pairwise."""
-    return sql_q(
-        spark,
-        sf_dir,
+    table is one min() aggregate keyed by shingle; the rejoin is
+    shingle-keyed. Nothing is ever pairwise.
+
+    Round-13 exact-collapse (isolated-cache sweep: 77.0 s cold at 100× —
+    full-corpus distinct-shingle stage): a shingle's first occurrence is
+    min(doc_id) over the docs containing it, and within a content group
+    every doc has the same shingle set — so first_doc(sh) = min over
+    groups of the group's global-min doc, ONLY that global-min copy can
+    score nonzero novelty (any later copy finds every one of its shingles
+    already seen), and per-source stats follow from group multiplicities:
+    avg = Σ ν(h over groups first-seen in the source) / Σ mult (the zero
+    terms drop out of the sum), min = 0 as soon as the source holds any
+    non-first copy. Exploded volume tracks distinct content; oracle
+    unchanged."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    spark.sql(
         """
-        WITH shingle AS (
-          SELECT DISTINCT doc_id, source, sh
-          FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
-          LATERAL VIEW explode(transform(
-            sequence(0, size(tk) - 3),
-            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
-          WHERE size(tk) >= 3),
-        first_seen AS (SELECT sh, min(doc_id) AS first_doc FROM shingle GROUP BY sh),
-        per_doc AS (
-          SELECT s.doc_id, s.source,
-                 CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*) AS novelty
-          FROM shingle s JOIN first_seen f ON s.sh = f.sh
-          GROUP BY s.doc_id, s.source)
-        SELECT source, count(*) AS n_docs, round(avg(novelty), 6) AS avg_novelty,
-               round(min(novelty), 6) AS min_novelty
-        FROM per_doc GROUP BY source
-        """,
+        SELECT md5(text) AS h, source, min(doc_id) AS min_doc,
+               count(*) AS mult
+        FROM documents GROUP BY md5(text), source
+        """
+    ).createOrReplaceTempView("__nov_grp")
+    spark.sql(
+        "SELECT h, min(min_doc) AS gdoc FROM __nov_grp GROUP BY h"
+    ).createOrReplaceTempView("__nov_hmin")
+    shr = spark.sql(
+        """
+        SELECT DISTINCT r.h, sh
+        FROM __nov_hmin r
+        JOIN (SELECT doc_id, split(text, ' ') AS tk FROM documents) d
+          ON d.doc_id = r.gdoc
+        LATERAL VIEW explode(transform(
+          sequence(0, size(tk) - 3),
+          i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+        WHERE size(tk) >= 3
+        """
+    ).cache()
+    shr.createOrReplaceTempView("__nov_shr")
+    _materialize_cache(spark, shr)
+    spark.sql(
+        """
+        SELECT s.h,
+               CAST(sum(CASE WHEN f.first_doc = m.gdoc THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS nu
+        FROM __nov_shr s
+        JOIN (SELECT s2.sh, min(m2.gdoc) AS first_doc
+              FROM __nov_shr s2 JOIN __nov_hmin m2 ON m2.h = s2.h
+              GROUP BY s2.sh) f ON f.sh = s.sh
+        JOIN __nov_hmin m ON m.h = s.h
+        GROUP BY s.h
+        """
+    ).createOrReplaceTempView("__nov_nu")
+    return spark.sql(
+        """
+        SELECT g.source, CAST(sum(g.mult) AS BIGINT) AS n_docs,
+               round(sum(CASE WHEN m.gdoc = g.min_doc THEN nu.nu
+                              ELSE 0e0 END) / sum(g.mult), 6) AS avg_novelty,
+               round(min(CASE WHEN m.gdoc = g.min_doc AND g.mult = 1
+                              THEN nu.nu ELSE 0e0 END), 6) AS min_novelty
+        FROM __nov_grp g
+        JOIN __nov_hmin m ON m.h = g.h
+        JOIN __nov_nu nu ON nu.h = g.h
+        GROUP BY g.source
+        """
     )
 
 
@@ -5165,21 +5205,57 @@ def llm_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent 3-gram carries more than 10% of all its 3-gram mass is the
     looping-generation / boilerplate signature (the n-gram analogue of
     the Gopher repetition rules, scored continuously instead of
-    thresholded per rule). Top-20 by loop score. Plan: 3-gram explode
-    (map-side), (doc, gram) count, per-doc max/sum, TakeOrdered — two
-    shuffles, both on doc-grain keys; the gram explode never crosses
-    docs so there is no corpus-level gram table to skew."""
-    return sql_q(
-        spark,
-        sf_dir,
-        _reploop_sql(
-            """(SELECT doc_id, g
-                FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)
-                LATERAL VIEW explode(transform(
-                    sequence(0, size(tk) - 3),
-                    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
-                WHERE size(tk) >= 3) sh0"""
-        ),
+    thresholded per rule). Top-20 by loop score.
+
+    Plan (round-13 exact-collapse: the r13 isolated-cache sweep timed the
+    full-corpus 3-gram explode at 69.2 s cold at 100×): the loop score is
+    a pure function of text, so ONE representative per distinct text is
+    exploded; the doc-level top-20 is recovered from the top-20 content
+    groups by (rounded score desc, min doc_id) — the same provably-
+    containing expansion llm_dsir_importance uses — then re-sorted under
+    the original (loop_score DESC, doc_id) order. Oracle unchanged."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    spark.sql(
+        "SELECT md5(text) AS h, min(doc_id) AS min_doc"
+        " FROM documents GROUP BY md5(text)"
+    ).createOrReplaceTempView("__rld_grp")
+    spark.sql(
+        """
+        SELECT h, g, count(*) AS c FROM (
+          SELECT r.h, g
+          FROM __rld_grp r JOIN documents d ON d.doc_id = r.min_doc
+          LATERAL VIEW explode(transform(
+              sequence(0, size(split(d.text, ' ')) - 3),
+              i -> concat_ws(' ', split(d.text, ' ')[i],
+                             split(d.text, ' ')[i+1],
+                             split(d.text, ' ')[i+2]))) AS g
+          WHERE size(split(d.text, ' ')) >= 3)
+        GROUP BY h, g
+        """
+    ).createOrReplaceTempView("__rld_pergram")
+    spark.sql(
+        """
+        SELECT r.h, r.n_grams, r.max_rep, g.min_doc
+        FROM (SELECT h, sum(c) AS n_grams, max(c) AS max_rep
+              FROM __rld_pergram GROUP BY h) r
+        JOIN __rld_grp g ON g.h = r.h
+        ORDER BY round(CAST(max_rep AS DOUBLE) / n_grams, 6) DESC, min_doc
+        LIMIT 20
+        """
+    ).createOrReplaceTempView("__rld_top")
+    return spark.sql(
+        """
+        SELECT d.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(t.max_rep AS BIGINT) AS max_repeat,
+               round(CAST(t.max_rep AS DOUBLE) / t.n_grams, 6) AS loop_score,
+               CASE WHEN CAST(t.max_rep AS DOUBLE) / t.n_grams > 0.1
+                    THEN 1 ELSE 0 END AS is_loopy
+        FROM __rld_top t JOIN documents d ON md5(d.text) = t.h
+        ORDER BY loop_score DESC, d.doc_id
+        LIMIT 20
+        """
     )
 
 
@@ -6258,51 +6334,81 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan note (r6 verdict task #4): the corpus-sized bigram explode was
     referenced 3× and the doc-grain cross-entropy stage 2× through the
-    shared CTE (10 exchanges, 8 documents scans); both are now cached
-    temp views — one explode pass, one scoring join — with `_PPL_DUCK`
-    as the unchanged oracle."""
+    shared CTE; both became cached temp views.
+
+    Round-13 exact-collapse (isolated-cache sweep: 69.9 s cold at 100×):
+    H is a pure function of text + the corpus LM tables, so bigrams are
+    exploded for ONE representative per distinct text; the LM tables are
+    multiplicity-weighted integer sums (cuv = Σ m·k — identical copies
+    contribute identical bigram counts), per-group H is the same
+    Σ k·log2(p) / Σ k the instance average computes, and the per-source
+    doc statistics weight each group by its copy count. `_PPL_DUCK`
+    remains the unchanged oracle."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    big = spark.sql(
+    grp = spark.sql(
         """
-        SELECT doc_id, source,
-               element_at(tk, i) AS u, element_at(tk, i + 1) AS v
-        FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+        SELECT md5(text) AS h, source, min(doc_id) AS rep_doc,
+               count(*) AS mult
+        FROM documents GROUP BY md5(text), source
+        """
+    ).cache()
+    grp.createOrReplaceTempView("__pplf_grp")
+    spark.sql(
+        "SELECT h, min(rep_doc) AS rep_doc, sum(mult) AS m"
+        " FROM __pplf_grp GROUP BY h"
+    ).createOrReplaceTempView("__pplf_rep")
+    kb = spark.sql(
+        """
+        SELECT r.h, r.m, element_at(tk, i) AS u, element_at(tk, i + 1) AS v,
+               count(*) AS k
+        FROM (SELECT r0.h, r0.m, split(d.text, ' ') AS tk
+              FROM __pplf_rep r0 JOIN documents d ON d.doc_id = r0.rep_doc) r
         LATERAL VIEW explode(sequence(1, size(tk) - 1)) s AS i
         WHERE size(tk) >= 2
+        GROUP BY r.h, r.m, element_at(tk, i), element_at(tk, i + 1)
         """
     ).cache()
-    big.createOrReplaceTempView("__ppl_big")
-    doch = spark.sql(
+    kb.createOrReplaceTempView("__pplf_kb")
+    _materialize_cache(spark, grp, kb)
+    gh = spark.sql(
         """
-        SELECT b.doc_id, b.source,
-               -avg(log2((bc.cuv + 1e0)
+        SELECT b.h,
+               -sum(b.k * log2((bc.cuv + 1e0)
                          / (uc.cu + (SELECT CAST(count(DISTINCT w) AS DOUBLE)
-                                     FROM (SELECT explode(split(text, ' ')) AS w
-                                           FROM documents))))) AS h
-        FROM __ppl_big b
-        JOIN (SELECT u, v, count(*) AS cuv FROM __ppl_big GROUP BY u, v) bc
+                                     FROM (SELECT explode(split(d2.text, ' ')) AS w
+                                           FROM __pplf_rep r2
+                                           JOIN documents d2
+                                             ON d2.doc_id = r2.rep_doc)))))
+                 / sum(b.k) AS h_val
+        FROM __pplf_kb b
+        JOIN (SELECT u, v, sum(k * m) AS cuv FROM __pplf_kb GROUP BY u, v) bc
           ON b.u = bc.u AND b.v = bc.v
-        JOIN (SELECT u, count(*) AS cu FROM __ppl_big GROUP BY u) uc
+        JOIN (SELECT u, sum(k * m) AS cu FROM __pplf_kb GROUP BY u) uc
           ON b.u = uc.u
-        GROUP BY b.doc_id, b.source
+        GROUP BY b.h
         """
     ).cache()
-    doch.createOrReplaceTempView("__ppl_doch")
+    gh.createOrReplaceTempView("__pplf_gh")
+    _materialize_cache(spark, gh)
     return spark.sql(
         """
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(h), 6) AS mean_xent,
-               round(max(h), 6) AS max_xent,
-               round(avg(power(2e0, h)), 2) AS mean_ppl,
-               CAST(sum(CASE WHEN h > (SELECT avg(h) FROM __ppl_doch)
-                             THEN 1 ELSE 0 END) AS BIGINT)
+        SELECT g.source,
+               CAST(sum(g.mult) AS BIGINT) AS n_docs,
+               round(sum(g.mult * gh.h_val) / sum(g.mult), 6) AS mean_xent,
+               round(max(gh.h_val), 6) AS max_xent,
+               round(sum(g.mult * power(2e0, gh.h_val)) / sum(g.mult), 2)
+                 AS mean_ppl,
+               CAST(sum(CASE WHEN gh.h_val >
+                          (SELECT sum(g2.mult * gh2.h_val) / sum(g2.mult)
+                           FROM __pplf_grp g2
+                           JOIN __pplf_gh gh2 ON gh2.h = g2.h)
+                             THEN g.mult ELSE 0 END) AS BIGINT)
                  AS n_above_corpus_mean
-        FROM __ppl_doch
-        GROUP BY source
-        ORDER BY source
+        FROM __pplf_grp g JOIN __pplf_gh gh ON gh.h = g.h
+        GROUP BY g.source
+        ORDER BY g.source
         """
     )
 
@@ -6395,24 +6501,42 @@ def llm_template_boilerplate_detect(
     before training); reports the boilerplate shingle count and the
     share of the source's shingle mass it owns. Per-doc-DISTINCT
     shingles so a doc repeating its own footer doesn't vote twice.
-    The corpus-sized shingle stage is CACHED (temp view) and read
-    twice (doc counts, doc-frequency table) via InMemoryTableScan —
-    the round-6 CTE-recompute lesson applied from birth. Scale shape:
-    shingle explode is map-side; one (source, shingle) shuffle; the
-    boilerplate cut is a per-source threshold on the df grain."""
+
+    Round-13 exact-collapse (isolated-cache sweep: 77.8 s cold at 100× —
+    the full-corpus distinct-shingle stage): a doc's DISTINCT shingle set
+    is a pure function of text, so shingles are exploded for ONE
+    representative per distinct text and the doc-frequency table is the
+    multiplicity-weighted sum df(source, g) = Σ_h mult(h, source) over
+    groups whose text contains g — each identical copy still votes
+    exactly once. Docs-per-source counts texts with ≥3 tokens (groups
+    with ≥1 shingle), matching the original filter. Oracle unchanged.
+    Scale shape: rep shingle explode is map-side over distinct content;
+    one (source, shingle) shuffle at group grain."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    sh = spark.sql(
+    grp = spark.sql(
         """
-        SELECT DISTINCT doc_id, source, g
-        FROM (SELECT doc_id, source, split(text, ' ') AS tk FROM documents)
+        SELECT md5(text) AS h, source, min(doc_id) AS rep_doc,
+               count(*) AS mult
+        FROM documents GROUP BY md5(text), source
+        """
+    ).cache()
+    grp.createOrReplaceTempView("__boiler_grp")
+    shr = spark.sql(
+        """
+        SELECT DISTINCT r0.h, g
+        FROM (SELECT h, min(rep_doc) AS rep_doc
+              FROM __boiler_grp GROUP BY h) r0
+        JOIN (SELECT doc_id, split(text, ' ') AS tk FROM documents) d
+          ON d.doc_id = r0.rep_doc
         LATERAL VIEW explode(transform(sequence(0, size(tk) - 3),
             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
         WHERE size(tk) >= 3
         """
     ).cache()
-    sh.createOrReplaceTempView("__boiler_sh")
+    shr.createOrReplaceTempView("__boiler_shr")
+    _materialize_cache(spark, grp, shr)
     return spark.sql(
         """
         SELECT nd.source, nd.docs AS n_docs,
@@ -6423,10 +6547,13 @@ def llm_template_boilerplate_detect(
                round(sum(CASE WHEN df.df * 2 >= nd.docs
                               THEN df.df ELSE 0 END)
                      * 1e0 / sum(df.df), 6) AS boilerplate_share
-        FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS df
-              FROM __boiler_sh GROUP BY source, g) df
-        JOIN (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
-              FROM __boiler_sh GROUP BY source) nd
+        FROM (SELECT g.source, s.g, CAST(sum(g.mult) AS BIGINT) AS df
+              FROM __boiler_shr s JOIN __boiler_grp g ON g.h = s.h
+              GROUP BY g.source, s.g) df
+        JOIN (SELECT g.source, CAST(sum(g.mult) AS BIGINT) AS docs
+              FROM __boiler_grp g
+              WHERE g.h IN (SELECT DISTINCT h FROM __boiler_shr)
+              GROUP BY g.source) nd
           ON df.source = nd.source
         GROUP BY nd.source, nd.docs
         ORDER BY nd.source

@@ -382,38 +382,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join accelerated by BINNING — the scale path for |a.v - b.v| <= w
     predicates. A naive range join degenerates to a per-key cartesian
-    product; instead each left row is exploded into its bin and both
+    product; instead values are exploded into their bin and both
     neighbors (3 rows), the join runs as a pure EQUI join on
     (event_type, bin), and the exact band predicate filters residually.
-    Work drops from O(n²) per key to O(n · density per bin); bin width =
-    band width guarantees no candidate is missed. Same trick DuckDB/Trino
-    apply internally for range joins (IEJoin-family); Spark's SQL planner
-    has no native range join, so the rewrite is explicit here."""
+    Bin width = band width guarantees no candidate is missed. Same trick
+    DuckDB/Trino apply internally for range joins (IEJoin-family);
+    Spark's SQL planner has no native range join, so the rewrite is
+    explicit here.
+
+    Round-13 sufficient-statistics form (sweep find: 88.5 s cold at 100×
+    — per-bin row density grows linearly with the corpus, so id-pair
+    candidates grew quadratically): the op COUNTS band pairs, and the
+    count is exact arithmetic over (event_type, value) multiplicities —
+    cross-value pairs contribute m1·m2 (every id-ordered pair between the
+    two groups, counted once under a_val < b_val), equal-value pairs
+    contribute m·(m-1)/2 (ids are unique). The banded self-join now runs
+    over DISTINCT values, whose density per bin does not grow under
+    duplicate-heavy amplification; bit-identical doubles group exactly
+    and b_val - a_val <= w is the same subtraction the oracle's
+    abs() computes. Oracle unchanged (brute-force id-pair self-join)."""
     w = 0.1
-    e = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    a = e.select(
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    cnt = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("m"))
+    binz = F.floor(F.col("value") / w)
+    a = cnt.select(
         "event_type",
-        F.col("event_id").alias("a_id"),
         F.col("value").alias("a_val"),
-        F.explode(
-            F.array(
-                F.floor(F.col("value") / w) - 1,
-                F.floor(F.col("value") / w),
-                F.floor(F.col("value") / w) + 1,
-            )
-        ).alias("bin"),
+        F.col("m").alias("a_m"),
+        F.explode(F.array(binz - 1, binz, binz + 1)).alias("bin"),
     )
-    b = t(spark, sf_dir, "events").select(
+    b = t(spark, sf_dir, "events").groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("b_m")
+    ).select(
         "event_type",
-        F.col("event_id").alias("b_id"),
         F.col("value").alias("b_val"),
-        F.floor(F.col("value") / w).alias("bin"),
+        "b_m",
+        binz.alias("bin"),
+    )
+    cross_pairs = (
+        a.join(b, ["event_type", "bin"])
+        .where(
+            (F.col("a_val") < F.col("b_val"))
+            & (F.col("b_val") - F.col("a_val") <= w)
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.col("a_m") * F.col("b_m")).alias("pc"))
+    )
+    equal_pairs = cnt.groupBy("event_type").agg(
+        F.sum(F.expr("m * (m - 1) DIV 2")).alias("pc")
     )
     return (
-        a.join(b, ["event_type", "bin"])
-        .where((F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_val") - F.col("b_val")) <= w))
+        cross_pairs.unionAll(equal_pairs)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .agg(F.sum("pc").cast("bigint").alias("pair_cnt"))
     )
 
 

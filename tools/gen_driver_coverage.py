@@ -99,6 +99,14 @@ REPROOF_REWRITTEN: dict[str, int] = {
     # already proves the new code; the entry records the rewrite for audit.
     "join_theta_range": 13,
     "llm_dsir_importance": 13,
+    # round-13 wave 2 (isolated-cache sweep cold-cost tier): the remaining
+    # full-corpus text explodes collapsed to distinct-content grain, and
+    # the binned range join moved to (type, value)-multiplicity counting.
+    "join_range_binned": 13,
+    "llm_repetition_loop_detect": 13,
+    "llm_perplexity_filter": 13,
+    "llm_template_boilerplate_detect": 13,
+    "llm_ngram_novelty": 13,
 }
 
 
