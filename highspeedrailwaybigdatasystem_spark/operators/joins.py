@@ -400,9 +400,21 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     over DISTINCT values, whose density per bin does not grow under
     duplicate-heavy amplification; bit-identical doubles group exactly
     and b_val - a_val <= w is the same subtraction the oracle's
-    abs() computes. Oracle unchanged (brute-force id-pair self-join)."""
+    abs() computes. Oracle unchanged (brute-force id-pair self-join).
+
+    Edge parity with the oracle's INNER self-join (r13 ADVICE): NULL
+    values are filtered up front (abs(NULL - x) <= w is never true, so
+    the oracle never pairs them — without the filter the equal-value arm
+    would count a NULL group's m·(m-1)/2), and groups whose total pair
+    count is zero are dropped (the oracle emits no row for a type with no
+    qualifying pair; the generated corpora never hit either edge, but the
+    op must not depend on that)."""
     w = 0.1
-    e = t(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
     cnt = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("m"))
     binz = F.floor(F.col("value") / w)
     a = cnt.select(
@@ -411,12 +423,10 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("a_m"),
         F.explode(F.array(binz - 1, binz, binz + 1)).alias("bin"),
     )
-    b = t(spark, sf_dir, "events").groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).alias("b_m")
-    ).select(
+    b = cnt.select(
         "event_type",
         F.col("value").alias("b_val"),
-        "b_m",
+        F.col("m").alias("b_m"),
         binz.alias("bin"),
     )
     cross_pairs = (
@@ -435,6 +445,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_pairs.unionAll(equal_pairs)
         .groupBy("event_type")
         .agg(F.sum("pc").cast("bigint").alias("pair_cnt"))
+        .where(F.col("pair_cnt") > 0)
     )
 
 
@@ -698,10 +709,13 @@ def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # Row-count bound: grouped by o_orderpriority under an equality
-        # filter on it — at most ONE group row at any scale; asserted so
-        # the scoped-conf collect stays driver-bounded by construction.
+        # filter on it — at most ONE group row at any scale; the guard
+        # allows slack up to 4 (full o_orderpriority domain is 5) and is a
+        # RuntimeError, not assert, so `python -O` cannot strip the
+        # documented driver-boundedness check (r13 ADVICE).
         rows = out.collect()
-        assert len(rows) <= 4, f"scoped-conf collect grew: {len(rows)} rows"
+        if len(rows) > 4:
+            raise RuntimeError(f"scoped-conf collect grew: {len(rows)} rows")
         return spark.createDataFrame(rows, out.schema)
     finally:
         for k, v in prev.items():

@@ -122,10 +122,12 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returning the lazy frame would re-optimize (and re-execute) under
         # the caller's restored confs, silently dropping the pushdown.
         # Row-count bound: exactly 2 rows at ANY scale (one global agg per
-        # audited table) — asserted so a future edit that widens the audit
-        # grain can't silently grow a driver-side collect.
+        # audited table) — guarded (with slack to 4) so a future edit that
+        # widens the audit grain can't silently grow a driver-side collect.
+        # RuntimeError, not assert: `python -O` must not strip it.
         rows = out.collect()
-        assert len(rows) <= 4, f"scoped-conf collect grew: {len(rows)} rows"
+        if len(rows) > 4:
+            raise RuntimeError(f"scoped-conf collect grew: {len(rows)} rows")
         return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
@@ -202,8 +204,11 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # AQE finalizes the plan on execution
         plan = out._jdf.queryExecution().executedPlan().toString()
         # node prints as "Scan In-memory table"/"InMemoryRelation" (the
-        # physical toString never says InMemoryTableScan — ADVICE r3 lesson)
-        assert "InMemoryRelation" in plan, plan[:500]
+        # physical toString never says InMemoryTableScan — ADVICE r3 lesson).
+        # RuntimeError, not assert: the cache-hit evidence IS the op's
+        # point, and `python -O` must not strip it.
+        if "InMemoryRelation" not in plan:
+            raise RuntimeError(f"cache not in executed plan: {plan[:500]}")
         return spark.createDataFrame(rows, out.schema)
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS __hot_orders")

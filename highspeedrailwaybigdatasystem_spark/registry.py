@@ -167,26 +167,26 @@ def _ensure_loaded() -> None:
 #: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ROUND 13 window — generated by tools/rotate_window.py:
-    # 2 never-gated (pool was 2) + 48 re-proof slots
+    # ROUND 14 window — generated by tools/rotate_window.py:
+    # 0 never-gated (pool was 0) + 50 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    "agg_hll_sketch", "llm_ann_lsh", "agg_approx_distinct",
-    "agg_weighted_median", "agg_collect", "agg_count_distinct",
-    "agg_cube", "agg_distinct_rows", "agg_filter_clause",
-    "agg_grouping_sets", "agg_having", "agg_minmax_by",
-    "agg_mode_median", "agg_percentile", "agg_pivot",
-    "agg_rollup", "agg_scan_group", "agg_stats",
-    "agg_unpivot", "filt_hash_sample", "filt_in_list",
-    "filt_like", "filt_null_safe", "filt_pred_and_or",
-    "join_anti", "join_bloom_filter", "join_broadcast",
-    "join_cross", "join_full_outer", "join_left_outer",
-    "join_multiway", "join_null_aware_anti", "join_range_binned",
-    "join_semi", "join_shuffle", "join_skew_salted",
-    "join_theta_range", "null_handling", "proj_case_when",
-    "proj_expr_arith", "scan_agg_pushdown", "scan_full",
-    "scan_metadata_cols", "scan_partition_prune", "scan_project",
-    "sql_exists_subquery", "sql_group_by_all", "sql_pivot",
-    "sql_recursive_cte", "sql_scalar_subquery",
+    "join_range_binned", "llm_cdc_chunking", "llm_curation_funnel",
+    "llm_data_scaling_curve", "llm_dsir_importance", "llm_ngram_novelty",
+    "llm_perplexity_filter", "llm_repetition_loop_detect", "llm_shingle_size_sensitivity",
+    "llm_template_boilerplate_detect", "ml_naive_bayes_langid", "agg_bitmap_distinct",
+    "agg_boolean", "agg_histogram", "agg_listagg",
+    "agg_regression", "arr_basic", "arr_explode",
+    "arr_higher_order", "dt_arith", "dt_extract",
+    "join_asof", "join_asof_nearest", "join_self_interval",
+    "json_extract", "math_funcs", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union_all", "set_union_distinct", "sort_multikey",
+    "sql_distribute_sort_by", "sql_hints", "str_funcs",
+    "str_split_regex", "stream_sliding", "stream_stream_join",
+    "stream_tumbling", "topk_global", "topk_per_group",
+    "ts_gapfill", "ts_hourly_rollup", "ts_interpolate_linear",
+    "ts_ohlc", "ts_retention_cohort", "ts_sessionize",
+    "win_first_last", "win_ignore_nulls",
 )
 # --- WINDOW END ---
 

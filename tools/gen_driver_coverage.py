@@ -64,50 +64,76 @@ _HISTORY_JSON = Path(__file__).resolve().parent / "gate_history.json"
 # keep stale entries here for the audit trail; they cost nothing.
 # ---------------------------------------------------------------------------
 
-REPROOF_REWRITTEN: dict[str, int] = {
-    # round-11 scale rewrites (quadratic-tier fixes; r10 verdict weak list)
-    "llm_minhash_banding": 11,
-    "llm_near_dedup_minhash": 11,
-    "llm_knn_all": 11,
-    "llm_sim_blocked": 11,
-    "llm_ann_recall_eval": 11,
-    "llm_dedup_components": 11,
-    "llm_sim_pairs_label": 11,
-    "stream_session": 11,
-    "geo_grid_join": 11,
-    "ml_naive_bayes_langid": 11,
-    "llm_data_scaling_curve": 11,
-    "llm_containment_dedup": 11,
-    "llm_embed_near_dup": 11,
+_REPROOF_PAIRS: list[tuple[str, int]] = [
+    # round-11 scale rewrites (quadratic-tier fixes; r10 verdict weak list).
+    # NOTE: an op rewritten AGAIN in a later round appears once, at its
+    # LATEST rewrite round — the ledger tracks "newest code never driver-
+    # gated", and only the most recent rewrite matters for that.
+    # (llm_data_scaling_curve and ml_naive_bayes_langid were r11 rewrites
+    # re-rewritten in r13; they are listed under 13 below.)
+    ("llm_minhash_banding", 11),
+    ("llm_near_dedup_minhash", 11),
+    ("llm_knn_all", 11),
+    ("llm_sim_blocked", 11),
+    ("llm_ann_recall_eval", 11),
+    ("llm_dedup_components", 11),
+    ("llm_sim_pairs_label", 11),
+    ("stream_session", 11),
+    ("geo_grid_join", 11),
+    ("llm_containment_dedup", 11),
+    ("llm_embed_near_dup", 11),
     # round-12 sweep find: rewritten to (flag, value) sufficient statistics
     # after the 100x window-buffer heap OOM; its r4 green proves the old
     # per-row-window code
-    "agg_weighted_median": 12,
+    ("agg_weighted_median", 12),
     # round-13 slow-tier rewrites (r12 verdict tasks #3/#4): exact-collapse-
     # first on the train/chunk side (scaling curve, NB language-ID, CDC
     # chunking, curation funnel) and per-arm staged shingle caches (shingle
     # sensitivity). Oracles unchanged; plans rewritten.
-    "llm_data_scaling_curve": 13,
-    "ml_naive_bayes_langid": 13,
-    "llm_cdc_chunking": 13,
-    "llm_curation_funnel": 13,
-    "llm_shingle_size_sensitivity": 13,
+    ("llm_data_scaling_curve", 13),
+    ("ml_naive_bayes_langid", 13),
+    ("llm_cdc_chunking", 13),
+    ("llm_curation_funnel", 13),
+    ("llm_shingle_size_sensitivity", 13),
     # round-13 sweep finds: theta-range probe sliver bounded by a fixed key
     # cap (was quadratic in SF); DSIR collapsed to distinct-content grain
     # (was a full-corpus token explode + broadcast OOM under sweep memory
     # pressure). join_theta_range sits IN the r13 window, so its r13 gate
     # already proves the new code; the entry records the rewrite for audit.
-    "join_theta_range": 13,
-    "llm_dsir_importance": 13,
+    ("join_theta_range", 13),
+    ("llm_dsir_importance", 13),
     # round-13 wave 2 (isolated-cache sweep cold-cost tier): the remaining
     # full-corpus text explodes collapsed to distinct-content grain, and
     # the binned range join moved to (type, value)-multiplicity counting.
-    "join_range_binned": 13,
-    "llm_repetition_loop_detect": 13,
-    "llm_perplexity_filter": 13,
-    "llm_template_boilerplate_detect": 13,
-    "llm_ngram_novelty": 13,
-}
+    ("join_range_binned", 13),
+    ("llm_repetition_loop_detect", 13),
+    ("llm_perplexity_filter", 13),
+    ("llm_template_boilerplate_detect", 13),
+    ("llm_ngram_novelty", 13),
+    # round-14 round-START rewrite (r13 ADVICE): join_range_binned gained
+    # NULL-value and zero-pair-group edge guards matching the brute-force
+    # oracle's inner-join semantics. Landed BEFORE the r14 rotation pinned
+    # the window, so it is eligible for the r14 gate itself (see
+    # plan_window's ``<= for_round`` rule).
+    ("join_range_binned", 14),
+]
+
+# Built from pairs with an explicit uniqueness check: a duplicate literal
+# key in a dict display is silently last-wins (r13 verdict "what's wrong"
+# #3 — two r11 entries were shadowed by their r13 re-rewrites with no
+# signal). Listing an op twice is now a hard import error EXCEPT the one
+# legitimate shape: strictly increasing rounds (re-rewritten later), where
+# the latest round wins loudly rather than silently.
+REPROOF_REWRITTEN: dict[str, int] = {}
+for _op, _rnd in _REPROOF_PAIRS:
+    if _op in REPROOF_REWRITTEN and _rnd <= REPROOF_REWRITTEN[_op]:
+        raise AssertionError(
+            f"REPROOF_REWRITTEN duplicate for {_op!r}: round {_rnd} does "
+            f"not supersede recorded round {REPROOF_REWRITTEN[_op]} — "
+            "remove the stale pair."
+        )
+    REPROOF_REWRITTEN[_op] = _rnd
+del _op, _rnd
 
 
 #: Verdict values that count as a green gate. "green-attested" is a green
@@ -147,10 +173,15 @@ def plan_window(
     """The next gate window, given a frozen history — THE rotation policy.
 
     ``for_round`` (default ``max(hist) + 1``): the round this window will
-    gate in. A ``REPROOF_REWRITTEN`` entry recorded DURING round N (its
-    value is N) is first eligible for round N+1's window — the round-N
-    window was pinned at round start and may already be gated, so a
-    mid-round ledger amendment must not retroactively invalidate it.
+    gate in. A ``REPROOF_REWRITTEN`` entry with value N is eligible for
+    round N's OWN window (``<= for_round``): the driver gates the code as
+    it stands at round END, so a rewrite landed at round start — before
+    the rotation pins the tuple — is proven by that same round's gate
+    (r14 precedent: join_range_binned's edge guards). Entries amended
+    mid-round, AFTER the pin, cannot retroactively enter the live tuple:
+    a real rotation only runs once per round (rotate_window refuses to
+    rewrite when there is no new CORRECTNESS artifact to freeze), so such
+    entries take effect at round N+1's rotation.
 
     Slots are spent in strict priority order (steady-state policy, r11
     verdict task #3 — the generator keeps emitting windows forever instead
@@ -182,7 +213,7 @@ def plan_window(
     window += sorted(
         (n for n in oracle_backed
          if n in lg
-         and lg[n] < REPROOF_REWRITTEN.get(n, 0) < for_round),
+         and lg[n] < REPROOF_REWRITTEN.get(n, 0) <= for_round),
         key=lambda n: (-REPROOF_REWRITTEN[n], n),
     )
     attested = latest_green_attested(hist)
