@@ -51,6 +51,48 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RECORDED_BASELINE_SEC = 3.94
 STEADY_STATE_SEC = 3.0
 
+#: Contention guard (r13 verdict task #2): the r13 artifact shipped at
+#: loadavg ~6 and every query inflated 1.1-1.9x uniformly — host load
+#: masquerading as a plan regression. The single-threaded fresh-subprocess
+#: DuckDB control reads ~3.05 s +/- 1% on an idle host (pinned r12); when
+#: an attempt's control deviates more than CONTROL_TOLERANCE from that
+#: signature, the measurement is re-run (up to MAX_ATTEMPTS), and if no
+#: clean attempt lands, the best attempt ships FLAGGED ``"contended": true``
+#: so the artifact can never silently present load as engine speed.
+IDLE_CONTROL_SEC = 3.05
+CONTROL_TOLERANCE = 0.20
+MAX_ATTEMPTS = 3
+RETRY_SLEEP_SEC = 30.0
+
+#: Per-query pinned Spark baselines (r13 verdict task #7): best recorded
+#: artifact-round fresh-call numbers, so a single-query regression can't
+#: hide inside an in-gate total. Loaded from BASELINE_SPARK.json.
+BASELINE_SPARK_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_SPARK.json"
+)
+
+
+def contended(probe: dict) -> bool:
+    """True when the host probe says this attempt ran under contention:
+    the fixed-work single-threaded control deviated >20% from its pinned
+    idle signature. Loadavg is recorded for the reader but NOT gated on —
+    the bench's own 32-thread run legitimately elevates it, while the
+    control (measured after spark.stop()) isolates EXTERNAL load."""
+    c = probe["duckdb_control_sec"]
+    return abs(c - IDLE_CONTROL_SEC) / IDLE_CONTROL_SEC > CONTROL_TOLERANCE
+
+
+def per_query_ratios(timings: dict) -> dict | None:
+    """measured / pinned-baseline per headline query (sf0.1 only)."""
+    try:
+        with open(BASELINE_SPARK_PATH) as fh:
+            base = json.load(fh)["queries"]
+    except (OSError, KeyError, ValueError):
+        return None
+    return {
+        q: round(t / base[q], 4) for q, t in timings.items() if q in base
+    }
+
 #: bench name → queries() key (BASELINE.md names first, same query shapes)
 HEADLINE = {
     "q_scan_agg": "agg_scan_group",          # TPC-H Q1 shape
@@ -139,7 +181,8 @@ def time_steady_state(fn, spark, runs: int = 2) -> float:
     return best
 
 
-def main() -> None:
+def measure_once() -> tuple[dict, dict, dict]:
+    """One full measurement pass: (timings, steady, host_probe)."""
     # Shuffle partitions sized to the DATA, not the core count: at sf0.1
     # every shuffle is <20 MB, so 16 partitions (measured best of 8/16/64)
     # keeps scan/window parallelism without per-task scheduling overhead.
@@ -158,17 +201,45 @@ def main() -> None:
         timings[bench_name] = round(time_query(qs[qname], spark), 4)
         steady[bench_name] = round(time_steady_state(qs[qname], spark), 4)
 
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
     # probe AFTER spark.stop(): with the post-workload JVM still alive the
     # control read 4.8-13.7 s on an idle host (GC/cleaner threads contend
     # with it even from a subprocess); after stop it reads ~3.1-3.3 s,
     # within noise of the 3.05 s idle signature.
     spark.stop()
-    probe = host_probe()
+    return timings, steady, host_probe()
+
+
+def main() -> None:
+    # Contention-guarded measurement: retry under external load, and if
+    # every attempt is contended ship the FASTEST one flagged contended
+    # (fastest = least load-inflated; per-query mins across attempts would
+    # splice incomparable runs, so whole attempts are kept atomic).
+    attempts = []
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", MAX_ATTEMPTS))
+    for i in range(max_attempts):
+        timings, steady, probe = measure_once()
+        attempts.append((timings, steady, probe))
+        if not contended(probe):
+            break
+        if i < max_attempts - 1:
+            print(
+                f"bench: attempt {i + 1} contended "
+                f"(control {probe['duckdb_control_sec']:.2f}s vs idle "
+                f"{IDLE_CONTROL_SEC:.2f}s, loadavg {probe['loadavg']}); "
+                f"retrying in {RETRY_SLEEP_SEC:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(RETRY_SLEEP_SEC)
+    timings, steady, probe = min(
+        attempts, key=lambda a: sum(a[0].values())
+    )
+    is_contended = contended(probe)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
     total = round(sum(timings.values()), 4)
     # Load-corrected ratio (r9 verdict task #5): total / duckdb_control_sec.
     # The control is single-threaded fixed work, so its wall-clock scales
@@ -191,7 +262,26 @@ def main() -> None:
                 },
                 "sf": sf_val,
                 "host_probe": probe,
+                # contention verdict (r13 task #2): True means every
+                # retry ran under external load (control >20% off its
+                # idle signature) — treat `value` as an upper bound, not
+                # the round's engine speed.
+                "contended": is_contended,
+                "attempts": len(attempts),
+                # control / pinned idle signature: >1 quantifies how much
+                # slower the HOST is than the state the baselines were
+                # recorded in (1.0 = same host speed). Cross-round wall-
+                # clock comparisons should be read through this ratio.
+                "control_vs_idle": round(
+                    probe["duckdb_control_sec"] / IDLE_CONTROL_SEC, 4
+                ),
                 "bench_vs_control": round(total / probe["duckdb_control_sec"], 4),
+                # per-query ratios vs the pinned best-artifact baselines
+                # (r13 task #7) — a single-query regression is visible
+                # even when the total stays inside the gate
+                "per_query_vs_baseline": (
+                    per_query_ratios(timings) if sf_val == 0.1 else None
+                ),
                 # vs_* only meaningful at the default sf0.1 headline set
                 "vs_recorded_baseline": (
                     round(total / RECORDED_BASELINE_SEC, 4)

@@ -129,6 +129,13 @@ def plan_memo(fn: QueryFn) -> QueryFn:
             hit = _PLAN_MEMO[key] = fn(spark, sf_dir)
         return hit
 
+    # Structural marker (r13 ADVICE): tests detect memoization by THIS
+    # attribute, not by __module__ heuristics (functools.wraps copies
+    # __module__ from the wrapped op, so module-based detection never
+    # fires). bench.time_query's unwrap contract — every memoized op
+    # exposes __wrapped__ — is asserted against exactly the ops that
+    # carry this marker.
+    wrapper.__plan_memo__ = True
     return wrapper
 
 

@@ -67,16 +67,69 @@ def test_time_query_unwraps_plan_memo(spark):
 def test_registered_memo_ops_expose_wrapped():
     """Every plan_memo-wrapped registered op must expose __wrapped__ —
     the hook time_query relies on. A memoized op without it would be
-    silently timed in serving mode."""
+    silently timed in serving mode.
+
+    Detection is STRUCTURAL (r13 ADVICE): plan_memo stamps its wrapper
+    with ``__plan_memo__ = True``; the old ``__module__ == registry``
+    heuristic never fired because functools.wraps copies __module__ from
+    the wrapped op. The test also asserts the marker actually exists in
+    the registry's headline set — if a refactor dropped the stamp, the
+    loop would silently assert nothing again."""
     from highspeedrailwaybigdatasystem_spark import registry
 
     qs = registry.all_queries()
     bench = _load_bench()
-    for bench_name, qname in bench.HEADLINE.items():
-        fn = qs[qname]
-        if fn.__module__ == "highspeedrailwaybigdatasystem_spark.registry":
-            # wrapper defined inside plan_memo — must carry __wrapped__
-            assert hasattr(fn, "__wrapped__"), f"{qname}: memo without __wrapped__"
+    memoized = [
+        qname for qname in bench.HEADLINE.values()
+        if getattr(qs[qname], "__plan_memo__", False)
+    ]
+    assert memoized, (
+        "no headline op carries __plan_memo__ — either plan_memo lost its "
+        "marker stamp or the headline set lost all memoized ops; both make "
+        "this guard vacuous"
+    )
+    for qname in memoized:
+        assert hasattr(qs[qname], "__wrapped__"), (
+            f"{qname}: plan_memo-marked op without __wrapped__ — "
+            "time_query would time it in serving mode"
+        )
+
+
+def test_contention_guard_verdict():
+    """contended() must flag a control reading >20% off the pinned idle
+    signature in EITHER direction and accept one inside the band — the
+    pure predicate the retry loop and the artifact's `contended` flag are
+    built on (r13 verdict task #2: load must never masquerade as a plan
+    regression again)."""
+    bench = _load_bench()
+    idle = bench.IDLE_CONTROL_SEC
+    assert not bench.contended({"duckdb_control_sec": idle, "loadavg": [9, 9, 9]}), (
+        "loadavg must NOT gate: the bench's own 32-thread run elevates it"
+    )
+    assert not bench.contended({"duckdb_control_sec": idle * 1.19, "loadavg": [0, 0, 0]})
+    assert bench.contended({"duckdb_control_sec": idle * 1.25, "loadavg": [0, 0, 0]})
+    assert bench.contended({"duckdb_control_sec": idle * 0.70, "loadavg": [0, 0, 0]}), (
+        "a control FASTER than idle by >20% means the signature is stale "
+        "or the control changed — flag it, don't ship it as quiet"
+    )
+
+
+def test_per_query_baseline_pins():
+    """BASELINE_SPARK.json must pin a baseline for EVERY headline query
+    (a new headline op without a pin would silently drop out of the
+    per-query ratio table), and per_query_ratios must cover the full set
+    with sane positive ratios."""
+    bench = _load_bench()
+    with open(os.path.join(REPO, "BASELINE_SPARK.json")) as fh:
+        base = json.load(fh)
+    assert set(base["queries"]) == set(bench.HEADLINE), (
+        "BASELINE_SPARK.json queries drifted from bench.HEADLINE"
+    )
+    fake = {q: v * 1.5 for q, v in base["queries"].items()}
+    ratios = bench.per_query_ratios(fake)
+    assert set(ratios) == set(bench.HEADLINE)
+    for q, r in ratios.items():
+        assert abs(r - 1.5) < 0.01, f"{q}: ratio {r} != 1.5"
 
 
 def test_bench_artifact_carries_both_ratios():
@@ -91,6 +144,9 @@ def test_bench_artifact_carries_both_ratios():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # one attempt: the contention retry loop (30 s sleeps + full
+        # re-measures) belongs to real artifact runs, not this smoke
+        SPARK_GRAFT_BENCH_ATTEMPTS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -110,7 +166,14 @@ def test_bench_artifact_carries_both_ratios():
         "bench_vs_control",
         "vs_recorded_baseline",
         "vs_steady_state",
+        "contended",
+        "attempts",
+        "per_query_vs_baseline",
     ):
         assert key in art, f"BENCH artifact missing {key}"
     assert art["host_probe"]["duckdb_control_sec"] > 0
     assert "note" in art["steady_state"]
+    assert isinstance(art["contended"], bool)
+    assert art["attempts"] >= 1
+    # off the graded sf0.1 set the per-query ratio table is None by design
+    assert art["per_query_vs_baseline"] is None
