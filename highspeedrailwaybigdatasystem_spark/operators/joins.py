@@ -564,9 +564,15 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
         (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
     ).toDF("id", "lat", "lon")
+    # ANTIMERIDIAN WRAP (round 14 — found by geo_grid_topk's sf0.1
+    # mirror): the haversine pairs points across lon = ±180 (sin(Δ/2) is
+    # periodic), so the lon cell index wraps through the seam via pmod —
+    # without it, cells -360 and 359 are geographically adjacent but
+    # never joined, and cross-seam pairs (2 exist at sf0.1) are dropped.
+    # Latitude needs no wrap (the synthetic band is pole-free).
     cell = lambda df: df.withColumn(
         "cy", F.floor(F.col("lat") * 2).cast("int")
-    ).withColumn("cx", F.floor(F.col("lon") * 2).cast("int"))
+    ).withColumn("cx", F.pmod(F.floor(F.col("lon") * 2), F.lit(720)).cast("int"))
     build = cell(pts).toDF("b_id", "b_lat", "b_lon", "cy", "cx")
     probe = (
         cell(pts)
@@ -577,7 +583,8 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(-1, 1), dy ->"
-                    " transform(sequence(-1, 1), dx -> struct(cy + dy AS cy, cx + dx AS cx))))"
+                    " transform(sequence(-1, 1), dx -> struct(cy + dy AS cy,"
+                    " pmod(cx + dx, 720) AS cx))))"
                 )
             ).alias("nc"),
         )
@@ -615,6 +622,179 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist_km", 3).alias("dist_km"),
         )
     )
+
+
+@register(
+    "geo_grid_topk",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT)
+                % 2000) / 100.0 - 10 AS lat,
+               (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4) AS INT)
+                % 36000) / 100.0 - 180 AS lon
+        FROM customer),
+    pairs AS (
+        SELECT a.id AS id, b.id AS neighbor_id,
+               2 * 6371.0 * asin(sqrt(
+                   sin(radians((b.lat - a.lat) / 2)) ^ 2
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * sin(radians((b.lon - a.lon) / 2)) ^ 2)) AS d
+        FROM pts a JOIN pts b ON a.id <> b.id),
+    ranked AS (
+        SELECT id, neighbor_id, d,
+               row_number() OVER (PARTITION BY id ORDER BY d, neighbor_id) AS rk
+        FROM pairs WHERE d < 50)
+    SELECT id, neighbor_id,
+           round(d, 3) AS dist_km,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def geo_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-BOUNDED sibling of geo_grid_join (r13 verdict task #6): each
+    point's k=3 nearest neighbors within the 50 km radius, instead of the
+    full within-radius pair dump. geo_grid_join's plan is grid-linear but
+    its OUTPUT grows with density-squared by geometry (measured 1.56
+    scaling exponent at 1000x — all cardinality, no plan defect); at
+    100 TB a full pair dump is itself the scale hazard. Capping per-point
+    output at k bounds the result at n*k rows — flat in density — which
+    is the form a production pipeline actually consumes (nearest-depot
+    lookup, neighbor-list features for GNNs, dedup candidate shortlists).
+
+    Plan shape — DENSITY-ADAPTIVE grid tier with exact escalation (the
+    thing that makes k-NN linear where the fixed 0.5° grid is not): a
+    fixed-radius grid feeds every within-50 km pair into the per-point
+    window, so its window INPUT is the same density²-growing pair set as
+    geo_grid_join's output (measured: 22× wall-clock at 10× points).
+    Instead the cell edge is chosen from the corpus density so a 3×3
+    neighborhood holds ~constant expected points (the r-tree/k-d page
+    sizing rule): the fine pass resolves every point whose k=3rd
+    neighbor lies inside the tier's GUARANTEED-complete radius
+    (cell_deg × 109 km — any point within that distance differs by
+    < cell_deg in both lat and lon at |lat| ≤ 10, so it cannot escape
+    the 3×3 neighborhood), and only the residual (points with < k
+    neighbors in the fine radius — a density-tail minority) escalates
+    to the coarse 0.5° / 50 km grid. Work: n·O(k) fine candidates +
+    |residual|·O(density) — linear in points at any density, and the
+    tier degrades to the single-pass 0.5° plan on sparse corpora.
+    One driver-side count() sizes the tier (a bounded scalar, same
+    pattern as the graph-loop convergence reads).
+
+    Both directions survive candidate generation (id <> b_id, no a<b
+    cut: a neighbor list is per-endpoint); one hash-partition window
+    (row_number over dist, neighbor-id tiebreak) per point prunes to k.
+    Rank ties are impossible in the generated corpus (md5-derived
+    doubles), but the (d, neighbor_id) sort key makes the result
+    deterministic under ANY corpus — and tier choice NEVER changes the
+    result, only the plan. Distances computed identically to the
+    oracle's brute force (same md5-int inputs, same double ops);
+    round(,3) applied to OUTPUT only, never the sort key."""
+    K = 3
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
+    ).toDF("id", "lat", "lon")
+
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians((F.col("b_lat") - F.col("lat")) / 2)), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("b_lat"))
+                * F.pow(F.sin(F.radians((F.col("b_lon") - F.col("lon")) / 2)), 2)
+            )
+        )
+    )
+
+    def ranked_within(probe_pts: DataFrame, cell_deg: float, radius_km: float) -> DataFrame:
+        """id → (neighbor_id, d, rk, cnt) for neighbors within radius_km,
+        candidates via a cell_deg grid 3×3 equi-join. Complete iff
+        radius_km ≤ cell_deg × 109 (the guaranteed-coverage bound)."""
+        inv = 1.0 / cell_deg
+        ncx = int(round(360 * inv))
+        # ANTIMERIDIAN WRAP (found by the sf0.1 mirror, round 14): the
+        # haversine pairs points across lon = ±180 (sin(Δ/2) is periodic),
+        # so the lon cell index must wrap too — pmod folds cx into
+        # [0, ncx) and the probe's cx±1 neighborhood wraps through the
+        # seam. Latitude needs no wrap (the synthetic band is pole-free).
+        cell = lambda df: df.withColumn(
+            "cy", F.floor(F.col("lat") * inv).cast("int")
+        ).withColumn(
+            "cx", F.pmod(F.floor(F.col("lon") * inv), F.lit(ncx)).cast("int")
+        )
+        build = cell(pts).toDF("b_id", "b_lat", "b_lon", "cy", "cx")
+        probe = (
+            cell(probe_pts)
+            .select(
+                "id",
+                "lat",
+                "lon",
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(-1, 1), dy ->"
+                        " transform(sequence(-1, 1), dx -> struct(cy + dy AS cy,"
+                        f" pmod(cx + dx, {ncx}) AS cx))))"
+                    )
+                ).alias("nc"),
+            )
+            .select("id", "lat", "lon", F.col("nc.cy").alias("cy"), F.col("nc.cx").alias("cx"))
+        )
+        # shuffle_hash for the same reason as geo_grid_join: stats would
+        # broadcast the corpus-scaled build side and inherit the scan's
+        # few partitions; the cell shuffle spreads per-cell work and lets
+        # AQE split hot cells.
+        cand = probe.join(build.hint("shuffle_hash"), ["cy", "cx"]).where(
+            F.col("id") != F.col("b_id")
+        )
+        w = Window.partitionBy("id").orderBy("d", "b_id")
+        return (
+            cand.withColumn("d", dist)
+            .where(F.col("d") < radius_km)
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        )
+
+    out_cols = lambda df: df.where(F.col("rk") <= K).select(
+        "id",
+        F.col("b_id").alias("neighbor_id"),
+        F.round("d", 3).alias("dist_km"),
+        "rk",
+    )
+
+    # Tier selection: smallest cell whose guaranteed radius still holds
+    # ≥ 4k expected neighbors (margin keeps the escalation residual a
+    # tail, not the norm). Synthetic band is lat ∈ [-10, 10), lon
+    # ∈ [-180, 180) by construction → area is a compile-time constant.
+    n_pts = pts.count()  # driver-bounded scalar: one long
+    area_km2 = (20 * 111.19) * (360 * 110.6)
+    density = n_pts / area_km2
+    import math as _math
+
+    r_need = _math.sqrt((4 * K) / (_math.pi * density)) if density > 0 else 1e9
+    cell_deg = 0.5
+    for tier in (0.25, 0.125, 0.0625, 0.03125):
+        if tier * 109.0 >= r_need and tier * 109.0 < 50.0:
+            cell_deg = tier
+    if cell_deg == 0.5:
+        # sparse corpus: the coarse grid's guaranteed radius (54.5 km)
+        # already covers the full 50 km predicate — single pass.
+        return out_cols(ranked_within(pts, 0.5, 50.0))
+
+    fine_r = min(cell_deg * 109.0, 50.0)
+    fine = ranked_within(pts, cell_deg, fine_r)
+    resolved = out_cols(fine.where(F.col("cnt") >= K))
+    # residual: points with < k neighbors inside the fine radius — their
+    # k-th neighbor may lie beyond it, so re-rank them against the FULL
+    # 50 km grid. Anti-join keeps it distributed (no id collect).
+    resolved_ids = fine.where(F.col("cnt") >= K).select("id").distinct()
+    residual_pts = pts.join(resolved_ids, "id", "left_anti")
+    escalated = out_cols(ranked_within(residual_pts, 0.5, 50.0))
+    return resolved.unionAll(escalated)
 
 
 @register(

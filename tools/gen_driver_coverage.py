@@ -110,12 +110,17 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     ("llm_perplexity_filter", 13),
     ("llm_template_boilerplate_detect", 13),
     ("llm_ngram_novelty", 13),
-    # round-14 round-START rewrite (r13 ADVICE): join_range_binned gained
-    # NULL-value and zero-pair-group edge guards matching the brute-force
-    # oracle's inner-join semantics. Landed BEFORE the r14 rotation pinned
-    # the window, so it is eligible for the r14 gate itself (see
-    # plan_window's ``<= for_round`` rule).
+    # round-14 round-START rewrites, all landed BEFORE the r14 rotation
+    # pinned the window, so eligible for the r14 gate itself (see
+    # plan_window's ``<= for_round`` rule):
+    # - join_range_binned: NULL-value and zero-pair-group edge guards
+    #   matching the brute-force oracle's inner-join semantics (r13 ADVICE)
+    # - geo_grid_join: ANTIMERIDIAN cell wrap (pmod on the lon cell index)
+    #   — found by the new geo_grid_topk's sf0.1 mirror; the r13 green ran
+    #   at sf0.01 where no cross-seam pair exists, so the fixed code has
+    #   never been driver-gated on a corpus that exercises the seam.
     ("join_range_binned", 14),
+    ("geo_grid_join", 14),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
