@@ -1439,9 +1439,11 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_disc(delta, 0.05) AS var95
       FROM deltas WHERE delta IS NOT NULL GROUP BY event_type)
     SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n_days,
-           round(CAST(max(c.var95) AS DOUBLE) / 100, 2) AS var95,
-           round(CAST(avg(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
-                      AS DOUBLE) / 100, 2) AS expected_shortfall
+           CAST(max(c.var95) AS DOUBLE) / 100 AS var95,
+           CAST(floor((2 * sum(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
+                       + count(CASE WHEN d2.delta <= c.var95 THEN 1 END))
+                      / (2e0 * count(CASE WHEN d2.delta <= c.var95 THEN 1 END)))
+                AS BIGINT) / 1e2 AS expected_shortfall
     FROM deltas d2 JOIN cut c ON d2.event_type = c.event_type
     WHERE d2.delta IS NOT NULL
     GROUP BY d2.event_type
@@ -1455,7 +1457,16 @@ def ts_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     example of the cutpoint-join pattern: the quantile aggregates to a
     |series|-row table that broadcasts back for the conditional tail
     mean, so the second pass stays map-side over the DAILY grain. The
-    quantile sketch runs in its exactness regime (Spark side)."""
+    quantile sketch runs in its exactness regime (Spark side).
+
+    Cent quantization is done in EXACT INTEGER space (round 14 — found
+    by the first full-surface sf0.1 mirror): the tail mean can land
+    exactly on a half-cent (sf0.1 signup tail: avg of 2 deltas =
+    -461410.5 cents), where round(avg/100, 2) is precisely the
+    Spark-BigDecimal-vs-DuckDB-scaled-double divergence SURVEY §5.3
+    bans. ES cents = floor((2s + c) / (2c)) — half-up-toward-+inf over
+    exact integers, identical on both engines; var95 needs only the
+    single exact division (it IS a cent-grid element)."""
     return sql_q(
         spark,
         sf_dir,
@@ -1474,9 +1485,11 @@ def ts_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  approx_percentile(delta, 0.05, 1000000) AS var95
           FROM deltas WHERE delta IS NOT NULL GROUP BY event_type)
         SELECT d2.event_type, CAST(count(*) AS BIGINT) AS n_days,
-               round(CAST(max(c.var95) AS DOUBLE) / 100, 2) AS var95,
-               round(CAST(avg(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
-                          AS DOUBLE) / 100, 2) AS expected_shortfall
+               CAST(max(c.var95) AS DOUBLE) / 100 AS var95,
+               CAST(floor((2 * sum(CASE WHEN d2.delta <= c.var95 THEN d2.delta END)
+                           + count(CASE WHEN d2.delta <= c.var95 THEN 1 END))
+                          / (2e0 * count(CASE WHEN d2.delta <= c.var95 THEN 1 END)))
+                    AS BIGINT) / 1e2 AS expected_shortfall
         FROM deltas d2 JOIN cut c ON d2.event_type = c.event_type
         WHERE d2.delta IS NOT NULL
         GROUP BY d2.event_type

@@ -845,17 +845,30 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q11 — important stock identification (inventory value from lineitems)
 # --------------------------------------------------------------------------
-_Q11_SQL = """
+#: Revenue summed as EXACT integer ten-thousandths (cents × cents): both
+#: factors are 2-decimal by generation, so round(×100) recovers exact
+#: integers and the sum is order-independent int64 arithmetic — a double
+#: sum's last ulp differs between engines' accumulation orders, and at
+#: sf0.1 one group landed close enough to a half-cent for round(,2) to
+#: split (220444.87 vs .88 — found by the round-14 full sf0.1 mirror).
+#: The final cent value is floor((s + 5000) / 10000) over exact integers
+#: (half-up; revenue is positive), then ONE exact division for display.
+_Q11_REV = (
+    "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))"
+)
+
+_Q11_SQL = f"""
 SELECT l_partkey AS partkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+       CAST(floor(({_Q11_REV} + 5000) / 1e4) AS BIGINT) / 1e2 AS part_value
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON n_nationkey = s_nationkey
 WHERE n_name = 'NATION_3'
 GROUP BY l_partkey
-HAVING sum(l_extendedprice * (1 - l_discount)) >
+HAVING {_Q11_REV} >
        (SELECT 2e0 / count(DISTINCT l_partkey)
-               * sum(l_extendedprice * (1 - l_discount))
+               * {_Q11_REV}
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey

@@ -121,6 +121,15 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     #   never been driver-gated on a corpus that exercises the seam.
     ("join_range_binned", 14),
     ("geo_grid_join", 14),
+    # round-14 sf0.1 full-mirror finds (the first full-surface drive at
+    # sf0.1; both are §5.3 round()-after-division hazards that sf0.01
+    # data never materialized): tpch_q11 moved to exact integer
+    # ten-thousandths revenue sums (a double sum's last ulp split a cent
+    # at 220444.875); ts_value_at_risk quantizes expected-shortfall cents
+    # as floor((2s+c)/2c) over exact integers (tail mean landed exactly
+    # on a half-cent). Landed before the r14 pin → r14-gate eligible.
+    ("tpch_q11", 14),
+    ("ts_value_at_risk", 14),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
