@@ -2341,7 +2341,11 @@ def _bloom_dedup_impl(spark: SparkSession, sf_dir: str, m_bits: int) -> DataFram
 @register(
     "llm_chunk_overlap_dedup",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps USING (doc_id)),
     chunk AS (
       SELECT DISTINCT doc_id,
              md5(array_to_string(tk[i:i+19], ' ')) AS ch
@@ -2361,13 +2365,32 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages MinHash's whole-document Jaccard dilutes away. Chunks are
     md5'd (20-token string -> 32 bytes) and pairs form ONLY inside
     equal-hash buckets — a hash-partitioned equi-join, linear in corpus
-    size, never all-pairs. 100 TB skew note: chunks shared by thousands of
-    docs (licence headers, navigation boilerplate) make quadratic buckets;
-    production inserts a doc-frequency cap on chunks (drop ch with
-    count > N as "stop-chunks") before the self-join — omitted here so the
-    oracle stays the exact pair set."""
+    size, never all-pairs.
+
+    EXACT collapse first (round 14 — 1000× probe filled 58 GB of local
+    shuffle spill and died on disk): pairs form over one representative
+    per DISTINCT text (min doc_id over md5(text)), same reps CTE on the
+    oracle side. Verbatim copies share every chunk bucket, so the
+    uncollapsed pair set grows copies² under duplicate amplification
+    (24 M pairs at 100×, ~2.4 B at 1000×) while carrying zero partial-dup
+    information — copy↔copy pairs are EXACT duplicates, llm_exact_dedup /
+    llm_dedup_survivorship's jurisdiction. Distinct-content grain is the
+    production semantics and keeps the pair population a function of
+    distinct content, not crawl duplication. 100 TB skew note: chunks
+    shared by thousands of DISTINCT docs (licence headers, navigation
+    boilerplate) still make quadratic buckets; production inserts a
+    doc-frequency cap on chunks (drop ch with count > N as "stop-chunks")
+    before the self-join — omitted here so the oracle stays the exact
+    pair set."""
+    reps = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     d = (
         t(spark, sf_dir, "documents")
+        .join(reps, "doc_id")
         .select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 20)
     )

@@ -130,6 +130,12 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     # on a half-cent). Landed before the r14 pin → r14-gate eligible.
     ("tpch_q11", 14),
     ("ts_value_at_risk", 14),
+    # round-14 1000×-probe find: the uncollapsed chunk self-join spilled
+    # >58 GB of shuffle at sf100 (pairs grow copies² under duplicate
+    # amplification) — moved to distinct-content representatives (reps
+    # CTE both sides), 38→7 s at 100×, 12.9 s at 1000×. Landed before the
+    # r14 pin → r14-gate eligible.
+    ("llm_chunk_overlap_dedup", 14),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
