@@ -713,11 +713,16 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered from shipped lineitems and "supply cost" is the minimum
     observed unit price ``min(l_extendedprice / l_quantity)`` per
     (part, supplier). The correlated min-cost subquery is decorrelated
-    into a per-part min aggregate (broadcast — |parts| rows) exactly like
-    q17's threshold join; region-filtered suppliers broadcast too, so the
-    only corpus-wide work is one lineitem aggregation. Equality on the
-    min double is engine-safe: both engines compare the identical IEEE
-    value produced by the same division."""
+    into a per-part min aggregate exactly like q17's threshold join.
+    The best-cost side is deliberately UNHINTED (round 14): it has
+    |parts-with-shipments| rows — corpus-scaled, not selectivity- or
+    domain-bounded — so the former forced broadcast shipped a 20 M-row
+    table to every task at the 1000× tier (observed in the sf100
+    executed plan) and would die outright on a real cluster; AQE
+    broadcasts it from runtime stats at the small tiers and correctly
+    shuffle-joins at scale. nation/region stay hinted (domain-bounded).
+    Equality on the min double is engine-safe: both engines compare the
+    identical IEEE value produced by the same division."""
     supp = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -742,7 +747,7 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cost.join(
-            F.broadcast(best),
+            best,
             (cost.partkey == best.partkey) & (F.col("unit_cost") == F.col("best_cost")),
         )
         .drop(best.partkey)

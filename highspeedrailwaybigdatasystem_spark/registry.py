@@ -178,22 +178,22 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # 1 never-gated (pool was 1) + 49 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
     "geo_grid_topk", "geo_grid_join", "join_range_binned",
-    "llm_chunk_overlap_dedup", "tpch_q11", "ts_value_at_risk",
-    "llm_cdc_chunking", "llm_curation_funnel", "llm_data_scaling_curve",
-    "llm_dsir_importance", "llm_ngram_novelty", "llm_perplexity_filter",
-    "llm_repetition_loop_detect", "llm_shingle_size_sensitivity", "llm_template_boilerplate_detect",
-    "ml_naive_bayes_langid", "agg_bitmap_distinct", "agg_boolean",
-    "agg_histogram", "agg_listagg", "agg_regression",
-    "arr_basic", "arr_explode", "arr_higher_order",
-    "dt_arith", "dt_extract", "join_asof",
-    "join_asof_nearest", "join_self_interval", "json_extract",
-    "math_funcs", "set_except", "set_except_all",
-    "set_intersect", "set_intersect_all", "set_union_all",
-    "set_union_distinct", "sort_multikey", "sql_distribute_sort_by",
-    "sql_hints", "str_funcs", "str_split_regex",
-    "stream_sliding", "stream_stream_join", "stream_tumbling",
-    "topk_global", "topk_per_group", "ts_gapfill",
-    "ts_hourly_rollup", "ts_interpolate_linear",
+    "llm_chunk_overlap_dedup", "tpch_q02", "tpch_q11",
+    "ts_value_at_risk", "llm_cdc_chunking", "llm_curation_funnel",
+    "llm_data_scaling_curve", "llm_dsir_importance", "llm_ngram_novelty",
+    "llm_perplexity_filter", "llm_repetition_loop_detect", "llm_shingle_size_sensitivity",
+    "llm_template_boilerplate_detect", "ml_naive_bayes_langid", "agg_bitmap_distinct",
+    "agg_boolean", "agg_histogram", "agg_listagg",
+    "agg_regression", "arr_basic", "arr_explode",
+    "arr_higher_order", "dt_arith", "dt_extract",
+    "join_asof", "join_asof_nearest", "join_self_interval",
+    "json_extract", "math_funcs", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union_all", "set_union_distinct", "sort_multikey",
+    "sql_distribute_sort_by", "sql_hints", "str_funcs",
+    "str_split_regex", "stream_sliding", "stream_stream_join",
+    "stream_tumbling", "topk_global", "topk_per_group",
+    "ts_gapfill", "ts_hourly_rollup",
 )
 # --- WINDOW END ---
 

@@ -136,6 +136,12 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     # CTE both sides), 38→7 s at 100×, 12.9 s at 1000×. Landed before the
     # r14 pin → r14-gate eligible.
     ("llm_chunk_overlap_dedup", 14),
+    # round-14 TPC-H 1000×-probe find: tpch_q02 force-broadcast its
+    # per-part best-cost aggregate — |parts|-scaled, 20 M rows at sf100
+    # (cluster-fatal); unhinted so AQE picks broadcast at small tiers and
+    # SMJ at scale (34% faster at BOTH probe tiers). Oracle unchanged;
+    # landed before the r14 pin → r14-gate eligible.
+    ("tpch_q02", 14),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
