@@ -174,26 +174,26 @@ def _ensure_loaded() -> None:
 #: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ROUND 14 window — generated by tools/rotate_window.py:
-    # 1 never-gated (pool was 1) + 49 re-proof slots
+    # ROUND 15 window — generated by tools/rotate_window.py:
+    # 0 never-gated (pool was 0) + 50 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    "geo_grid_topk", "geo_grid_join", "join_range_binned",
-    "llm_chunk_overlap_dedup", "tpch_q02", "tpch_q11",
-    "ts_value_at_risk", "llm_cdc_chunking", "llm_curation_funnel",
-    "llm_data_scaling_curve", "llm_dsir_importance", "llm_ngram_novelty",
-    "llm_perplexity_filter", "llm_repetition_loop_detect", "llm_shingle_size_sensitivity",
-    "llm_template_boilerplate_detect", "ml_naive_bayes_langid", "agg_bitmap_distinct",
-    "agg_boolean", "agg_histogram", "agg_listagg",
-    "agg_regression", "arr_basic", "arr_explode",
-    "arr_higher_order", "dt_arith", "dt_extract",
-    "join_asof", "join_asof_nearest", "join_self_interval",
-    "json_extract", "math_funcs", "set_except",
-    "set_except_all", "set_intersect", "set_intersect_all",
-    "set_union_all", "set_union_distinct", "sort_multikey",
-    "sql_distribute_sort_by", "sql_hints", "str_funcs",
-    "str_split_regex", "stream_sliding", "stream_stream_join",
-    "stream_tumbling", "topk_global", "topk_per_group",
-    "ts_gapfill", "ts_hourly_rollup",
+    "ts_interpolate_linear", "ts_ohlc", "ts_retention_cohort",
+    "ts_sessionize", "win_first_last", "win_ignore_nulls",
+    "win_lag_lead", "win_moving_avg", "win_moving_median",
+    "win_named_window", "win_ntile_pctrank", "win_rank_dense",
+    "win_rownum_topk", "win_running_sum", "win_session_window_fn",
+    "agg_bitwise", "agg_corr_covar", "agg_count_min_sketch",
+    "agg_gini_concentration", "agg_ols_multivariate", "arr_map_hof",
+    "arr_setops", "dt_business_days", "dt_format",
+    "dt_interval_arith", "dt_timezone", "etl_scd1_upsert",
+    "graph_pagerank", "graph_triangle_count", "join_array_membership",
+    "join_asof_forward", "join_temporal_scd2", "json_roundtrip",
+    "json_variant", "map_ops", "null_safe_math",
+    "set_union_by_name", "sql_identifier_dynamic", "sql_lateral_join",
+    "sql_lateral_view", "sql_parameterized", "sql_star_except",
+    "sql_tvf_range", "sql_udf", "sql_unpivot_syntax",
+    "sql_values_inline", "str_collate", "str_funcs2",
+    "str_levenshtein", "str_mask",
 )
 # --- WINDOW END ---
 
