@@ -230,10 +230,16 @@ def main() -> None:
                 file=sys.stderr,
             )
             time.sleep(RETRY_SLEEP_SEC)
+    # Prefer clean attempts outright: contended() also fires on a control
+    # >20% FASTER than the pinned idle signature (clock/load advantage), so
+    # a min over ALL attempts could ship a flagged-but-fast run over a clean
+    # retry — the anti-honest direction. is_contended is True iff no clean
+    # attempt landed, which makes the artifact comment literally true.
+    clean = [a for a in attempts if not contended(a[2])]
     timings, steady, probe = min(
-        attempts, key=lambda a: sum(a[0].values())
+        clean or attempts, key=lambda a: sum(a[0].values())
     )
-    is_contended = contended(probe)
+    is_contended = not clean
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

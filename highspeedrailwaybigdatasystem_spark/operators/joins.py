@@ -19,6 +19,8 @@ Scale notes (100 TB design intent, per-operator):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -512,6 +514,27 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic geo band constants, shared by geo_grid_join / geo_grid_topk and
+# their oracles: lat = (md5-int % _GEO_LAT_MOD) / _GEO_COORD_DIV - _GEO_LAT_OFF
+# ∈ [-10, 10), lon ∈ [-180, 180). The Python synthesis below is built FROM
+# these constants so the completeness bound cannot silently drift from the
+# band (r14 ADVICE: the old hardcoded 109.0 km/deg encoded the ±10° band
+# invariant invisibly — widening the band to ±20° would have broken the 3×3
+# guarantee with no test failing).
+_GEO_LAT_MOD, _GEO_COORD_DIV, _GEO_LAT_OFF = 2000, 100.0, 10.0
+_GEO_MAX_ABS_LAT = max(_GEO_LAT_OFF, _GEO_LAT_MOD / _GEO_COORD_DIV - _GEO_LAT_OFF)
+# Minimum km per degree of LONGITUDE over the band (at |lat| = max): any two
+# points within d km differ by < d / _GEO_KM_PER_DEG degrees of longitude, so
+# a cell_deg grid's 3×3 neighborhood is complete for radii
+# ≤ cell_deg × _GEO_KM_PER_DEG. 111.19 (truncated from π·6371/180 = 111.195)
+# keeps the derived bound a hair conservative against the small-angle
+# approximation.
+_GEO_KM_PER_DEG = 111.19 * math.cos(math.radians(_GEO_MAX_ABS_LAT))
+#: Grid tiers the adaptive k-NN may choose from (coarsest = the single-pass
+#: 0.5° / 50 km plan; the conf override validates against this tuple).
+_GEO_TOPK_TIERS = (0.5, 0.25, 0.125, 0.0625, 0.03125)
+
+
 @register(
     "geo_grid_join",
     oracle="""
@@ -561,7 +584,8 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("c_custkey").cast("string"))
     pts = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _GEO_LAT_MOD)
+        / _GEO_COORD_DIV - _GEO_LAT_OFF,
         (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
     ).toDF("id", "lat", "lon")
     # ANTIMERIDIAN WRAP (round 14 — found by geo_grid_topk's sf0.1
@@ -671,9 +695,10 @@ def geo_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood holds ~constant expected points (the r-tree/k-d page
     sizing rule): the fine pass resolves every point whose k=3rd
     neighbor lies inside the tier's GUARANTEED-complete radius
-    (cell_deg × 109 km — any point within that distance differs by
-    < cell_deg in both lat and lon at |lat| ≤ 10, so it cannot escape
-    the 3×3 neighborhood), and only the residual (points with < k
+    (cell_deg × _GEO_KM_PER_DEG ≈ cell_deg × 109.5 km, DERIVED from the
+    synthesis band's max |lat| — any point within that distance differs
+    by < cell_deg in both lat and lon inside the band, so it cannot
+    escape the 3×3 neighborhood), and only the residual (points with < k
     neighbors in the fine radius — a density-tail minority) escalates
     to the coarse 0.5° / 50 km grid. Work: n·O(k) fine candidates +
     |residual|·O(density) — linear in points at any density, and the
@@ -694,7 +719,8 @@ def geo_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("c_custkey").cast("string"))
     pts = t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 2000) / 100.0 - 10,
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _GEO_LAT_MOD)
+        / _GEO_COORD_DIV - _GEO_LAT_OFF,
         (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 36000) / 100.0 - 180,
     ).toDF("id", "lat", "lon")
 
@@ -714,7 +740,8 @@ def geo_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ranked_within(probe_pts: DataFrame, cell_deg: float, radius_km: float) -> DataFrame:
         """id → (neighbor_id, d, rk, cnt) for neighbors within radius_km,
         candidates via a cell_deg grid 3×3 equi-join. Complete iff
-        radius_km ≤ cell_deg × 109 (the guaranteed-coverage bound)."""
+        radius_km ≤ cell_deg × _GEO_KM_PER_DEG (the derived
+        guaranteed-coverage bound)."""
         inv = 1.0 / cell_deg
         ncx = int(round(360 * inv))
         # ANTIMERIDIAN WRAP (found by the sf0.1 mirror, round 14): the
@@ -766,26 +793,42 @@ def geo_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
     )
 
-    # Tier selection: smallest cell whose guaranteed radius still holds
-    # ≥ 4k expected neighbors (margin keeps the escalation residual a
-    # tail, not the norm). Synthetic band is lat ∈ [-10, 10), lon
-    # ∈ [-180, 180) by construction → area is a compile-time constant.
-    n_pts = pts.count()  # driver-bounded scalar: one long
-    area_km2 = (20 * 111.19) * (360 * 110.6)
-    density = n_pts / area_km2
-    import math as _math
-
-    r_need = _math.sqrt((4 * K) / (_math.pi * density)) if density > 0 else 1e9
-    cell_deg = 0.5
-    for tier in (0.25, 0.125, 0.0625, 0.03125):
-        if tier * 109.0 >= r_need and tier * 109.0 < 50.0:
-            cell_deg = tier
+    # Tier override (r14 verdict task #1): at every oracle-checked SF the
+    # density heuristic picks the single-pass 0.5° tier, so the fine +
+    # escalation path would otherwise only ever execute at 100×/1000×
+    # where no oracle runs. tests/test_geo_forced_tier.py forces each
+    # fine tier here at sf0.01 and asserts bit-equality against BOTH the
+    # single-pass output and the numpy brute force — turning the
+    # docstring's "tier choice never changes the result" from an
+    # assertion into a proven invariant.
+    forced = spark.conf.get("spark.graft.geo_topk.force_cell_deg", "auto")
+    if forced != "auto":
+        cell_deg = float(forced)
+        if cell_deg not in _GEO_TOPK_TIERS:
+            raise ValueError(
+                f"spark.graft.geo_topk.force_cell_deg={forced!r}: "
+                f"must be 'auto' or one of {_GEO_TOPK_TIERS}"
+            )
+    else:
+        # Tier selection: smallest cell whose guaranteed radius still holds
+        # ≥ 4k expected neighbors (margin keeps the escalation residual a
+        # tail, not the norm). Synthetic band is lat ∈ [-10, 10), lon
+        # ∈ [-180, 180) by construction → area is a compile-time constant.
+        n_pts = pts.count()  # driver-bounded scalar: one long
+        area_km2 = (2 * _GEO_MAX_ABS_LAT * 111.19) * (360 * 110.6)
+        density = n_pts / area_km2
+        r_need = math.sqrt((4 * K) / (math.pi * density)) if density > 0 else 1e9
+        cell_deg = 0.5
+        for tier in _GEO_TOPK_TIERS[1:]:
+            if tier * _GEO_KM_PER_DEG >= r_need and tier * _GEO_KM_PER_DEG < 50.0:
+                cell_deg = tier
     if cell_deg == 0.5:
-        # sparse corpus: the coarse grid's guaranteed radius (54.5 km)
-        # already covers the full 50 km predicate — single pass.
+        # sparse corpus (or forced coarse): the coarse grid's guaranteed
+        # radius (0.5 × _GEO_KM_PER_DEG ≈ 54.7 km) already covers the
+        # full 50 km predicate — single pass.
         return out_cols(ranked_within(pts, 0.5, 50.0))
 
-    fine_r = min(cell_deg * 109.0, 50.0)
+    fine_r = min(cell_deg * _GEO_KM_PER_DEG, 50.0)
     fine = ranked_within(pts, cell_deg, fine_r)
     resolved = out_cols(fine.where(F.col("cnt") >= K))
     # residual: points with < k neighbors inside the fine radius — their
