@@ -704,3 +704,32 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         " is only safe at fixed cardinality; the 100x probe OOMed on"
         " SF-scaled ones (BASELINE.md round 10)"
     )
+
+
+def test_broadcast_sites_classified_and_policy_clean():
+    """r14 verdict task #2 — the broadcast-boundedness rule as a standing
+    gate, superseding the alias allowlist above with a per-SITE
+    classification registry (tools/broadcast_lint.py). Every forced
+    broadcast — F.broadcast, .hint("broadcast"), or a /*+ BROADCAST(x) */
+    SQL hint — must carry a (class, justification) tag in SITE_TAGS with
+    class in {domain, cutpoint, topk, selectivity}; adding an untagged
+    site, leaving a stale tag, or tagging a site "corpus" fails here. The
+    dynamic half (numOutputRows growth across a 10x SF step under
+    autoBroadcastJoinThreshold=-1, selectivity fractions vs declared
+    tables) runs per-round via `python tools/broadcast_lint.py --measure`
+    -> BROADCASTS.md; `--demo-q02` proves the policy flags the
+    pre-cf202d6 tpch_q02 shape (a |parts|-scaled forced broadcast)."""
+    import importlib
+    import os
+    import sys
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    sys.path.insert(0, tools)
+    try:
+        bl = importlib.import_module("broadcast_lint")
+        problems = bl.check_static()
+    finally:
+        sys.path.remove(tools)
+    assert not problems, "\n".join(problems)
