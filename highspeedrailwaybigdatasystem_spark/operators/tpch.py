@@ -858,9 +858,16 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: split (220444.87 vs .88 — found by the round-14 full sf0.1 mirror).
 #: The final cent value is floor((s + 5000) / 10000) over exact integers
 #: (half-up; revenue is positive), then ONE exact division for display.
+#: The SUM accumulates into DECIMAL(38,0), not BIGINT (r14 ADVICE): each
+#: term fits easily in int64 (≤ ~1e9 ten-thousandths), but the HAVING
+#: subquery sums the WHOLE corpus — ~2e17 at sf100, overflowing int64
+#: around sf~5000, where Spark's ANSI mode would throw while DuckDB
+#: silently promotes to HUGEINT and keeps going. DECIMAL(38,0) is exact
+#: 128-bit on both engines, order-independent, and headroom-safe to
+#: ~1e38 (sf ~1e25) — the formulation a 100 TB corpus actually needs.
 _Q11_REV = (
-    "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
-    " * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))"
+    "sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS DECIMAL(38,0)))"
 )
 
 _Q11_SQL = f"""

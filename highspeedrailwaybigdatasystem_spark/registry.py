@@ -175,8 +175,10 @@ def _ensure_loaded() -> None:
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # ROUND 15 window — generated by tools/rotate_window.py:
-    # 0 never-gated (pool was 0) + 50 re-proof slots
+    # 1 never-gated (pool was 1) + 49 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
+    # pin: r15 seq 3 sha 415ceb286bf9
+    "llm_chunk_overlap_dedup_capped", "geo_grid_topk", "tpch_q11",
     "ts_interpolate_linear", "ts_ohlc", "ts_retention_cohort",
     "ts_sessionize", "win_first_last", "win_ignore_nulls",
     "win_lag_lead", "win_moving_avg", "win_moving_median",
@@ -192,8 +194,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "set_union_by_name", "sql_identifier_dynamic", "sql_lateral_join",
     "sql_lateral_view", "sql_parameterized", "sql_star_except",
     "sql_tvf_range", "sql_udf", "sql_unpivot_syntax",
-    "sql_values_inline", "str_collate", "str_funcs2",
-    "str_levenshtein", "str_mask",
+    "sql_values_inline", "str_collate",
 )
 # --- WINDOW END ---
 

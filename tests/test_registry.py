@@ -240,3 +240,31 @@ def test_reproof_priority_retires_after_regate():
         f"retired rewrite entries still jump the queue: "
         f"{rewritten_still_priority[:5]}"
     )
+
+
+def test_window_pin_stamp_matches_tuple():
+    """The WINDOW block's `# pin: rN seq K sha H` stamp must hash the live
+    tuple (r14 ADVICE: the r14 tuple was re-pinned 4x mid-round with no
+    mechanical record). rotate_window writes the stamp on every pin and
+    --repin increments seq; a hand edit that changes the tuple without
+    restamping fails here, so every re-pin is visible in git history."""
+    import hashlib
+    import re as _re
+
+    with open(
+        os.path.join(REPO, "highspeedrailwaybigdatasystem_spark", "registry.py")
+    ) as f:
+        src = f.read()
+    m = _re.search(r"# pin: r(\d+) seq (\d+) sha ([0-9a-f]{12})", src)
+    assert m, (
+        "WINDOW block carries no pin stamp — rewrite it via "
+        "tools/rotate_window.py (or --repin), never by hand"
+    )
+    from highspeedrailwaybigdatasystem_spark import registry as _reg
+
+    h = hashlib.sha256("\n".join(_reg._WINDOW_PRIORITY).encode()).hexdigest()[:12]
+    assert m.group(3) == h, (
+        f"pin stamp sha {m.group(3)} != live tuple sha {h} — the tuple was "
+        "edited without tools/rotate_window.py --repin; restamp and record "
+        "fresh mirror evidence for the promoted ops"
+    )

@@ -142,6 +142,18 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     # SMJ at scale (34% faster at BOTH probe tiers). Oracle unchanged;
     # landed before the r14 pin → r14-gate eligible.
     ("tpch_q02", 14),
+    # round-15 r14-verdict-task rewrites (each mirror-verified at
+    # sf0.01 AND sf0.1 when landed; promoted into the r15 window by the
+    # stamped re-pin — see rotate_window --repin):
+    # - geo_grid_topk: coverage bound derived from the synthesis band
+    #   (was hardcoded 109.0 km/deg) + forced-tier conf override; the
+    #   fine/escalation path is now bit-equality-proven vs single-pass
+    #   and numpy brute force (tests/test_geo_forced_tier.py).
+    # - tpch_q11: revenue ten-thousandths now sum into DECIMAL(38,0)
+    #   (int64 overflowed around sf~5000 where DuckDB promotes to
+    #   HUGEINT — r14 ADVICE).
+    ("geo_grid_topk", 15),
+    ("tpch_q11", 15),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
@@ -201,13 +213,19 @@ def plan_window(
     ``for_round`` (default ``max(hist) + 1``): the round this window will
     gate in. A ``REPROOF_REWRITTEN`` entry with value N is eligible for
     round N's OWN window (``<= for_round``): the driver gates the code as
-    it stands at round END, so a rewrite landed at round start — before
-    the rotation pins the tuple — is proven by that same round's gate
-    (r14 precedent: join_range_binned's edge guards). Entries amended
-    mid-round, AFTER the pin, cannot retroactively enter the live tuple:
-    a real rotation only runs once per round (rotate_window refuses to
-    rewrite when there is no new CORRECTNESS artifact to freeze), so such
-    entries take effect at round N+1's rotation.
+    it stands at round END, so a rewrite proven during round N belongs in
+    round N's gate. The actual invariant (r14 ADVICE — the old wording
+    claimed "a rotation only runs once per round", but r14 re-pinned the
+    live tuple four times mid-round): the FREEZE runs exactly once per
+    round (rotate_window refuses to freeze without a new CORRECTNESS
+    artifact), while the tuple may be RE-PINNED mid-round to promote ops
+    rewritten after the round-start pin — each re-pin must go through
+    ``rotate_window --repin``, which recomputes this policy, increments
+    the pin sequence recorded in the stamped comment inside the WINDOW
+    block, and requires the operator to state that fresh mirror evidence
+    accompanies the promotion. Hand edits without a restamp fail
+    ``tests/test_registry.py`` (the stamp hashes the tuple), so every
+    mid-round re-pin is mechanically visible to the next audit.
 
     Slots are spent in strict priority order (steady-state policy, r11
     verdict task #3 — the generator keeps emitting windows forever instead

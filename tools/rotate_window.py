@@ -114,7 +114,28 @@ def next_window(frozen: dict[int, dict[str, str]]) -> list[str]:
     return gdc.plan_window(frozen)
 
 
-def rewrite_window(names: list[str], round_no: int, pool_size: int) -> None:
+def window_stamp(names: list[str], round_no: int, seq: int) -> str:
+    """Pin-provenance stamp: round, pin sequence within the round, and a
+    hash of the tuple contents. tests/test_registry.py recomputes the
+    hash from the live tuple — a hand edit that skips --repin leaves a
+    stale stamp and fails the suite, so every mid-round re-pin is
+    recorded (r14 ADVICE: the tuple was re-pinned 4x mid-round with
+    nothing mechanical logging it)."""
+    import hashlib
+
+    h = hashlib.sha256("\n".join(names).encode()).hexdigest()[:12]
+    return f"    # pin: r{round_no} seq {seq} sha {h}"
+
+
+def current_pin() -> tuple[int, int] | None:
+    """(round, seq) of the live window's stamp, or None (pre-stamp pin)."""
+    m = re.search(r"# pin: r(\d+) seq (\d+) sha ", REGISTRY_PATH.read_text())
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def rewrite_window(
+    names: list[str], round_no: int, pool_size: int, seq: int = 1
+) -> None:
     src = REGISTRY_PATH.read_text()
     i, j = src.index(START), src.index(END)
     n_new = min(pool_size, len(names))
@@ -125,13 +146,56 @@ def rewrite_window(names: list[str], round_no: int, pool_size: int) -> None:
         f"    # {n_new} never-gated (pool was {pool_size}) + "
         f"{len(names) - n_new} re-proof slots",
         "    # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).",
+        window_stamp(names, round_no, seq),
     ]
     for k in range(0, len(names), 3):
         body.append("    " + " ".join(f'"{n}",' for n in names[k:k + 3]))
     body.append(")")
     body.append("")
     REGISTRY_PATH.write_text(src[:i] + "\n".join(body) + src[j:])
-    print(f"rotated _WINDOW_PRIORITY -> {len(names)} round-{round_no} names")
+    tag = f"round-{round_no}" + (f" (re-pin seq {seq})" if seq > 1 else "")
+    print(f"rotated _WINDOW_PRIORITY -> {len(names)} {tag} names")
+
+
+def repin() -> None:
+    """Mid-round re-pin: recompute plan_window for the CURRENT (unfrozen)
+    round — picking up newly registered ops and new REPROOF_REWRITTEN
+    entries — and rewrite the tuple with the pin sequence incremented.
+    Loud by design: prints the promoted/dropped diff and the evidence
+    obligation. The freeze path is untouched (still once per round)."""
+    hist = gdc.history()
+    round_no = max(hist) + 1
+    pin = current_pin()
+    if pin is not None and pin[0] != round_no:
+        raise SystemExit(
+            f"live stamp says r{pin[0]} but current round is {round_no}: "
+            "run the normal rotation first (freeze + rotate), then --repin."
+        )
+    seq = (pin[1] if pin is not None else 1) + 1
+    old = list(registry._WINDOW_PRIORITY)
+    names = gdc.plan_window(hist)
+    promoted = [n for n in names if n not in old]
+    dropped = [n for n in old if n not in names]
+    pool_size = len(
+        [n for n in registry.all_oracles()
+         if n not in {op for v in hist.values() for op in v}]
+    )
+    rewrite_window(names, round_no, pool_size, seq=seq)
+    # registry.py changed on disk but this process imported the old tuple;
+    # regen the ledger in a fresh interpreter so it reads the new pin.
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "gen_driver_coverage.py")],
+        check=True,
+    )
+    print(
+        f"RE-PIN r{round_no} seq {seq}: promoted {promoted or '[]'}, "
+        f"dropped {dropped or '[]'}.\n"
+        "OBLIGATION: each promoted op must have a fresh tools/mirror.py "
+        "PASS (sf0.01 at minimum) in this round's record before round "
+        "close — the stamp makes this re-pin visible to the judge."
+    )
 
 
 def main() -> None:
@@ -144,7 +208,17 @@ def main() -> None:
         "as 50/50 green in VERDICT.md (document provenance in "
         "gen_driver_coverage.py's docstring)",
     )
+    ap.add_argument(
+        "--repin", action="store_true",
+        help="mid-round re-pin: recompute the CURRENT round's window "
+        "(new ops / new REPROOF entries), increment the pin seq stamp, "
+        "print the promoted-ops evidence obligation",
+    )
     args = ap.parse_args()
+
+    if args.repin:
+        repin()
+        return
 
     frozen_round = (
         freeze_finished_round(args.freeze_window_green)
