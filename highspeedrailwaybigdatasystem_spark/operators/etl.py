@@ -900,7 +900,8 @@ def etl_partition_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFra
     inferred AS (
       SELECT o_custkey AS c_custkey, count(*) AS n_orders,
              round(sum(o_totalprice), 2) AS total_value
-      FROM fact WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+      FROM fact WHERE NOT EXISTS (SELECT 1 FROM dim d
+                                  WHERE d.c_custkey = fact.o_custkey)
       GROUP BY o_custkey)
     SELECT 'inferred' AS member_kind, count(*) AS n_members,
            CAST(COALESCE(sum(n_orders), 0) AS BIGINT) AS n_orders,
@@ -920,8 +921,14 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension arrives. The corpus has full referential integrity, so a
     deterministic holdout (c_custkey % 97 = 0) emulates the late keys —
     documented emulation, same plan shape as production. Spark plan: the
-    NOT IN over a non-null key column lowers to a left-anti hash join
-    against the (broadcastable) dim; both branches share one fact scan
+    missing-member probe is NOT EXISTS, not NOT IN (round 15 —
+    broadcast_lint's first measurement caught the difference): parquet
+    columns are nullable-by-schema, so Spark must plan NOT IN as a
+    null-aware anti join, which is BroadcastNestedLoopJoin-ONLY with a
+    |dim|-scaled REQUIRED broadcast (148→1484 rows across one 10x step;
+    the whole customer keyset at 100 TB). NOT EXISTS carries no
+    three-valued-logic obligation, lowers to a plain left-anti hash
+    join, and shuffles at any scale. Both branches share one fact scan
     under AQE reuse. The audit output is the 2-row kind summary."""
     return sql_q(
         spark,
@@ -932,7 +939,8 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         inferred AS (
           SELECT o_custkey AS c_custkey, count(*) AS n_orders,
                  round(sum(o_totalprice), 2) AS total_value
-          FROM fact WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+          FROM fact WHERE NOT EXISTS (SELECT 1 FROM dim d
+                                      WHERE d.c_custkey = fact.o_custkey)
           GROUP BY o_custkey)
         SELECT 'inferred' AS member_kind, count(*) AS n_members,
                CAST(COALESCE(sum(n_orders), 0) AS BIGINT) AS n_orders,

@@ -88,13 +88,25 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS item_cnt,
            round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
     GROUP BY p_brand
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact × small-dim equi join with an explicit broadcast hint."""
+    """Fact × dim equi join with an explicit broadcast hint — on a
+    PRE-FILTERED dim. Round 15 (broadcast_lint's first full measurement):
+    the original exhibit broadcast the WHOLE part table, which is
+    corpus-scaled — |part| = 20 M rows at sf100, the same cluster-fatal
+    class as the r14 tpch_q02 find; the lint flagged it against its own
+    declared 1/250 fraction (actual: 1.0). The honest version of the
+    pattern a 100 TB user should copy is "broadcast the dim you have
+    already cut down": p_size = 1 keeps ~2% of part (measured 38/2000 at
+    sf0.01), the hint then pins a genuinely selectivity-bounded build
+    side, and the filter itself pushes into the part scan. Declared
+    bound: SELECTIVITY_BOUNDS['join_broadcast'] = ('part', 0.03),
+    machine-checked by tools/broadcast_lint.py --measure each round."""
     lineitem = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part")
+    part = t(spark, sf_dir, "part").where(F.col("p_size") == 1)
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")

@@ -215,7 +215,8 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
     (f"{_P}/operators/etl.py", "etl_missing_partition_detect", 0): (
         "cutpoint", "literal 30-day date spine (30 rows)"),
     (f"{_P}/operators/joins.py", "join_broadcast", 0): (
-        "selectivity", "part filtered to one brand+container (~1/250)"),
+        "selectivity", "part filtered to p_size = 1 (~2%; the r15 lint "
+        "measurement caught the original full-part broadcast)"),
     (f"{_P}/operators/joins.py", "join_theta_range", 0): (
         "cutpoint", "orders sliced to o_orderkey % 1000 == 0 AND < 600000 "
         "-> <= 600 rows at ANY amplification (fixed keyspace slice)"),
@@ -288,7 +289,26 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
 #: rows(broadcast) <= fraction x rows(table) must hold at BOTH tiers.
 SELECTIVITY_BOUNDS: dict[str, tuple[str, float]] = {
     "etl_gdpr_delete_audit": ("events", 0.01),
-    "join_broadcast": ("part", 0.02),
+    # p_size = 1 is ~2% of part; 0.05 leaves room for small-SF sampling
+    # noise (7/200 = 3.5% at sf0.001) while still failing anything
+    # corpus-scaled (the pre-r15 full-part broadcast measured 1.0).
+    "join_broadcast": ("part", 0.05),
+}
+
+#: Ops whose growing broadcast is REQUIRED by the physical plan, not
+#: forced by a hint, with the op's documented justification. The only
+#: current member: Spark implements null-aware anti join (NOT IN with a
+#: nullable subquery) exclusively as BroadcastNestedLoopJoin — there is no
+#: shuffled alternative — and join_null_aware_anti EXISTS to exhibit
+#: precisely that hazard (its docstring directs production users to the
+#: null-free rewrite, and etl_late_arriving_dim was moved to NOT EXISTS
+#: when this lint first measured the class). Each entry is re-audited
+#: every round by the BROADCASTS.md row it still produces.
+REQUIRED_BROADCAST_EXCEPTIONS: dict[str, str] = {
+    "join_null_aware_anti": (
+        "null-aware anti join is BNLJ-only in Spark; the op is the "
+        "documented exhibit of this hazard (three-valued NOT IN)"
+    ),
 }
 
 
@@ -360,7 +380,7 @@ def _table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
-def measure(demo_fn=None) -> int:
+def measure(demo_fn=None, only: list[str] | None = None) -> int:
     from highspeedrailwaybigdatasystem_spark.registry import all_queries
     from highspeedrailwaybigdatasystem_spark.session import build_session
 
@@ -371,6 +391,8 @@ def measure(demo_fn=None) -> int:
     qs = dict(all_queries())
     if demo_fn is not None:
         qs = {"DEMO_tpch_q02_pre_fix": demo_fn}
+    if only:
+        qs = {n: qs[n] for n in only}
     results: dict[str, dict[str, list[int]]] = {}
     errors: list[str] = []
     for name, fn in sorted(qs.items()):
@@ -399,7 +421,13 @@ def measure(demo_fn=None) -> int:
         mx_s, mx_l = max(small, default=0), max(large, default=0)
         verdict = "ok"
         base = name.removeprefix("DEMO_").split("_pre_fix")[0]
-        if name.startswith("DEMO_") or base in SELECTIVITY_BOUNDS or name in SELECTIVITY_BOUNDS:
+        is_exception = name in REQUIRED_BROADCAST_EXCEPTIONS
+        if is_exception:
+            verdict = (
+                "exception (documented): "
+                + REQUIRED_BROADCAST_EXCEPTIONS[name]
+            )
+        elif name.startswith("DEMO_") or base in SELECTIVITY_BOUNDS or name in SELECTIVITY_BOUNDS:
             table, frac = SELECTIVITY_BOUNDS.get(
                 name, SELECTIVITY_BOUNDS.get(base, ("part", MAX_FRACTION))
             )
@@ -418,13 +446,13 @@ def measure(demo_fn=None) -> int:
                 f"VIOLATION max broadcast rows grew {mx_s} -> {mx_l} "
                 f"across a 10x SF step — not domain/cutpoint/topk-bounded"
             )
-        if verdict != "ok":
+        if verdict != "ok" and not is_exception:
             violations.append(f"{name}: {verdict}")
         lines.append(
             f"| `{name}` | {small} | {large} | {verdict} |"
         )
 
-    if demo_fn is None:
+    if demo_fn is None and not only:
         with open(REPO / "BROADCASTS.md", "w") as f:
             f.write(
                 "# BROADCASTS — forced-broadcast boundedness audit\n\n"
@@ -494,6 +522,11 @@ def main() -> None:
     p.add_argument("--static", action="store_true")
     p.add_argument("--measure", action="store_true")
     p.add_argument("--demo-q02", action="store_true")
+    p.add_argument(
+        "--ops", nargs="*", default=None,
+        help="with --measure: spot-measure only these ops (prints rows, "
+        "does NOT rewrite BROADCASTS.md — full runs only)",
+    )
     args = p.parse_args()
     rc = 0
     if args.static or not (args.measure or args.demo_q02):
@@ -503,7 +536,7 @@ def main() -> None:
         print(f"static: {len(sites())} sites, {len(problems)} problems")
         rc |= 1 if problems else 0
     if args.measure:
-        rc |= measure()
+        rc |= measure(only=args.ops)
     if args.demo_q02:
         demo_rc = measure(demo_fn=_demo_q02)
         if demo_rc:

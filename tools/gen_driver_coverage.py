@@ -154,6 +154,17 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     #   HUGEINT — r14 ADVICE).
     ("geo_grid_topk", 15),
     ("tpch_q11", 15),
+    # round-15 broadcast_lint first-measurement finds (BROADCASTS.md):
+    # - join_broadcast: the exhibit broadcast the WHOLE corpus-scaled
+    #   part table (measured fraction 1.0 vs declared 1/250 — the r14
+    #   tpch_q02 class); now pre-filtered to p_size = 1 (~2%) with a
+    #   machine-checked 0.05 fraction bound.
+    # - etl_late_arriving_dim: NOT IN over nullable parquet keys planned
+    #   as a REQUIRED BNLJ broadcast of the |dim| keyset (148->1484
+    #   across one 10x step); moved to NOT EXISTS -> plain left-anti
+    #   hash join, shuffled at any scale.
+    ("join_broadcast", 15),
+    ("etl_late_arriving_dim", 15),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal

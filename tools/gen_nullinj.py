@@ -1,0 +1,109 @@
+"""Generate the NULL-injection / empty-group mirror corpus (r14 verdict
+task #6).
+
+The synthetic corpus has ZERO nulls, so NULL edges ride only on
+outer-join manufacture inside individual ops — and three rounds of ADVICE
+items (range-binned NULL pairs, zero-pair groups, null-aware anti joins)
+kept finding the same latent class one op at a time. This tool derives a
+perturbed corpus from sf0.01 once, so the WHOLE pair-forming + agg
+surface can be mirrored against it in one sweep: both engines read the
+same parquet, so any mirror divergence is a genuine semantic split
+(Spark vs DuckDB null ordering, null join keys, three-valued logic,
+null-skipping aggregates) or an op-level non-null assumption.
+
+Deterministic injections (modulus-keyed, so reruns are identical):
+
+* customer:  c_acctbal NULL @ c_custkey%37==0; c_mktsegment NULL @ %41==0
+* orders:    o_totalprice NULL @ o_orderkey%53==0;
+             dropped entirely @ o_custkey%113==0  (customers w/o orders)
+* lineitem:  l_discount NULL @ l_orderkey%61==0; l_tax NULL @ %67==0;
+             dropped entirely @ l_orderkey%127==0 (orders w/o lineitems)
+* events:    user_id NULL @ event_id%43==0 (NULL JOIN KEYS);
+             'signup' rows dropped (empty event_type group)
+* documents: text NULL @ doc_id%47==0; lang NULL @ doc_id%71==0
+* embeddings: embedding NULL @ vec_id%97==0
+* nation/region/part/supplier: copied verbatim (domain dims stay sound)
+
+Usage: python tools/gen_nullinj.py  -> _scratch/nullinj/
+Then:  python tools/mirror.py --sf _scratch/nullinj [ops...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.01"
+OUT = os.path.join(REPO, "_scratch", "nullinj")
+
+#: table -> SELECT rewriting the base parquet with injections. COLUMNS MUST
+#: KEEP the base order and physical types (schemas.load pins them).
+RULES = {
+    "customer": """
+        SELECT c_custkey, c_name, c_address, c_nationkey, c_phone,
+               CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+               c_comment
+        FROM t
+    """,
+    "orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority, o_clerk, o_shippriority, o_comment
+        FROM t WHERE o_custkey % 113 <> 0
+    """,
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice,
+               CASE WHEN l_orderkey % 61 = 0 THEN NULL ELSE l_discount END AS l_discount,
+               CASE WHEN l_orderkey % 67 = 0 THEN NULL ELSE l_tax END AS l_tax,
+               l_returnflag, l_linestatus, l_shipdate, l_commitdate,
+               l_receiptdate, l_shipinstruct, l_shipmode, l_comment
+        FROM t WHERE l_orderkey % 127 <> 0
+    """,
+    "events": """
+        SELECT event_id,
+               CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END AS user_id,
+               event_type, ts, value, payload
+        FROM t WHERE event_type <> 'signup'
+    """,
+    "documents": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 47 = 0 THEN NULL ELSE text END AS text,
+               CASE WHEN doc_id % 71 = 0 THEN NULL ELSE lang END AS lang,
+               source, n_chars
+        FROM t
+    """,
+    "embeddings": """
+        SELECT vec_id,
+               CASE WHEN vec_id % 97 = 0 THEN NULL ELSE embedding END AS embedding,
+               label
+        FROM t
+    """,
+    "nation": "SELECT * FROM t",
+    "region": "SELECT * FROM t",
+    "part": "SELECT * FROM t",
+    "supplier": "SELECT * FROM t",
+}
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for table, sel in RULES.items():
+        src = f"{BASE}/{table}.parquet"
+        dst = f"{OUT}/{table}.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{src}')")
+        con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"{table}: {n} rows -> {dst}")
+    con.close()
+
+
+if __name__ == "__main__":
+    main()
