@@ -45,16 +45,15 @@ OUT = os.path.join(REPO, "_scratch", "nullinj")
 #: KEEP the base order and physical types (schemas.load pins them).
 RULES = {
     "customer": """
-        SELECT c_custkey, c_name, c_address, c_nationkey, c_phone,
+        SELECT c_custkey, c_name, c_nationkey,
                CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
-               CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
-               c_comment
+               CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
         FROM t
     """,
     "orders": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
-               o_orderdate, o_orderpriority, o_clerk, o_shippriority, o_comment
+               o_orderdate, o_orderpriority
         FROM t WHERE o_custkey % 113 <> 0
     """,
     "lineitem": """
@@ -62,14 +61,13 @@ RULES = {
                l_extendedprice,
                CASE WHEN l_orderkey % 61 = 0 THEN NULL ELSE l_discount END AS l_discount,
                CASE WHEN l_orderkey % 67 = 0 THEN NULL ELSE l_tax END AS l_tax,
-               l_returnflag, l_linestatus, l_shipdate, l_commitdate,
-               l_receiptdate, l_shipinstruct, l_shipmode, l_comment
+               l_returnflag, l_linestatus, l_shipdate
         FROM t WHERE l_orderkey % 127 <> 0
     """,
     "events": """
-        SELECT event_id,
+        SELECT event_id, ts,
                CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END AS user_id,
-               event_type, ts, value, payload
+               event_type, value, props
         FROM t WHERE event_type <> 'signup'
     """,
     "documents": """

@@ -21,9 +21,9 @@ import time
 sys.path.insert(0, ".")
 
 
-def _time_op(fn, spark, sf_dir: str, drive: str = "collect") -> float:
+def _time_op(fn, spark, sf_dir: str, drive: str = "collect", reps: int = 2) -> float:
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         if drive == "count":
@@ -47,6 +47,12 @@ def main() -> None:
         "collect; count keeps the full computation but leaves results "
         "distributed, like the survival sweep does)",
     )
+    ap.add_argument(
+        "--once", action="store_true",
+        help="single timed run per tier instead of warm best-of-2 — for "
+        "expensive probes (1000x streaming state tiers run ~15 min each; "
+        "exponent classification does not need best-of-2 precision there)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,8 +71,9 @@ def main() -> None:
     rows = []
     for name in args.ops:
         fn = queries[name]
-        small = _time_op(fn, spark, args.base, args.drive)
-        big = _time_op(fn, spark, args.big, args.drive)
+        reps = 1 if args.once else 2
+        small = _time_op(fn, spark, args.base, args.drive, reps)
+        big = _time_op(fn, spark, args.big, args.drive, reps)
         ratio = big / small if small > 0 else float("inf")
         rows.append((name, small, big, ratio))
         print(
