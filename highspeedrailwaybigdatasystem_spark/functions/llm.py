@@ -1372,7 +1372,7 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(ascii(text) AS INT) AS first_byte,
            CAST(floor(octet_length(encode(text)) / 100) + 1 AS INT) AS frame_cnt
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,7 +1382,9 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     features per Arrow batch. The DECODE IS A DETERMINISTIC FAKE (byte
     length / first byte / fake frame count); the Spark-side plumbing —
     binary column, schema, Arrow batching, UDF signature — is real and is
-    what a real image decoder would plug into."""
+    what a real image decoder would plug into. NULL payloads are skipped
+    on both sides (r15 null sweep): a decoder has no bytes to decode —
+    accounting for missing payloads is mm_modality_router's job."""
 
     def decode(batches):
         for pdf in batches:
@@ -1398,7 +1400,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(decode, "doc_id long, byte_len long, first_byte int, frame_cnt int")
@@ -1411,7 +1413,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                octet_length(encode(text)) AS byte_len,
                CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(byte_len AS BIGINT) AS byte_len,
@@ -1453,7 +1455,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["checksum"].append(checksum)
             yield pd.DataFrame(out).astype("int64")
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(
@@ -2735,7 +2737,7 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(0, 7), j ->
                (CAST(('0x' || substr(md5(concat(j, ':', text)), 1, 8)) AS BIGINT)
                 / 4294967296.0) * 2 - 1) AS e
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     probe AS (SELECT e AS p FROM emb WHERE doc_id = 0)
     SELECT doc_id,
            round(list_aggregate(list_transform(list_zip(e, p),
@@ -2772,7 +2774,7 @@ def mm_embed_sim_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "e": embs})
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     emb = d.mapInPandas(embed, "doc_id long, e array<double>")
@@ -2978,7 +2980,8 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_chunk_stub",
     oracle="""
     WITH sized AS (
-      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+      WHERE text IS NOT NULL),
     framed AS (
       SELECT doc_id, blen,
              CAST(ceil(blen / 128.0) AS BIGINT) AS n_frames
@@ -3018,7 +3021,7 @@ def mm_audio_chunk_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     framed = d.mapInPandas(
@@ -4240,13 +4243,15 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_modality_router",
     oracle="""
     WITH tagged AS (
-      SELECT doc_id, n_chars,
-             CASE doc_id % 3 WHEN 0 THEN 'image/png'
-                             WHEN 1 THEN 'image/jpeg'
-                             ELSE 'audio/wav' END AS modality
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL ELSE n_chars + 8 END AS nbytes,
+             CASE WHEN text IS NULL THEN 'missing'
+                  WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+                  ELSE 'audio/wav' END AS modality
       FROM documents)
     SELECT modality, count(*) AS n_items,
-           CAST(sum(n_chars + 8) AS BIGINT) AS total_bytes,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
            CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM tagged GROUP BY modality
     """,
@@ -4262,7 +4267,9 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring comparison that never trusts file extensions. At 100 TB
     this is the demux stage in front of per-modality decoders
     (mm_decode_stub / mm_audio_chunk_stub), one pass, no shuffle before
-    the per-modality aggregate."""
+    the per-modality aggregate. NULL payloads route to a 'missing' class
+    (r15 null sweep) — the router is where absent media gets ACCOUNTED,
+    which is why the decoder stubs may simply skip them."""
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])))
         .when(F.col("doc_id") % 3 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46])))
@@ -4275,7 +4282,8 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     sniffed = payloads.select(
         "doc_id",
         F.length("payload").alias("n_bytes"),
-        F.when(
+        F.when(F.col("payload").isNull(), "missing")
+        .when(
             F.substring("payload", 1, 4) == F.lit(bytes([0x89, 0x50, 0x4E, 0x47])),
             "image/png",
         )
@@ -6895,7 +6903,7 @@ def mm_audio_vad_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["longest_segment"].append(max(segs) if segs else 0)
             yield pd.DataFrame(out).astype("int64")
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(
@@ -6961,7 +6969,7 @@ def mm_patch_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "mean_patch_feat": "float64", "max_patch_feat": "int64"}
             )
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull()).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return (

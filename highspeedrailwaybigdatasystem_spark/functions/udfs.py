@@ -31,7 +31,8 @@ from ..operators._util import money, ratio, t
     "udf_python_scalar",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 50000 THEN 'budget'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice < 50000 THEN 'budget'
                 WHEN o_totalprice < 200000 THEN 'standard'
                 ELSE 'premium' END AS fare_band
     FROM orders
@@ -39,10 +40,17 @@ from ..operators._util import money, ratio, t
 )
 def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the slow path, kept for surface parity —
-    the same logic as a CASE expression stays JVM-side)."""
+    the same logic as a CASE expression stays JVM-side). NULL prices band
+    to NULL explicitly on BOTH sides (r15 null-injection sweep: a Python
+    UDF receives None where SQL sees NULL, and `None < 50000` raises —
+    while the un-annotated CASE's three-valued logic silently fell
+    through to 'premium', which was equally wrong; a missing price is not
+    a premium fare)."""
 
     @F.udf(StringType())
     def band(price: float) -> str:
+        if price is None:
+            return None
         if price < 50000:
             return "budget"
         if price < 200000:
@@ -197,11 +205,18 @@ def pandas_api_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udaf_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF (geometric mean) as a GROUPED_AGG pandas UDF — the
-    Spark-idiomatic way to define a new aggregate from Python."""
+    Spark-idiomatic way to define a new aggregate from Python. NULLs are
+    dropped before the mean (r15 null-injection sweep): SQL aggregates
+    skip NULLs, but a pandas Series carries them as NaN and NaN poisons
+    np.mean — the custom-UDAF author must reimplement null-skipping by
+    hand, which is exactly the trap this exhibit now documents."""
 
     @F.pandas_udf("double")
     def geo_mean(price: pd.Series) -> float:
-        return float(np.exp(np.log(price.to_numpy()).mean()))
+        vals = price.dropna().to_numpy()
+        if len(vals) == 0:
+            return None
+        return float(np.exp(np.log(vals).mean()))
 
     return (
         t(spark, sf_dir, "orders")
@@ -235,6 +250,11 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string, tok_len int")
     class LongTokens:
         def eval(self, text: str):
+            if text is None:
+                # NULL text fans out to zero rows — the oracle's
+                # regexp_split_to_array(NULL) path reaches the same end
+                # (NULL series, zero unnested rows). r15 null sweep.
+                return
             for i, tok in enumerate(text.split(" "), start=1):
                 if len(tok) >= 8:
                     yield i, tok, len(tok)
@@ -348,6 +368,13 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text: str, n: int):
+            if text is None:
+                # preserve the input row with NULL columns, matching the
+                # oracle's string_split(NULL)[i] -> NULL projection
+                # (a LATERAL yielding nothing would DROP the doc row
+                # instead — r15 null sweep).
+                yield tuple(None for _ in range(int(n)))
+                return
             toks = text.split(" ")
             yield tuple(toks[i] if i < len(toks) else None for i in range(int(n)))
 
@@ -465,15 +492,24 @@ def udf_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["o_orderkey", "n_items", "net_revenue",
                          "net_to_total_ratio"]
             )
+        # net_i stays float64 so a NULL discount flows through as NaN and
+        # the sum SKIPS it like SQL's sum() does (min_count=1 keeps an
+        # all-NULL group NULL instead of pandas' default 0.0); values are
+        # exact integers in float64 far past any per-order magnitude, so
+        # the integer-grid guarantee is unchanged. r15 null sweep: the
+        # old astype("int64") raised on the first NaN.
         items = items_pdf.assign(
             net_i=np.floor(
                 items_pdf["l_extendedprice"] * (1 - items_pdf["l_discount"])
                 * 10000 + 0.5
-            ).astype("int64")
+            )
         )
         per_order = (
             items.groupby("l_orderkey", sort=True)
-            .agg(n_items=("net_i", "size"), net_i=("net_i", "sum"))
+            .agg(
+                n_items=("net_i", "size"),
+                net_i=("net_i", lambda s: s.sum(min_count=1)),
+            )
             .reset_index()
             .merge(
                 orders_pdf[["o_orderkey", "o_totalprice"]],

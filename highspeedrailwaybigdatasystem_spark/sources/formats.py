@@ -262,7 +262,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
-    FROM documents WHERE doc_id < 50
+    FROM documents WHERE doc_id < 50 AND text IS NOT NULL
     """,
 )
 def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,9 +284,12 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage, exist_ok=True)
         rows = (
             _t(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < 50)
+            # a NULL payload has no file to stage (r15 null sweep) — the
+            # oracle filters the same rows, and binaryFile ingest of a
+            # real media corpus only ever sees files that exist
+            .where((F.col("doc_id") < 50) & F.col("text").isNotNull())
             .select("doc_id", "text")
-            .collect()  # 50 tiny rows: driver-side staging of the fixture files
+            .collect()  # <=50 tiny rows: driver-side staging of fixture files
         )
         for r in rows:
             with open(os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
