@@ -621,12 +621,16 @@ def _sim_block_side(
     GEMM work by copies² (round-10 sweep TIMEOUT); the oracle of every
     caller applies the same reps subquery. ``cap``: documented hard bound
     on the audited id range (applied after collapse), making the exact
-    all-pairs tier O(cap²) regardless of corpus size."""
-    src = t(spark, sf_dir, "embeddings")
+    all-pairs tier O(cap²) regardless of corpus size. NULL embeddings
+    are filtered on every side (r15 null-injection sweep): a missing
+    vector has no cosine to anything — numpy raised on the ragged
+    batch — and every caller's oracle filters its reps CTE identically."""
+    src = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     if collapse:
         keys = ["embedding", "label"] if with_label else ["embedding"]
         reps = (
             t(spark, sf_dir, "embeddings")
+            .where(F.col("embedding").isNotNull())
             .groupBy(*keys)
             .agg(F.min("vec_id").alias("vec_id"))
             .select("vec_id")
@@ -724,7 +728,8 @@ def _threshold_pair_kernel(threshold: float):
     "llm_sim_pairs_label",
     oracle=f"""
     WITH reps AS (
-      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding, label),
+      SELECT min(vec_id) AS vec_id FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY embedding, label),
     e AS (
       SELECT x.vec_id, x.embedding, x.label
       FROM embeddings x JOIN reps USING (vec_id))
@@ -786,7 +791,8 @@ def llm_sim_pairs_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_near_dup",
     oracle=f"""
     WITH reps AS (
-      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+      SELECT min(vec_id) AS vec_id FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY embedding),
     e AS (
       SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id))
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -946,23 +952,34 @@ def _lsh_approx_neighbors(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector("embedding").alias("vec")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        # NULL embeddings can be neither indexed nor queried (r15 null
+        # sweep: fit() raised on the null vector); the probe is the
+        # MINIMUM non-null vec_id — identical to vec 0 on a null-free
+        # corpus, well-defined on any other.
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", array_to_vector("embedding").alias("vec"))
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     )
     model = lsh.fit(e)
-    probe = e.where(F.col("vec_id") == 0).head()  # single bounded row: the probe key
+    probe = e.orderBy("vec_id").head()  # single bounded row: the probe key
     neighbors = model.approxNearestNeighbors(
-        e.where(F.col("vec_id") != 0), probe["vec"], k, distCol="euclid_dist"
+        e.where(F.col("vec_id") != probe["vec_id"]), probe["vec"], k,
+        distCol="euclid_dist"
     )
     return neighbors.select("vec_id", F.round("euclid_dist", 6).alias("euclid_dist"))
 
 
 @register(
     "llm_ann_lsh",
-    oracle="SELECT 0 AS probe_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+    oracle="""
+    SELECT CAST(min(vec_id) AS BIGINT) AS probe_id,
+           CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
 )
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN with an in-plan recall audit (r12 verdict task #2; rows-only
@@ -977,10 +994,13 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥1 hit above the floor. The recall/latency trade is the op's point;
     exact-checkable twins: llm_ivf_ann, llm_ann_recall_eval, llm_knn_all."""
     neighbors = _lsh_approx_neighbors(spark, sf_dir, k=10)
-    raw = t(spark, sf_dir, "embeddings")
-    probe_arr = raw.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    raw = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    probe_vid = raw.agg(F.min("vec_id")).head()[0]  # bounded scalar probe key
+    probe_arr = raw.where(F.col("vec_id") == probe_vid).select(
+        F.col("embedding").alias("p")
+    )
     exact_top = (
-        raw.where(F.col("vec_id") != 0)
+        raw.where(F.col("vec_id") != probe_vid)
         .crossJoin(F.broadcast(probe_arr))
         .select("vec_id", _dot(F.col("embedding"), F.col("p")).alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -990,7 +1010,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbors.join(exact_top, "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).alias("hits"))
         .select(
-            F.lit(0).alias("probe_id"),
+            F.lit(int(probe_vid)).cast("long").alias("probe_id"),
             F.lit(10).cast("long").alias("k"),
             (F.col("hits") >= 8).alias("recall_ok"),
         )
@@ -1001,7 +1021,8 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sim_blocked",
     oracle=f"""
     WITH reps AS (
-      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+      SELECT min(vec_id) AS vec_id FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY embedding),
     e AS (
       SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id)
       WHERE x.vec_id < 131072)
@@ -1043,7 +1064,8 @@ def llm_sim_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_components",
     oracle=f"""
     WITH RECURSIVE reps AS (
-      SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+      SELECT min(vec_id) AS vec_id FROM embeddings
+      WHERE embedding IS NOT NULL GROUP BY embedding),
     e AS (
       SELECT x.vec_id, x.embedding FROM embeddings x JOIN reps USING (vec_id)),
     edges AS (
@@ -2540,9 +2562,9 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     WITH probes AS (
         SELECT vec_id AS probe_id, embedding AS p FROM embeddings
-        WHERE vec_id % 200 = 0 AND vec_id < 12800),
+        WHERE vec_id % 200 = 0 AND vec_id < 12800 AND embedding IS NOT NULL),
     cents AS (
-        SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
+        SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
     assigned AS (
         SELECT vec_id, cent_id FROM (
             SELECT e.vec_id, c.cent_id,
@@ -2550,7 +2572,7 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
                        PARTITION BY e.vec_id
                        ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='c.cent')}, 6) DESC,
                                 c.cent_id) AS rn
-            FROM embeddings e CROSS JOIN cents c)
+            FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL)
         WHERE rn = 1),
     plists AS (
         SELECT probe_id, cent_id FROM (
@@ -2572,7 +2594,7 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
             JOIN assigned a ON e.vec_id = a.vec_id
             JOIN plists l ON a.cent_id = l.cent_id
             JOIN probes pr ON l.probe_id = pr.probe_id
-            WHERE e.vec_id <> pr.probe_id)
+            WHERE e.vec_id <> pr.probe_id AND e.embedding IS NOT NULL)
         WHERE rn <= 10),
     exact AS (
         SELECT probe_id, vec_id FROM (
@@ -2582,7 +2604,7 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
                        ORDER BY round({_DOT_ORACLE.format(a='e.embedding', b='pr.p')}, 6) DESC,
                                 e.vec_id) AS rn
             FROM embeddings e CROSS JOIN probes pr
-            WHERE e.vec_id <> pr.probe_id)
+            WHERE e.vec_id <> pr.probe_id AND e.embedding IS NOT NULL)
         WHERE rn <= 10)
     SELECT x.probe_id,
            round(CAST(count(i.vec_id) AS DOUBLE) / 10, 6) AS recall_at_10
@@ -2607,16 +2629,19 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     class). Probes and centroids broadcast legitimately (≤64 and 16 rows
     fixed); the exact arm is the only corpus-wide scan — the same cost as
     one brute-force query batch, paid once per index-quality audit, not
-    per query."""
-    e = t(spark, sf_dir, "embeddings")
+    per query. NULL embeddings are filtered from corpus, probe and
+    centroid sets alike (r15 null sweep) — a missing vector can neither
+    be indexed nor queried; oracle CTEs filter identically."""
+    nn = F.col("embedding").isNotNull()
+    e = t(spark, sf_dir, "embeddings").where(nn)
     probes = F.broadcast(
         t(spark, sf_dir, "embeddings")
-        .where((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800))
+        .where((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800) & nn)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
     )
     cents = F.broadcast(
         t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 16)
+        .where((F.col("vec_id") < 16) & nn)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
     )
     # Corpus-scaled dot counts (assignment N×16, exact arm N×64 probes) run
@@ -3770,11 +3795,12 @@ def _mmr_oracle() -> str:
          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))
        ORDER BY score DESC, vec_id LIMIT 1))""")
     return f"""
-    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    WITH probe AS (SELECT embedding AS p FROM embeddings
+                   WHERE vec_id = 0 AND embedding IS NOT NULL),
     cand AS (
       SELECT e.vec_id, e.embedding, round({dot_cp}, 6) AS simp
       FROM embeddings e, probe
-      WHERE e.vec_id <> 0
+      WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
       ORDER BY simp DESC, e.vec_id LIMIT 20),
     pair AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
@@ -3813,8 +3839,9 @@ def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (x, y) -> cast(x AS double) * cast(y AS double)),
                        cast(0.0 AS double), (acc, v) -> acc + v), 6) AS simp
         FROM embeddings e
-        CROSS JOIN (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) probe
-        WHERE e.vec_id <> 0
+        CROSS JOIN (SELECT embedding AS p FROM embeddings
+                    WHERE vec_id = 0 AND embedding IS NOT NULL) probe
+        WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
         ORDER BY simp DESC, e.vec_id LIMIT 20
         """
     ).cache()
@@ -3831,6 +3858,13 @@ def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).collect()
     simp_rows = {r["vec_id"]: r["simp"] for r in cand.select("vec_id", "simp").collect()}
+    if not simp_rows:
+        # probe vector absent (e.g. NULL embedding, r15 null sweep):
+        # nothing to rank — empty result, stable schema, like the
+        # oracle's empty probe CTE.
+        return cand.limit(0).select(
+            "vec_id", F.lit(1).alias("mmr_rank"), F.col("simp").alias("sim")
+        )
     si = {(r["u"], r["v"]): r["si"] for r in pairs}
     simp_int = {vid: round(s * 1_000_000) for vid, s in simp_rows.items()}
 
@@ -6047,12 +6081,18 @@ def _pq_sql(dialect: str) -> str:
             " * (cast(x AS double) - cast(y AS double))),"
             " cast(0.0 AS double), (acc, e) -> acc + e)"
         )
+        # NULL embeddings are excluded from vectors AND centroids (r15
+        # null sweep: a NULL-d2 centroid won every Spark argmin via ASC
+        # NULLS FIRST while DuckDB's NULLS LAST ignored it — the classic
+        # cross-engine null-ordering split).
         vecs = (
             "SELECT vec_id, s, {sub} AS sub FROM embeddings {grid}"
+            " WHERE embedding IS NOT NULL"
         ).format(sub=sub, grid=grid)
         cents = (
             "SELECT vec_id AS code, s, {sub} AS sub"
-            " FROM embeddings {grid} WHERE vec_id < 16"
+            " FROM embeddings {grid}"
+            " WHERE vec_id < 16 AND embedding IS NOT NULL"
         ).format(sub=sub, grid=grid)
     else:
         sub = "embedding[s * 16 + 1 : s * 16 + 16]"
@@ -6062,10 +6102,14 @@ def _pq_sql(dialect: str) -> str:
             " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
             " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
         )
-        vecs = f"SELECT vec_id, s, {sub} AS sub FROM embeddings {grid}"
+        vecs = (
+            f"SELECT vec_id, s, {sub} AS sub FROM embeddings {grid}"
+            f" WHERE embedding IS NOT NULL"
+        )
         cents = (
             f"SELECT vec_id AS code, s, {sub} AS sub"
-            f" FROM embeddings {grid} WHERE vec_id < 16"
+            f" FROM embeddings {grid}"
+            f" WHERE vec_id < 16 AND embedding IS NOT NULL"
         )
     return f"""
     WITH vecs AS ({vecs}),
@@ -6080,7 +6124,11 @@ def _pq_sql(dialect: str) -> str:
       WHERE rn = 1)
     SELECT s AS subspace, CAST(code AS INT) AS code,
            CAST(count(*) AS BIGINT) AS n_assigned,
-           round(avg(d2), 6) AS avg_sq_err,
+           -- d2 is on the 1e-6 grid already; summing exact integer
+           -- micro-units makes the mean order-independent (a double
+           -- avg() split the 6th decimal on the null-injection corpus)
+           round(sum(CAST(round(d2 * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6)
+             AS avg_sq_err,
            round(max(d2), 6) AS max_sq_err
     FROM assigned
     GROUP BY s, code

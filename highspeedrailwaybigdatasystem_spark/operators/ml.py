@@ -62,7 +62,7 @@ def _kmeans_oracle() -> str:
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {_Q}, 0) AS BIGINT)) AS ei
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              ei AS c
@@ -93,8 +93,10 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid integers (cluster-count-sized, never data-sized). Clusters
     that empty out drop from the candidate set in BOTH engines. Output:
     cluster sizes, inertia (scaled back to float once), and an integer
-    centroid checksum proving the centroids themselves match."""
-    emb = t(spark, sf_dir, "embeddings")
+    centroid checksum proving the centroids themselves match. NULL
+    embeddings are excluded before init and assignment on both sides
+    (r15 null sweep: a NULL init vector crashed the centroid build)."""
+    emb = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     vq = emb.select(
         "vec_id",
         F.expr(
