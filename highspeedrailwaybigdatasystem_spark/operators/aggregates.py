@@ -1402,7 +1402,7 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY ALL
-    ORDER BY ALL
+    ORDER BY ALL NULLS FIRST
     LIMIT 40
     """,
 )
@@ -1411,8 +1411,12 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorthand adopted by Spark 4: grouping keys inferred from the
     non-aggregate select list, sort keys from the full select list.
     Pure syntax surface (lowering is identical to the explicit forms:
-    one hash aggregate + one range-partition sort), and the one case
-    where the oracle SQL and the Spark SQL are the same text."""
+    one hash aggregate + one range-partition sort). The oracle text
+    differs by exactly one token (r15 null sweep): Spark sorts ASC
+    NULLS FIRST by default, DuckDB NULLS LAST, so under a LIMIT a
+    NULL-keyed group sits inside Spark's frontier and outside
+    DuckDB's — the shorthand inherits each engine's null ordering, and
+    a portable query must pin it explicitly."""
     return sql_q(
         spark,
         sf_dir,

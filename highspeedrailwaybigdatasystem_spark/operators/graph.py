@@ -38,7 +38,8 @@ def _pagerank_oracle() -> str:
       GROUP BY u.user_id)"""
         )
     return f"""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM users),
     edges AS (
       SELECT user_id AS src,
@@ -68,7 +69,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned once and reused; lineage is truncated with
     localCheckpoint so the iteration-10 plan is one superstep deep, not
     ten."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = users.count()
     edges = users.select(
         F.col("user_id").alias("src"),
@@ -107,7 +108,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     dedges AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
@@ -133,7 +135,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     one and benefits from the usual high-degree-vertex mitigation:
     degree-ordered edge direction, which the (min,max) canonical form
     already approximates)."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = users.count()
     dedges = users.select(
         F.col("user_id").alias("src"),
@@ -160,7 +162,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_degree_stats",
     oracle="""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     edges AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
@@ -185,7 +188,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative graph job: a heavy-tailed histogram says salt the hot
     vertices first. One edge-dedup shuffle + one vertex-grain count +
     one |degrees|-row histogram agg — no iteration, no global sort."""
-    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = ev.count()  # vertex count: one tiny job, literal into the edge map
     edges = ev.select(
         F.col("user_id").alias("src"),
@@ -226,7 +229,8 @@ def _bfs_oracle() -> str:
       GROUP BY u.user_id)"""
         )
     return f"""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     nn AS (SELECT count(*) AS n FROM users),
     edges AS (
       SELECT user_id AS src,
@@ -255,7 +259,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vertex min aggregate; ``localCheckpoint`` truncates the growing
     lineage exactly as in pagerank. Output: reachable-user count per hop
     ring (≤ 5 hops)."""
-    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = ev.count()
     edges = ev.select(
         F.col("user_id").alias("src"),
@@ -300,7 +304,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_common_neighbors",
     oracle="""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     nn AS (SELECT count(*) AS n FROM users),
     edges0 AS (
       SELECT user_id AS src, (user_id * 7 + 13) % (SELECT n FROM nn) AS dst
@@ -352,7 +357,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["n"]
     und = spark.sql(
         f"""
-        WITH users AS (SELECT DISTINCT user_id FROM events),
+        WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
         edges0 AS (
           SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
           FROM users
@@ -404,7 +410,8 @@ def _kcore_oracle() -> str:
       SELECT e.u, e.v FROM e{i - 1} e
       JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)""")
     return f"""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     nn AS (SELECT count(*) AS n FROM users),
     edges0 AS (
       SELECT user_id AS src, (user_id * 7 + 13) % (SELECT n FROM nn) AS dst
@@ -446,7 +453,8 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["n"]
     edges = spark.sql(
         f"""
-        WITH users AS (SELECT DISTINCT user_id FROM events),
+        WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
         edges0 AS (
           SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
           FROM users
@@ -484,7 +492,8 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_assortativity",
     oracle="""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     edges0 AS (
       SELECT user_id AS src, (user_id * 7 + 13) % (SELECT count(*) FROM users)
         AS dst FROM users
@@ -529,7 +538,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["n"]
     und = spark.sql(
         f"""
-        WITH users AS (SELECT DISTINCT user_id FROM events),
+        WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
         edges0 AS (
           SELECT user_id AS src, (user_id * 7 + 13) % {n_vertices} AS dst
           FROM users
@@ -560,7 +570,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTERING_SQL = """
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     dedges AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
@@ -610,7 +621,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining (measured 173 accounted shuffles; cached form is 8). Scale
     shape: the two triangle equi-joins dominate exactly as in the count
     op; corner explode adds one |triangles|-row shuffle."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = users.count()
     und = (
         users.select(
@@ -655,7 +666,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINKPRED_SQL = """
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     dedges AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst FROM users
@@ -699,7 +711,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate generation is wedge-bounded, the same budget as triangle
     counting), then an anti join removes existing edges and two degree
     joins close the formula."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     n = users.count()
     und = (
         users.select(
@@ -761,7 +773,8 @@ def _lpa_sql() -> str:
       GROUP BY c.v)"""
         )
     return f"""
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     edges AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
@@ -805,7 +818,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges — Spark re-executed the events-distinct build for every CTE
     reference); ``_lpa_sql()`` is now oracle text only, and a plan test
     pins the single edge build."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct().cache()
     n = users.count()
     # Undirected edge MULTISET (UNION ALL in the oracle — duplicate and
     # self-loop edges keep their multiplicity in the neighbor-label counts).
@@ -842,7 +855,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_ORACLE = """
-    WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+    WITH users AS (SELECT DISTINCT user_id AS u FROM events
+                   WHERE user_id IS NOT NULL),
     b AS (
       SELECT u,
              CASE WHEN u = 0
@@ -892,7 +906,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     always produced dense ids; asserted mechanically below (one bounded
     vertex-grain aggregate) so a corpus regen that violates it fails
     loudly here instead of as a silent hash mismatch."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
     lo, hi, n_users = users.agg(
         F.min("user_id"), F.max("user_id"), F.count(F.lit(1))
     ).first()
@@ -959,7 +973,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _RECIP_SQL = """
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     e AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
@@ -992,7 +1007,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank discipline) and every count reads the cache; the
     reciprocal count is one self-join on the reversed key. The SQL
     text is the DuckDB oracle only."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct().cache()
     n = users.count()
     raw = users.select(
         F.col("user_id").alias("src"),
@@ -1017,7 +1032,8 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TWOHOP_SQL = """
-    WITH users AS (SELECT DISTINCT user_id FROM events),
+    WITH users AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL),
     e AS (
       SELECT user_id AS src,
              (user_id * 7 + 13) % (SELECT count(*) FROM users) AS dst
@@ -1061,7 +1077,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices. The adjacency is built ONCE as a cached temp view read
     by the degree, 2-hop and exclusion stages; the SQL text is the
     DuckDB oracle only."""
-    users = t(spark, sf_dir, "events").select("user_id").distinct().cache()
+    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct().cache()
     n = users.count()
     directed = users.select(
         F.col("user_id").alias("src"),

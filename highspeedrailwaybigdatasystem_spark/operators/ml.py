@@ -1349,7 +1349,8 @@ _DBSCAN_SQL = f"""
     WITH lv AS (
       SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
              CAST(count(*) AS BIGINT) AS n
-      FROM customer GROUP BY CAST(floor(c_acctbal) AS BIGINT)),
+      FROM customer WHERE c_acctbal IS NOT NULL
+      GROUP BY CAST(floor(c_acctbal) AS BIGINT)),
     g AS (
       SELECT v, n,
              CASE WHEN v - lag(v) OVER (ORDER BY v) > {_DBSCAN_EPS}
@@ -1832,7 +1833,7 @@ _GINI_AUC_SQL = """
     WITH s AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders),
+      FROM orders WHERE o_totalprice IS NOT NULL),
     lv AS (
       SELECT sc, CAST(sum(y) AS BIGINT) AS np,
              CAST(count(*) - sum(y) AS BIGINT) AS nn

@@ -397,7 +397,10 @@ def null_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_setops",
     oracle="""
     WITH d AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      SELECT doc_id,
+             coalesce(list_distinct(string_split(text, ' ')),
+                      CAST([] AS VARCHAR[])) AS toks
+      FROM documents)
     SELECT doc_id,
            coalesce(array_to_string(list_sort(list_distinct(list_concat(toks, ['hash', 'zzz_new']))), ','), '') AS union_toks,
            coalesce(array_to_string(list_sort(list_filter(toks, x -> x IN ('hash', 'join', 'scan'))), ','), '') AS common_toks,
@@ -410,9 +413,16 @@ def arr_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra against a constant vocabulary: union / intersect /
     except / overlap. Outputs are sorted then comma-joined — set-op result
     order is engine-specific, and array cells don't survive the external
-    canonicalizer (SURVEY.md §5.3)."""
+    canonicalizer (SURVEY.md §5.3). NULL text coalesces to the EMPTY set
+    on both sides (r15 null sweep): Spark's array_union(NULL, x) is NULL
+    while DuckDB's list_concat(NULL, x) is x — set algebra on an absent
+    set is only portable if you pick the identity element explicitly."""
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        F.coalesce(
+            F.array_distinct(F.split("text", " ")),
+            F.array().cast("array<string>"),
+        ).alias("toks"),
     )
     probe = F.array(F.lit("hash"), F.lit("join"), F.lit("scan"))
     return d.select(
@@ -801,14 +811,17 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
            regexp_extract(text, '([a-z]+)a', 1) AS first_a_stem,
-           CAST(CASE WHEN regexp_matches(text, 'spark.*stream|stream.*spark')
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN regexp_matches(text, 'spark.*stream|stream.*spark')
                 THEN 1 ELSE 0 END AS INT) AS both_terms
     FROM documents WHERE doc_id < 100
     """,
 )
 def str_regexp2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp battery 2 (Spark 3.5 additions): regexp_count, capture-group
-    extraction, multi-pattern containment via rlike alternation."""
+    extraction, multi-pattern containment via rlike alternation. NULL
+    text yields NULL in every column on both sides (r15 null sweep: the
+    oracle's bare CASE coerced Spark's three-valued rlike(NULL) to 0)."""
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return d.select(
         "doc_id",

@@ -188,7 +188,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist()    OVER w, 6) AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
-                 ORDER BY c_acctbal, c_custkey)
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,8 +204,11 @@ def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles at 100 TB, use the cutpoint pattern
     (``win_ntile_cutpoint`` / ``llm_curriculum_buckets``): tiny
     ``percentile`` agg → broadcast → map-side classify."""
+    # NULLS LAST pinned explicitly (r15 null sweep): Spark defaults ASC
+    # NULLS FIRST, DuckDB NULLS LAST — rank positions of a cohort with a
+    # NULL balance silently differ unless the query chooses.
     w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
-        "c_acctbal", "c_custkey"
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
     )
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -890,7 +893,8 @@ _DECAY_SQL = """
       SELECT user_id,
              exp(-CAST({epoch_diff} AS DOUBLE) / 86400.0 / 7.0) AS w,
              value
-      FROM events CROSS JOIN anchor)
+      FROM events CROSS JOIN anchor
+      WHERE user_id IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(w), 6) AS decayed_count,
