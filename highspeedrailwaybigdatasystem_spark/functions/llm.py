@@ -1944,7 +1944,8 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_window_chunking",
     oracle="""
     WITH base AS (
-        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE text IS NOT NULL),
     chunks AS (
         SELECT doc_id,
                CAST(len(tk) AS BIGINT) AS n_tok,
@@ -1969,9 +1970,15 @@ def llm_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield one partial chunk). Pure map-side transform+explode — no
     shuffle at all; at 100 TB chunking streams through the scan and the
     output is written partition-local. Chunk text is md5'd in the result
-    so the oracle compares content identity without hauling strings."""
-    base = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    so the oracle compares content identity without hauling strings.
+    NULL text yields zero chunks on both sides (r15 null sweep — and a
+    portability exhibit: Spark's greatest/least SKIP null arguments
+    while DuckDB's propagate them, so the unfiltered chunk-count
+    formula emitted one md5('')-chunk in Spark and none in DuckDB)."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
     )
     chunks = base.select(
         "doc_id",
@@ -2275,8 +2282,9 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source, n_chars
     FROM documents
-    WHERE doc_id % 10 >= 8
-      AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 10 < 8)
+    WHERE doc_id % 10 >= 8 AND text IS NOT NULL
+      AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 10 < 8 AND text IS NOT NULL)
     """,
 )
 def llm_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2312,7 +2320,11 @@ def _bloom_dedup_impl(spark: SparkSession, sf_dir: str, m_bits: int) -> DataFram
     M = m_bits           # bitmap bits
     W = 64               # word width
     P = 4294967291       # 32-bit prime, same family as llm_minhash_banding
-    docs = t(spark, sf_dir, "documents")
+    # NULL text has no content hash — excluded from corpus AND batch on
+    # both sides (r15 null sweep: one NULL in the oracle's NOT IN set
+    # made EVERY membership test UNKNOWN and emptied the result — the
+    # join_null_aware_anti trap biting an oracle).
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     h32 = F.expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)")
     corpus = docs.where(F.col("doc_id") % 10 < 8).select(
         F.md5("text").alias("h"), h32.alias("h32")
@@ -4173,6 +4185,7 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT md5(d.text) AS h, d.lang, c.cut, count(*) AS m
         FROM documents d JOIN __lc_cuts c
           ON substr(md5(CAST(d.doc_id AS STRING)), 1, 2) < c.cut
+        WHERE d.text IS NOT NULL
         GROUP BY md5(d.text), d.lang, c.cut
         """
     ).cache()
@@ -4181,7 +4194,8 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         """
         SELECT md5(text) AS h, lang, min(doc_id) AS rep_doc
-        FROM documents GROUP BY md5(text), lang
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY md5(text), lang
         """
     ).createOrReplaceTempView("__lc_reps")
     k = spark.sql(
@@ -4201,13 +4215,15 @@ def llm_data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = {
         "__lc_cnt": """
             SELECT m.cut, k.lang, k.token, sum(k.k * m.m) AS c
-            FROM __lc_k k JOIN __lc_m m ON m.h = k.h AND m.lang = k.lang
+            FROM __lc_k k JOIN __lc_m m
+              ON m.h = k.h AND m.lang <=> k.lang
             GROUP BY m.cut, k.lang, k.token""",
         "__lc_tot": """
             SELECT cut, lang, sum(c) AS tt FROM __lc_cnt GROUP BY cut, lang""",
         "__lc_vocab": """
             SELECT m.cut, count(DISTINCT k.token) AS v
-            FROM __lc_k k JOIN __lc_m m ON m.h = k.h AND m.lang = k.lang
+            FROM __lc_k k JOIN __lc_m m
+              ON m.h = k.h AND m.lang <=> k.lang
             GROUP BY m.cut""",
         "__lc_prior": """
             SELECT cut, lang, sum(m) AS d FROM __lc_m GROUP BY cut, lang""",
@@ -6295,7 +6311,8 @@ _CDC_SPARK = f"""
       -- integer products; chunked volume tracks DISTINCT content
       SELECT md5(text) AS ht, source, min(doc_id) AS rep_doc,
              count(*) AS mult
-      FROM documents GROUP BY md5(text), source),
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY md5(text), source),
     d AS (
       SELECT g.ht, g.source, g.mult, split(dd.text, ' ') AS tk,
              size(split(dd.text, ' ')) AS n
@@ -6351,7 +6368,7 @@ _CDC_DUCK = f"""
     WITH d AS (
       SELECT doc_id, source, string_split(text, ' ') AS tk,
              len(string_split(text, ' ')) AS n
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     b AS (
       SELECT doc_id, source, tk, n,
              list_concat(list_concat([0],

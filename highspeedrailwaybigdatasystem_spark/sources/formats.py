@@ -309,7 +309,7 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +324,10 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     wholeTextFiles-era pipelines expect."""
     d = scratch_dir("text_lines_docs")
     shutil.rmtree(d, ignore_errors=True)
-    docs = t(spark, sf_dir, "documents")
+    # a NULL-text doc has no line to write (r15 null sweep: concat_ws
+    # SKIPS nulls, so the null doc wrote its id as a tab-less line that
+    # read back as its own body)
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     docs.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
     ).write.mode("overwrite").text(d)
@@ -487,15 +490,20 @@ def src_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.col("event_id").cast("string"),
                 F.lit(",xx"),
-                F.col("user_id").cast("string"),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
                 F.lit(",corrupted"),
             ),
         )
         .otherwise(
-            F.concat_ws(
-                ",",
+            # concat (not concat_ws): a NULL user_id must serialize as an
+            # EMPTY FIELD, not a dropped one — concat_ws skips nulls, so
+            # the row lost a column and its event_type poisoned the
+            # LongType slot into _corrupt_record (r15 null sweep)
+            F.concat(
                 F.col("event_id").cast("string"),
-                F.col("user_id").cast("string"),
+                F.lit(","),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                F.lit(","),
                 F.col("event_type"),
             )
         )
