@@ -4516,7 +4516,7 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, h, n_tok, n_uniq FROM (
           SELECT m.*, min(doc_id) OVER (PARTITION BY h) AS keep
           FROM __cf_meta m)
-        WHERE doc_id = keep
+        WHERE doc_id = keep AND h IS NOT NULL
         """
     ).createOrReplaceTempView("__cf_s1")
     spark.sql(
