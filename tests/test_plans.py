@@ -604,6 +604,11 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         # (llm_ivf_ann, llm_ann_recall_eval, mm_embed_sim_stub)
         (
             "llm.py",
+            "t(spark, sf_dir, 'embeddings').where((F.col('vec_id') < 16) & nn)"
+            ".select(F.col('vec_id').alias('cent_id'), F.col('embedding').alias('cent'))",
+        ),
+        (
+            "llm.py",
             "t(spark, sf_dir, 'embeddings').where(F.col('vec_id') < 16)"
             ".select(F.col('vec_id').alias('cent_id'), F.col('embedding').alias('cent'))",
         ),
@@ -615,7 +620,7 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         (
             "llm.py",
             "t(spark, sf_dir, 'embeddings').where((F.col('vec_id') % 200 == 0)"
-            " & (F.col('vec_id') < 12800))"
+            " & (F.col('vec_id') < 12800) & nn)"
             ".select(F.col('vec_id').alias('probe_id'), F.col('embedding').alias('p'))",
         ),
         (
