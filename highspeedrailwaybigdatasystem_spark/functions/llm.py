@@ -2570,6 +2570,118 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "llm_stop_chunk_stats",
+    oracle="""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE text IS NOT NULL GROUP BY md5(text)),
+    toks AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS tk
+      FROM documents d JOIN reps USING (doc_id)),
+    chunk AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[i:i+19], ' ')) AS ch
+      FROM toks, UNNEST(generate_series(1, len(tk) - 19, 10)) AS t(i)
+      WHERE len(tk) >= 20),
+    freq AS (SELECT ch, CAST(count(*) AS BIGINT) AS df FROM chunk GROUP BY ch)
+    SELECT df,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) * df AS BIGINT) AS n_instances,
+           CAST(count(*) * df * (df - 1) / 2 AS BIGINT) AS pair_work
+    FROM freq GROUP BY df
+    """,
+)
+def llm_stop_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk doc-frequency DISTRIBUTION — the audit that tells you where
+    to set llm_chunk_overlap_dedup_capped's STOP_DF before running the
+    pair join: per df value, how many distinct chunks have it, how many
+    chunk instances they account for, and the pair_work they would
+    contribute to the uncapped self-join (n_chunks · df·(df−1)/2 — the
+    sum over df > N is EXACTLY the work the cap at N eliminates). On a
+    boilerplate-heavy corpus this table has a fat tail (one
+    million-distinct-doc licence header = one chunk with pair_work
+    ~5·10¹¹); reading it costs one linear chunk pass + a |distinct
+    chunks|-grain aggregate, which is why production runs the audit
+    BEFORE the O(Σ pair_work) join. Same exact-collapse + chunk scheme
+    (20-token window, stride 10) and NULL-text exclusion as the whole
+    substring-dedup family, so the df grain matches the capped op's
+    routing decision one-for-one."""
+    reps = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .join(reps, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 20)
+    )
+    chunk = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 19, 10),"
+                " i -> md5(array_join(slice(tk, i, 20), ' ')))"
+            )
+        ).alias("ch"),
+    ).distinct()
+    freq = chunk.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
+    return freq.groupBy("df").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.count(F.lit(1)) * F.col("df")).cast("long").alias("n_instances"),
+        (F.count(F.lit(1)) * F.col("df") * (F.col("df") - 1) / 2)
+        .cast("long")
+        .alias("pair_work"),
+    )
+
+
+@register(
+    "llm_null_profile",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(text) AS BIGINT) AS null_text,
+           CAST(count(*) - count(lang) AS BIGINT) AS null_lang,
+           round((count(*) - count(text)) * 1e0 / count(*), 6) AS text_null_rate,
+           round((count(*) - count(lang)) * 1e0 / count(*), 6) AS lang_null_rate,
+           CAST(sum(CASE WHEN text IS NULL AND lang IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_null
+    FROM documents GROUP BY source
+    """,
+)
+def llm_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-completeness profile per source — the data-quality gate a
+    100 TB ingest runs BEFORE any of the null-sensitive ops in this repo
+    (r15 institutionalization of the null-injection tier's lesson: every
+    operator had to choose a NULL semantics, and the profile is how a
+    pipeline knows which sources force those branches). count(*) −
+    count(col) is the portable null counter (count(col) skips NULLs in
+    every SQL engine — the one null-skipping behavior you can rely on);
+    the co-null column catches rows missing BOTH fields, which usually
+    indicates a broken extraction rather than sparse metadata. One
+    map-side pass, |sources|-grain aggregate, zero shuffles beyond the
+    final group-by — profile cost is a scan, which is why it runs on
+    every ingest batch."""
+    d = t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        (n - F.count("text")).alias("null_text"),
+        (n - F.count("lang")).alias("null_lang"),
+        F.round((n - F.count("text")) * 1.0 / n, 6).alias("text_null_rate"),
+        F.round((n - F.count("lang")) * 1.0 / n, 6).alias("lang_null_rate"),
+        F.sum(
+            F.when(F.col("text").isNull() & F.col("lang").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_null"),
+    )
+
+
+@register(
     "llm_ann_recall_eval",
     oracle=f"""
     WITH probes AS (

@@ -175,26 +175,26 @@ def _ensure_loaded() -> None:
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # ROUND 15 window — generated by tools/rotate_window.py:
-    # 1 never-gated (pool was 1) + 49 re-proof slots
+    # 3 never-gated (pool was 3) + 47 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    # pin: r15 seq 4 sha c4cbbf2e6b2a
-    "llm_chunk_overlap_dedup_capped", "etl_late_arriving_dim", "geo_grid_topk",
-    "join_broadcast", "tpch_q11", "ts_interpolate_linear",
-    "ts_ohlc", "ts_retention_cohort", "ts_sessionize",
-    "win_first_last", "win_ignore_nulls", "win_lag_lead",
-    "win_moving_avg", "win_moving_median", "win_named_window",
-    "win_ntile_pctrank", "win_rank_dense", "win_rownum_topk",
-    "win_running_sum", "win_session_window_fn", "agg_bitwise",
-    "agg_corr_covar", "agg_count_min_sketch", "agg_gini_concentration",
-    "agg_ols_multivariate", "arr_map_hof", "arr_setops",
-    "dt_business_days", "dt_format", "dt_interval_arith",
-    "dt_timezone", "etl_scd1_upsert", "graph_pagerank",
-    "graph_triangle_count", "join_array_membership", "join_asof_forward",
-    "join_temporal_scd2", "json_roundtrip", "json_variant",
-    "map_ops", "null_safe_math", "set_union_by_name",
-    "sql_identifier_dynamic", "sql_lateral_join", "sql_lateral_view",
-    "sql_parameterized", "sql_star_except", "sql_tvf_range",
-    "sql_udf", "sql_unpivot_syntax",
+    # pin: r15 seq 5 sha e231da757dde
+    "llm_chunk_overlap_dedup_capped", "llm_null_profile", "llm_stop_chunk_stats",
+    "etl_late_arriving_dim", "geo_grid_topk", "join_broadcast",
+    "tpch_q11", "ts_interpolate_linear", "ts_ohlc",
+    "ts_retention_cohort", "ts_sessionize", "win_first_last",
+    "win_ignore_nulls", "win_lag_lead", "win_moving_avg",
+    "win_moving_median", "win_named_window", "win_ntile_pctrank",
+    "win_rank_dense", "win_rownum_topk", "win_running_sum",
+    "win_session_window_fn", "agg_bitwise", "agg_corr_covar",
+    "agg_count_min_sketch", "agg_gini_concentration", "agg_ols_multivariate",
+    "arr_map_hof", "arr_setops", "dt_business_days",
+    "dt_format", "dt_interval_arith", "dt_timezone",
+    "etl_scd1_upsert", "graph_pagerank", "graph_triangle_count",
+    "join_array_membership", "join_asof_forward", "join_temporal_scd2",
+    "json_roundtrip", "json_variant", "map_ops",
+    "null_safe_math", "set_union_by_name", "sql_identifier_dynamic",
+    "sql_lateral_join", "sql_lateral_view", "sql_parameterized",
+    "sql_star_except", "sql_tvf_range",
 )
 # --- WINDOW END ---
 

@@ -122,3 +122,67 @@ def test_capped_is_subset_with_deflated_counts(spark):
     assert set(capped) <= set(full)
     for k, n in capped.items():
         assert n <= full[k], f"pair {k}: capped n_shared exceeds uncapped"
+
+
+def test_stop_chunk_stats_matches_bruteforce(spark):
+    """llm_stop_chunk_stats (new r15): df histogram + pair_work recomputed
+    from the same pure-python chunker used for the capped op's test —
+    and the cross-op invariant: sum of pair_work over df <= STOP_DF
+    equals the capped op's total n_shared (each kept shared chunk
+    contributes exactly its bucket's pairs)."""
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet", columns=["doc_id", "text"])
+    reps: dict[str, int] = {}
+    texts: dict[str, str] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if text is None:
+            continue
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h not in reps or doc_id < reps[h]:
+            reps[h] = int(doc_id)
+        texts[h] = text
+    df_count: dict[str, int] = defaultdict(int)
+    for h in reps:
+        tk = texts[h].split(" ")
+        if len(tk) < 20:
+            continue
+        for ch in {
+            hashlib.md5(" ".join(tk[i : i + 20]).encode()).hexdigest()
+            for i in range(0, len(tk) - 19, 10)
+        }:
+            df_count[ch] += 1
+    hist: dict[int, int] = defaultdict(int)
+    for n in df_count.values():
+        hist[n] += 1
+    out = all_queries()["llm_stop_chunk_stats"](spark, SF_ORACLE).toPandas()
+    got = {int(r.df): (int(r.n_chunks), int(r.n_instances), int(r.pair_work))
+           for r in out.itertuples()}
+    assert set(got) == set(hist)
+    for dfv, n in hist.items():
+        assert got[dfv] == (n, n * dfv, n * dfv * (dfv - 1) // 2), dfv
+    # cross-op invariant vs the capped pair table
+    capped = all_queries()["llm_chunk_overlap_dedup_capped"](spark, SF_ORACLE).toPandas()
+    kept_pair_work = sum(
+        n * dfv * (dfv - 1) // 2 for dfv, n in hist.items() if dfv <= STOP_DF
+    )
+    assert int(capped["n_shared"].sum()) == kept_pair_work
+
+
+def test_null_profile_counts(spark):
+    """llm_null_profile recomputed in pandas; zero null rates on the
+    pristine corpus, exact counts on the null-injection corpus when it
+    exists (generated by tools/gen_nullinj.py)."""
+    import os
+
+    for sf in (SF_ORACLE, "/root/repo/_scratch/nullinj"):
+        if not os.path.exists(f"{sf}/documents.parquet"):
+            continue
+        docs = pd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["source", "text", "lang"])
+        out = all_queries()["llm_null_profile"](spark, sf).toPandas()
+        for r in out.itertuples():
+            g = docs[docs["source"] == r.source]
+            assert r.n_docs == len(g)
+            assert r.null_text == int(g["text"].isna().sum())
+            assert r.null_lang == int(g["lang"].isna().sum())
+            assert r.both_null == int((g["text"].isna() & g["lang"].isna()).sum())
+        assert set(out["source"]) == set(docs["source"].unique())
