@@ -13,12 +13,19 @@ null-skipping aggregates) or an op-level non-null assumption.
 
 Deterministic injections (modulus-keyed, so reruns are identical):
 
-* customer:  c_acctbal NULL @ c_custkey%37==0; c_mktsegment NULL @ %41==0
+* customer:  c_acctbal NULL @ c_custkey%37==0; c_mktsegment NULL @ %41==0;
+             c_nationkey NULL @ %101==0 (wave 2: FK join keys)
 * orders:    o_totalprice NULL @ o_orderkey%53==0;
+             o_orderdate NULL @ %71==0 (wave 2: date windows/as-of);
              dropped entirely @ o_custkey%113==0  (customers w/o orders)
 * lineitem:  l_discount NULL @ l_orderkey%61==0; l_tax NULL @ %67==0;
+             l_quantity NULL @ l_partkey%73==0 and l_extendedprice NULL
+             @ l_suppkey%89==0 (wave 2: measures in money sums);
              dropped entirely @ l_orderkey%127==0 (orders w/o lineitems)
 * events:    user_id NULL @ event_id%43==0 (NULL JOIN KEYS);
+             value NULL @ event_id%59==0 (wave 2; ts stays NON-NULL —
+             the streaming replay oracles derive watermarks from max
+             event time, a separate perturbation axis);
              'signup' rows dropped (empty event_type group)
 * documents: text NULL @ doc_id%47==0; lang NULL @ doc_id%71==0
 * embeddings: embedding NULL @ vec_id%97==0
@@ -45,7 +52,9 @@ OUT = os.path.join(REPO, "_scratch", "nullinj")
 #: KEEP the base order and physical types (schemas.load pins them).
 RULES = {
     "customer": """
-        SELECT c_custkey, c_name, c_nationkey,
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 101 = 0 THEN NULL ELSE c_nationkey END
+                 AS c_nationkey,
                CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
                CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
         FROM t
@@ -53,12 +62,14 @@ RULES = {
     "orders": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
-               o_orderdate, o_orderpriority
+               CASE WHEN o_orderkey % 71 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+               o_orderpriority
         FROM t WHERE o_custkey % 113 <> 0
     """,
     "lineitem": """
-        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
-               l_extendedprice,
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CASE WHEN l_partkey % 73 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+               CASE WHEN l_suppkey % 89 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
                CASE WHEN l_orderkey % 61 = 0 THEN NULL ELSE l_discount END AS l_discount,
                CASE WHEN l_orderkey % 67 = 0 THEN NULL ELSE l_tax END AS l_tax,
                l_returnflag, l_linestatus, l_shipdate
@@ -67,7 +78,9 @@ RULES = {
     "events": """
         SELECT event_id, ts,
                CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END AS user_id,
-               event_type, value, props
+               event_type,
+               CASE WHEN event_id % 59 = 0 THEN NULL ELSE value END AS value,
+               props
         FROM t WHERE event_type <> 'signup'
     """,
     "documents": """
