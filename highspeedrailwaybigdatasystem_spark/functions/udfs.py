@@ -428,13 +428,17 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 }
             )
+            # count on the GROUP KEY, not the measure: arrow's count
+            # skips nulls, so counting `cents` undercounted rows with a
+            # NULL price vs the oracle's count(*) (r15 wave-2 null
+            # sweep); the sum already skips nulls like SQL sum
             grouped = tbl.group_by("l_returnflag").aggregate(
-                [("cents", "sum"), ("cents", "count")]
+                [("cents", "sum"), ("l_returnflag", "count")]
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     grouped["l_returnflag"].combine_chunks(),
-                    grouped["cents_count"].combine_chunks(),
+                    grouped["l_returnflag_count"].combine_chunks(),
                     grouped["cents_sum"].combine_chunks(),
                 ],
                 names=["l_returnflag", "n_rows", "price_cents"],

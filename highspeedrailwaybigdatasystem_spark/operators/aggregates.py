@@ -805,7 +805,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT l_returnflag, l_quantity AS v,
                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS wt
-        FROM lineitem),
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
     cum AS (
         SELECT l_returnflag, v,
                sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
@@ -836,6 +837,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     is where an approx-quantile sketch would slot in."""
     per_v = (
         t(spark, sf_dir, "lineitem")
+        # a row with no observed value or weight is outside the sample
+        # (r15 wave-2 null sweep: a NULL level's window position differs
+        # between engines; NULL weights would poison the cent sums)
+        .where(
+            F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+        )
         .select(
             "l_returnflag",
             F.col("l_quantity").alias("v"),
@@ -1872,7 +1879,7 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lab AS (
       SELECT round(value, 2) AS v,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     lev AS (
       SELECT v, sum(grp) AS a, count(*) - sum(grp) AS b FROM lab GROUP BY v),
     tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lev),
@@ -1909,7 +1916,7 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH lab AS (
           SELECT round(value, 2) AS v,
                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         lev AS (
           SELECT v, sum(grp) AS a, count(*) - sum(grp) AS b FROM lab GROUP BY v),
         tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM lev),
@@ -1936,7 +1943,8 @@ _MWU_SQL = """
     WITH s AS (
       SELECT round(value, 2) AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
-      FROM events WHERE event_type IN ('click', 'view')),
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
     lev AS (SELECT v, sum(a) AS na, count(*) AS nt FROM s GROUP BY v),
     cum AS (
       SELECT v, na, nt,
@@ -1983,7 +1991,7 @@ _SPEARMAN_SQL = """
              rank() OVER (PARTITION BY event_type ORDER BY {ts_expr})
                + (count(*) OVER (PARTITION BY event_type, {ts_expr}) - 1) / 2e0
                AS ry
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(corr(rx, ry), 6) AS spearman_rho
     FROM r GROUP BY event_type ORDER BY event_type

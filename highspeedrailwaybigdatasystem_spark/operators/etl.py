@@ -81,7 +81,7 @@ def etl_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH changes AS (
         SELECT o_custkey, o_orderdate AS valid_from, o_totalprice, o_orderkey
-        FROM orders WHERE o_custkey < 100)
+        FROM orders WHERE o_custkey < 100 AND o_orderdate IS NOT NULL)
     SELECT o_custkey, o_orderkey, valid_from,
            lead(valid_from) OVER (PARTITION BY o_custkey
                                   ORDER BY valid_from, o_orderkey) AS valid_to,
@@ -96,10 +96,15 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each change record becomes a validity
     interval [valid_from, valid_to) via lead() over the per-key change
     sequence; the open interval is the current row. One shuffle on the
-    business key — the standard warehouse dimension-history pattern."""
+    business key — the standard warehouse dimension-history pattern.
+    Change records with a NULL effective date cannot form an interval
+    and are excluded on both sides (r15 wave-2 null sweep: their
+    position in the lead() sequence differed between engines, shifting
+    neighbors' valid_to and the is_current flag) — production routes
+    them to quarantine, not into the history."""
     c = (
         t(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") < 100)
+        .where((F.col("o_custkey") < 100) & F.col("o_orderdate").isNotNull())
         .select(
             "o_custkey",
             F.col("o_orderdate").alias("valid_from"),

@@ -463,7 +463,7 @@ def ml_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lab AS (
       SELECT round(value, 2) AS v,
              CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     lev AS (
       SELECT v, sum(y) AS p, count(*) - sum(y) AS n FROM lab GROUP BY v),
     ord2 AS (
@@ -498,7 +498,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH lab AS (
           SELECT round(value, 2) AS v,
                  CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END AS y
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         lev AS (
           SELECT v, sum(y) AS p, count(*) - sum(y) AS n FROM lab GROUP BY v),
         ord2 AS (

@@ -1103,7 +1103,8 @@ def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try_funcs",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(CASE WHEN (l_quantity % 2) = 0 THEN NULL
+           CAST(count(CASE WHEN l_quantity IS NULL OR (l_quantity % 2) = 0
+                           THEN NULL
                            ELSE l_extendedprice END) AS BIGINT) AS n_div_ok,
            round(sum(l_extendedprice / nullif(l_quantity % 2, 0)), 2)
              AS odd_qty_price_sum,

@@ -550,7 +550,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
                CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
-        FROM orders GROUP BY 1),
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
     trended AS (
         SELECT d, rev_cents,
                CAST(count(*) OVER w AS BIGINT) AS win_n,
@@ -578,6 +578,10 @@ def ts_seasonal_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 1=Sunday."""
     daily = (
         t(spark, sf_dir, "orders")
+        # an undated revenue point has no place on the time axis (r15
+        # wave-2 null sweep: the NULL day's position in the centered
+        # window differed between engines)
+        .where(F.col("o_orderdate").isNotNull())
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
         .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("rev_cents"))
     )
@@ -2232,7 +2236,7 @@ _M4_SQL = """
       SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
              event_id,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(cents) AS min_cents,
@@ -2251,7 +2255,7 @@ _M4_SQL = """
       SELECT CAST(event_id % 16 AS BIGINT) AS bucket,
              event_id,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(cents) AS min_cents,

@@ -812,17 +812,35 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q9 — product-type profit measure (supply cost surrogate: 60% of retail)
 # --------------------------------------------------------------------------
+#: Profit summed as EXACT integer ten-thousandths (the tpch_q11 pattern,
+#: extended to a SIGNED quantity in round 15 after the wave-2 null sweep
+#: moved a group's double sum onto a half-cent boundary): every factor is
+#: on a fixed decimal grid — price/discount/retail are 2-decimal, quantity
+#: integral — so l_extendedprice·(1−l_discount) is price_c·(100−disc_c)
+#: ten-thousandths and 0.6·retail·qty is 60·retail_c·qty. The sum is
+#: order-independent DECIMAL(38,0) arithmetic; one sign-aware half-up
+#: quantization to cents, then one exact display division. A NULL in any
+#: factor nulls the whole row term, which both engines' sum() skips —
+#: identical to the original formulation's row-level null semantics.
 _Q09_SQL = """
-SELECT {hint}n_name AS nation,
-       CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS profit
-FROM lineitem
-JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
-JOIN supplier ON s_suppkey = l_suppkey
-JOIN nation   ON n_nationkey = s_nationkey
-JOIN orders   ON o_orderkey = l_orderkey
-GROUP BY n_name, year(o_orderdate)
+SELECT nation, o_year,
+       CAST(CASE WHEN s10k >= 0 THEN floor((s10k + 5000) / 1e4)
+                 ELSE -floor((-s10k + 5000) / 1e4) END AS BIGINT) / 1e2
+         AS profit
+FROM (
+  SELECT {hint}n_name AS nation,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                  - 60 * CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s10k
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  GROUP BY n_name, year(o_orderdate)
+) g
 """
 
 

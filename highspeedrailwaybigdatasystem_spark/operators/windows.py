@@ -114,13 +114,17 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
+                                         ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  2) AS running_spend
     FROM orders
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend along the order timeline. An undated
+    order sorts FIRST (pinned in the oracle; Spark's ASC default) — the
+    r15 wave-2 null sweep: DuckDB's NULLS LAST default put it at the
+    timeline's END, shifting every running sum in the partition."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -255,7 +259,8 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(o_totalprice) OVER w2, 2) AS avg_spend
     FROM orders
     WHERE o_custkey < 100
-    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w  AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            w2 AS (PARTITION BY o_custkey)
     """,
@@ -276,7 +281,8 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(avg(o_totalprice) OVER w2, 2) AS avg_spend
         FROM orders
         WHERE o_custkey < 100
-        WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                w2 AS (PARTITION BY o_custkey)
         """
@@ -292,10 +298,12 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_custkey < 200)
     SELECT o_custkey, o_orderkey,
            round(last_value(settled IGNORE NULLS) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_settled,
            round(first_value(settled IGNORE NULLS) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS first_settled
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey), 2) AS first_settled
     FROM base
     """,
 )
