@@ -177,24 +177,24 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ROUND 15 window — generated by tools/rotate_window.py:
     # 3 never-gated (pool was 3) + 47 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    # pin: r15 seq 5 sha e231da757dde
+    # pin: r15 seq 6 sha d9d087b5ca47
     "llm_chunk_overlap_dedup_capped", "llm_null_profile", "llm_stop_chunk_stats",
-    "etl_late_arriving_dim", "geo_grid_topk", "join_broadcast",
-    "tpch_q11", "ts_interpolate_linear", "ts_ohlc",
-    "ts_retention_cohort", "ts_sessionize", "win_first_last",
-    "win_ignore_nulls", "win_lag_lead", "win_moving_avg",
-    "win_moving_median", "win_named_window", "win_ntile_pctrank",
-    "win_rank_dense", "win_rownum_topk", "win_running_sum",
-    "win_session_window_fn", "agg_bitwise", "agg_corr_covar",
-    "agg_count_min_sketch", "agg_gini_concentration", "agg_ols_multivariate",
-    "arr_map_hof", "arr_setops", "dt_business_days",
-    "dt_format", "dt_interval_arith", "dt_timezone",
-    "etl_scd1_upsert", "graph_pagerank", "graph_triangle_count",
-    "join_array_membership", "join_asof_forward", "join_temporal_scd2",
-    "json_roundtrip", "json_variant", "map_ops",
-    "null_safe_math", "set_union_by_name", "sql_identifier_dynamic",
-    "sql_lateral_join", "sql_lateral_view", "sql_parameterized",
-    "sql_star_except", "sql_tvf_range",
+    "agg_ks_test_two_sample", "agg_mann_whitney_u", "agg_spearman_rho",
+    "agg_weighted_median", "arr_setops", "etl_late_arriving_dim",
+    "etl_scd2_history", "geo_grid_join", "geo_grid_topk",
+    "graph_assortativity", "graph_bfs_distance", "graph_bipartite_projection",
+    "graph_clustering_coefficient", "graph_common_neighbors", "graph_connected_components",
+    "graph_degree_stats", "graph_jaccard_link_prediction", "graph_k_core",
+    "graph_label_propagation", "graph_pagerank", "graph_reciprocity",
+    "graph_triangle_count", "graph_two_hop_reach", "join_broadcast",
+    "llm_ann_lsh", "llm_ann_recall_eval", "llm_cdc_chunking",
+    "llm_curation_funnel", "llm_data_scaling_curve", "llm_dedup_components",
+    "llm_embed_near_dup", "llm_embedding_pq_codebook", "llm_incremental_bloom_dedup",
+    "llm_mmr_diverse_topk", "llm_sim_blocked", "llm_sim_pairs_label",
+    "llm_window_chunking", "ml_dbscan_1d", "ml_gini_auc_identity",
+    "ml_kmeans_lloyd", "ml_roc_auc", "mm_audio_chunk_stub",
+    "mm_audio_vad_stub", "mm_decode_stub", "mm_embed_sim_stub",
+    "mm_frame_sample", "mm_modality_router",
 )
 # --- WINDOW END ---
 

@@ -165,6 +165,78 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     #   hash join, shuffled at any scale.
     ("join_broadcast", 15),
     ("etl_late_arriving_dim", 15),
+    # round-15 null-injection wave 1 fixes (41 ops; each fix verified on
+    # BOTH _scratch/nullinj and the pristine mirrors — see BASELINE.md
+    # round-15 null tier section for the class taxonomy):
+    ("udf_python_scalar", 15),
+    ("udaf_custom", 15),
+    ("udtf_python", 15),
+    ("udtf_analyze_polymorphic", 15),
+    ("udf_cogrouped_apply", 15),
+    ("mm_decode_stub", 15),
+    ("mm_frame_sample", 15),
+    ("mm_audio_chunk_stub", 15),
+    ("mm_audio_vad_stub", 15),
+    ("mm_patch_embed_stub", 15),
+    ("mm_embed_sim_stub", 15),
+    ("mm_modality_router", 15),
+    ("src_binary_files", 15),
+    ("llm_sim_blocked", 15),
+    ("llm_sim_pairs_label", 15),
+    ("llm_embed_near_dup", 15),
+    ("llm_dedup_components", 15),
+    ("llm_ann_recall_eval", 15),
+    ("llm_mmr_diverse_topk", 15),
+    ("llm_ann_lsh", 15),
+    ("llm_embedding_pq_codebook", 15),
+    ("ml_kmeans_lloyd", 15),
+    ("graph_pagerank", 15),
+    ("graph_triangle_count", 15),
+    ("graph_degree_stats", 15),
+    ("graph_bfs_distance", 15),
+    ("graph_common_neighbors", 15),
+    ("graph_k_core", 15),
+    ("graph_assortativity", 15),
+    ("graph_clustering_coefficient", 15),
+    ("graph_jaccard_link_prediction", 15),
+    ("graph_label_propagation", 15),
+    ("graph_connected_components", 15),
+    ("graph_reciprocity", 15),
+    ("graph_two_hop_reach", 15),
+    ("graph_bipartite_projection", 15),
+    ("ml_dbscan_1d", 15),
+    ("ml_gini_auc_identity", 15),
+    ("sql_order_by_all", 15),
+    ("win_ntile_pctrank", 15),
+    ("win_exponential_decay_score", 15),
+    ("str_regexp2", 15),
+    ("arr_setops", 15),
+    ("llm_window_chunking", 15),
+    ("llm_cdc_chunking", 15),
+    ("llm_incremental_bloom_dedup", 15),
+    ("llm_data_scaling_curve", 15),
+    ("llm_curation_funnel", 15),
+    ("src_text_lines", 15),
+    ("src_csv_permissive_corrupt", 15),
+    # round-15 null-injection wave 2 fixes (NULL measures/dates/FK keys;
+    # 14 ops) + the geo shared-constant rewrite (geo_grid_join's synthesis
+    # now derives from the shared band constants) + tpch_q09's exact
+    # integer profit sums (signed q11 pattern):
+    ("agg_ks_test_two_sample", 15),
+    ("agg_mann_whitney_u", 15),
+    ("agg_spearman_rho", 15),
+    ("agg_weighted_median", 15),
+    ("ml_roc_auc", 15),
+    ("etl_scd2_history", 15),
+    ("scalar_try_funcs", 15),
+    ("ts_downsample_m4", 15),
+    ("ts_seasonal_ma", 15),
+    ("udf_map_in_arrow", 15),
+    ("win_running_sum", 15),
+    ("win_named_window", 15),
+    ("win_ignore_nulls", 15),
+    ("tpch_q09", 15),
+    ("geo_grid_join", 15),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
