@@ -174,27 +174,27 @@ def _ensure_loaded() -> None:
 #: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ROUND 15 window — generated by tools/rotate_window.py:
-    # 3 never-gated (pool was 3) + 47 re-proof slots
+    # ROUND 16 window — generated by tools/rotate_window.py:
+    # 0 never-gated (pool was 0) + 50 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    # pin: r15 seq 6 sha d9d087b5ca47
-    "llm_chunk_overlap_dedup_capped", "llm_null_profile", "llm_stop_chunk_stats",
-    "agg_ks_test_two_sample", "agg_mann_whitney_u", "agg_spearman_rho",
-    "agg_weighted_median", "arr_setops", "etl_late_arriving_dim",
-    "etl_scd2_history", "geo_grid_join", "geo_grid_topk",
-    "graph_assortativity", "graph_bfs_distance", "graph_bipartite_projection",
-    "graph_clustering_coefficient", "graph_common_neighbors", "graph_connected_components",
-    "graph_degree_stats", "graph_jaccard_link_prediction", "graph_k_core",
-    "graph_label_propagation", "graph_pagerank", "graph_reciprocity",
-    "graph_triangle_count", "graph_two_hop_reach", "join_broadcast",
-    "llm_ann_lsh", "llm_ann_recall_eval", "llm_cdc_chunking",
-    "llm_curation_funnel", "llm_data_scaling_curve", "llm_dedup_components",
-    "llm_embed_near_dup", "llm_embedding_pq_codebook", "llm_incremental_bloom_dedup",
-    "llm_mmr_diverse_topk", "llm_sim_blocked", "llm_sim_pairs_label",
-    "llm_window_chunking", "ml_dbscan_1d", "ml_gini_auc_identity",
-    "ml_kmeans_lloyd", "ml_roc_auc", "mm_audio_chunk_stub",
-    "mm_audio_vad_stub", "mm_decode_stub", "mm_embed_sim_stub",
-    "mm_frame_sample", "mm_modality_router",
+    # pin: r16 seq 1 sha 7a733e2daecd
+    "etl_bin_packing_plan", "etl_cascade_delete_plan", "etl_freshness_sla_audit",
+    "etl_incremental_state_merge_audit", "etl_k_anonymity_audit", "etl_null_rate_drift",
+    "etl_partition_skew_audit", "etl_pii_tokenization_vault", "etl_psi_drift",
+    "etl_quarantine_routing", "etl_survivorship_golden_record", "geo_grid_density",
+    "join_agg_pushdown_equivalence", "join_asof_tolerance", "join_cardinality_estimate_audit",
+    "join_fuzzy_levenshtein", "join_pk_fanout_audit", "llm_char_class_mix",
+    "llm_embedding_centroid_drift", "llm_format_detect", "llm_packing_efficiency_curve",
+    "llm_pii_scrub", "llm_preference_pairs", "llm_quality_classifier_linear",
+    "llm_quality_filter", "llm_quality_score", "llm_rag_context_pack",
+    "llm_seq_packing", "llm_source_mixture", "llm_span_corruption_stats",
+    "llm_stratified_sample", "llm_text_stats", "llm_tfidf_keywords",
+    "llm_token_bpe", "llm_token_budget_allocator", "llm_tokenizer_fertility",
+    "llm_truncation_loss_curve", "llm_vocab_coverage", "llm_watermark_greenlist_detect",
+    "llm_zipf_fit", "ml_beta_binomial_shrinkage", "ml_chi2_feature_ranking",
+    "ml_cohens_kappa", "ml_elbow_k_sweep", "mm_patch_embed_stub",
+    "scalar_try_funcs", "sql_order_by_all", "src_binary_files",
+    "src_csv_permissive_corrupt", "src_text_lines",
 )
 # --- WINDOW END ---
 

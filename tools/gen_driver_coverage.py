@@ -316,12 +316,16 @@ def plan_window(
 
       1. never-gated oracle-backed ops (sorted by name) — drain the pool;
       2. gated-but-never-green ops (a fail/err must be re-proven first);
-      3. ``REPROOF_REWRITTEN`` ops whose last green predates their rewrite
+      3. ops whose LATEST green is attested-only (judge-quoted, no on-disk
+         artifact ever — the r11 freeze) — an artifact has never touched
+         these, which is a strictly weaker provenance than ANY artifact
+         green, old or new, so they outrank the rewrite requeue (r15
+         verdict task #1: the 44-op cohort sat behind older artifact
+         greens for two rounds under the old within-round tie-break);
+      4. ``REPROOF_REWRITTEN`` ops whose last green predates their rewrite
          round (rewrite order: rewrite round desc, then name);
-      4. re-proof rotation over driver greens, oldest last-green first
-         (within a round: attested-only greens before artifact-backed
-         ones — weaker provenance re-proves first; then by name) — so
-         every op's evidence keeps refreshing.
+      5. re-proof rotation over driver greens, oldest last-green first
+         (then by name) — so every op's evidence keeps refreshing.
 
     Rows-only ops (no oracle) are excluded throughout: they can never gate
     green and would waste a slot every round.
@@ -337,16 +341,17 @@ def plan_window(
     window += sorted(
         n for n in oracle_backed if n in gated and n not in lg
     )
+    attested = latest_green_attested(hist)
+    window += sorted(n for n in oracle_backed if n in attested)
     window += sorted(
         (n for n in oracle_backed
-         if n in lg
+         if n in lg and n not in set(window)
          and lg[n] < REPROOF_REWRITTEN.get(n, 0) <= for_round),
         key=lambda n: (-REPROOF_REWRITTEN[n], n),
     )
-    attested = latest_green_attested(hist)
     rest = sorted(
         (n for n in oracle_backed if n in lg and n not in set(window)),
-        key=lambda n: (lg[n], 0 if n in attested else 1, n),
+        key=lambda n: (lg[n], n),
     )
     window += rest
     return window[:size]

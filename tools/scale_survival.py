@@ -52,6 +52,12 @@ def main() -> None:
     ap.add_argument("ops", nargs="*")
     ap.add_argument("--sf", default="_scratch/sf10")
     ap.add_argument("--timeout", type=float, default=100.0)
+    ap.add_argument(
+        "--resume-tail", action="store_true",
+        help="internal: this run is the crash-handoff child re-executing "
+        "the parent sweep's remaining ops; suppress the POOL header (the "
+        "parent already printed the whole sweep's denominator)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as mod
@@ -63,6 +69,22 @@ def main() -> None:
     spark = fresh_session()
     qs = mod.queries()
     names = args.ops or list(qs)
+    # Denominator transparency (r15 verdict task #3: the round-15 sweep
+    # reported 489/489 OK against a 491-op registry and nothing named the
+    # 2 missing ops — an explicit CLI op list had been drawn before two
+    # late-round registrations). The headline claim must state its pool:
+    # print pool size AND name every registered op NOT in this sweep, so
+    # a stale op list can never silently shrink the denominator again.
+    excluded = sorted(set(qs) - set(names))
+    unknown = sorted(set(names) - set(qs))
+    if not args.resume_tail:
+        print(
+            f"POOL {len(names)}/{len(qs)} registry ops"
+            + (f"; EXCLUDED: {', '.join(excluded)}" if excluded else "; EXCLUDED: none"),
+            flush=True,
+        )
+    if unknown:
+        raise SystemExit(f"unknown ops requested: {', '.join(unknown)}")
     # crash-prone tail last, stable relative order otherwise
     names = sorted(names, key=lambda n: n.startswith(_RUN_LAST_PREFIXES))
 
@@ -141,6 +163,7 @@ def main() -> None:
                                 args.sf,
                                 "--timeout",
                                 str(args.timeout),
+                                "--resume-tail",
                                 *remaining,
                             ],
                             stdout=subprocess.PIPE,
