@@ -2449,9 +2449,13 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_chunk_overlap_dedup_capped",
-    oracle="""
+#: Oracle template for llm_chunk_overlap_dedup_capped, parameterized on
+#: the stop-chunk doc-frequency cap. The REGISTERED oracle is this
+#: template at the default cap (2); tests/test_properties_r16_window.py
+#: sweeps a second cap value through `spark.graft.chunk_dedup.stop_df`
+#: and formats THIS SAME template with it, so Spark and DuckDB are
+#: parameterized from one source at every tested cap (r15 verdict #5).
+_CHUNK_CAPPED_ORACLE_TMPL = """
     WITH reps AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     toks AS (
@@ -2465,10 +2469,10 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT ch, count(*) AS df FROM chunk GROUP BY ch),
     kept AS (
       SELECT c.doc_id, c.ch FROM chunk c JOIN freq USING (ch)
-      WHERE freq.df <= 2),
+      WHERE freq.df <= {stop_df}),
     dropped AS (
       SELECT c.doc_id, count(*) AS n_stop FROM chunk c JOIN freq USING (ch)
-      WHERE freq.df > 2 GROUP BY c.doc_id)
+      WHERE freq.df > {stop_df} GROUP BY c.doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared,
            CAST(coalesce(max(da.n_stop), 0) AS BIGINT) AS stop_dropped_a,
@@ -2478,7 +2482,14 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN dropped da ON da.doc_id = a.doc_id
     LEFT JOIN dropped db ON db.doc_id = b.doc_id
     GROUP BY 1, 2
-    """,
+    """
+
+_CHUNK_CAPPED_DEFAULT_STOP_DF = 2
+
+
+@register(
+    "llm_chunk_overlap_dedup_capped",
+    oracle=_CHUNK_CAPPED_ORACLE_TMPL.format(stop_df=_CHUNK_CAPPED_DEFAULT_STOP_DF),
 )
 def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """llm_chunk_overlap_dedup with the STOP-CHUNK doc-frequency cap that
@@ -2507,13 +2518,29 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
     at the cap — the two quadratic killers of substring dedup, handled in
     that order.
 
-    STOP_DF = 2 here: the synthetic corpus's chunk doc-frequency tops out
-    at 4 (measured sf0.1), so a production-scale cap (~100s) would never
-    fire at any oracle-checked tier and the capped path would be dead
-    code at the gate — exactly the un-exercised-branch failure mode the
-    r14 geo_grid_topk verdict flagged. At 100 TB the cap is the tunable;
-    the plan shape is identical at any value."""
-    STOP_DF = 2
+    The cap is the conf ``spark.graft.chunk_dedup.stop_df`` (default 2,
+    mirroring ``spark.graft.geo_topk.force_cell_deg``'s override
+    pattern). Default 2 because the synthetic corpus's chunk
+    doc-frequency tops out at 4 (measured sf0.1), so a production-scale
+    cap (~100s) would never fire at any oracle-checked tier and the
+    capped path would be dead code at the gate — exactly the
+    un-exercised-branch failure mode the r14 geo_grid_topk verdict
+    flagged. The registered oracle is pinned at the default; the r16
+    window test sweeps a second value (3) with the oracle formatted from
+    the SAME template, so every tested cap is oracle-proven. At 100 TB
+    the cap is the tunable sized by llm_stop_chunk_stats; the plan shape
+    is identical at any value."""
+    stop_df = int(
+        spark.conf.get(
+            "spark.graft.chunk_dedup.stop_df",
+            str(_CHUNK_CAPPED_DEFAULT_STOP_DF),
+        )
+    )
+    if stop_df < 1:
+        raise ValueError(
+            f"spark.graft.chunk_dedup.stop_df={stop_df}: a cap below 1 "
+            "drops every chunk; use >=1"
+        )
     reps = (
         t(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("_h"))
@@ -2536,9 +2563,9 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("ch"),
     ).distinct()
     freq = chunk.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
-    kept = chunk.join(freq.where(F.col("df") <= STOP_DF), "ch").select("doc_id", "ch")
+    kept = chunk.join(freq.where(F.col("df") <= stop_df), "ch").select("doc_id", "ch")
     dropped = (
-        chunk.join(freq.where(F.col("df") > STOP_DF), "ch")
+        chunk.join(freq.where(F.col("df") > stop_df), "ch")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_stop"))
     )

