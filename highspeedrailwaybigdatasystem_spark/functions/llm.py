@@ -1584,9 +1584,12 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_ivf_ann",
-    oracle=f"""
+#: Shared by llm_ivf_ann (in-query assignment) and llm_ivf_index_persist
+#: (assignment built once, persisted, probe reads the stored lists): the
+#: two ops are REQUIRED to produce the identical answer — same centroids,
+#: same argmax assignment, same nprobe=4 probe lists, same top-10 — so
+#: they share one oracle text verbatim.
+_IVF_ANN_ORACLE = f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16),
     probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
@@ -1612,8 +1615,10 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.vec_id <> 0
     ORDER BY sim DESC, e.vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("llm_ivf_ann", oracle=_IVF_ANN_ORACLE)
 def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate nearest neighbor — the scale path for
     similarity search. Coarse quantizer: 16 deterministic centroids (the
@@ -1658,6 +1663,113 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(probe)
         .where(F.col("vec_id") != 0)
         .select("vec_id", "cent_id", F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register("llm_ivf_index_persist", oracle=_IVF_ANN_ORACLE)
+def llm_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the index PERSISTED — makes llm_ivf_ann's "write-once
+    index" claim real (r15 verdict task #6). llm_ivf_ann rebuilds the
+    inverted-list assignment inside every query; here the build is a
+    separate, once-per-corpus step whose output is written to parquet
+    PARTITIONED BY cent_id (each partition directory IS one inverted
+    list, holding its members' vectors — the on-disk layout of a real
+    IVF index), and the probe path reads ONLY the stored lists:
+
+      * build (once; skipped when the index on disk carries the current
+        corpus fingerprint): argmax-centroid assignment — map-side N×K
+        dots against 16 broadcast centroids, one row_number window —
+        written as (vec_id, embedding) under cent_id= partitions;
+      * probe (every query): the nprobe=4 nearest list ids are computed
+        from the 16 broadcast centroids and collected (4 rows — bounded
+        by nprobe, never by corpus), then the probe scans exactly those
+        4 partition directories via partition pruning (the plan shows
+        PartitionFilters on cent_id and NO window/assignment stage —
+        asserted by tests/test_plans.py::test_ivf_persist_probe_plan),
+        computes the query dots, and TakeOrdered's the top 10.
+
+    At 100 TB this is the difference between an ANN service and a batch
+    job: the N×K assignment (the expensive part) is paid once per corpus
+    version and amortized over every query, each of which touches
+    ~nprobe/K of the data. The corpus fingerprint (mtime+size of the
+    embeddings parquet) invalidates the index on regeneration, so a
+    stale index can never serve a new corpus. Results are REQUIRED to be
+    identical to llm_ivf_ann (same oracle text verbatim): persisting the
+    assignment must not change a single neighbor."""
+    import json
+    import os
+    from hashlib import md5 as _md5
+
+    from ..sources._scratch import scratch_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    root = scratch_dir("ivf_index")
+    idx_dir = os.path.join(root, _md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    data_dir = os.path.join(idx_dir, "lists")
+    meta_path = os.path.join(idx_dir, "meta.json")
+
+    cents = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+
+    def _index_current() -> bool:
+        try:
+            with open(meta_path) as fh:
+                return json.load(fh).get("fingerprint") == fingerprint
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
+    if not _index_current():
+        e = t(spark, sf_dir, "embeddings")
+        rn = Window.partitionBy("vec_id").orderBy(
+            F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
+        )
+        (
+            e.crossJoin(cents)
+            .withColumn("rn", F.row_number().over(rn))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(data_dir)
+        )
+        os.makedirs(idx_dir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"fingerprint": fingerprint, "k": 16, "nprobe": 4}, fh)
+
+    probe = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("p"))
+    )
+    # nprobe list selection: 16 centroids × 1 probe — the collect is
+    # bounded at nprobe rows by construction (never corpus-scaled), and
+    # materializing the ids as LITERALS is what lets the scan below prune
+    # to exactly these partition directories at plan time.
+    probe_ids = [
+        r.cent_id
+        for r in cents.crossJoin(probe)
+        .orderBy(F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id")
+        .limit(4)
+        .select("cent_id")
+        .collect()
+    ]
+    lists = spark.read.parquet(data_dir)
+    return (
+        lists.where(F.col("cent_id").isin(probe_ids))
+        .where(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            F.col("cent_id").cast("long").alias("cent_id"),
+            F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )

@@ -738,3 +738,24 @@ def test_broadcast_sites_classified_and_policy_clean():
     finally:
         sys.path.remove(tools)
     assert not problems, "\n".join(problems)
+
+
+def test_ivf_persist_probe_plan(spark):
+    """llm_ivf_index_persist's probe must SERVE from the stored inverted
+    lists, not rebuild them (r15 verdict task #6): the plan reads the
+    persisted index with partition pruning to exactly the nprobe cent_id
+    lists, contains NO window/assignment stage and no full-corpus
+    re-scan, and top-10 is a TakeOrderedAndProject."""
+    df = _QUERIES["llm_ivf_index_persist"](spark, SF_ORACLE)
+    s = formatted(df)
+    part_line = next(l for l in s.splitlines() if "PartitionFilters" in l)
+    assert "cent_id" in part_line and " IN " in part_line, part_line
+    assert "ivf_index" in s  # the scan target is the persisted index
+    assert "Window" not in s  # no in-query re-assignment
+    assert "TakeOrderedAndProject" in s
+    # the only corpus-table scan allowed is the 1-row probe-vector lookup
+    corpus_scans = [
+        l for l in s.splitlines()
+        if "embeddings.parquet" in l and "Location" in l
+    ]
+    assert len(corpus_scans) == 1, corpus_scans

@@ -113,3 +113,49 @@ def test_chunk_capped_nondefault_matches_bruteforce(spark):
 def test_chunk_capped_rejects_degenerate_cap(spark):
     with pytest.raises(Exception, match="stop_df"):
         _run_capped(spark, SF_SMOKE, 0)
+
+
+def _persist_meta_path(sf_dir: str) -> str:
+    import hashlib
+
+    from highspeedrailwaybigdatasystem_spark.sources._scratch import scratch_dir
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(scratch_dir("ivf_index"), tag, "meta.json")
+
+
+def test_ivf_persist_identical_to_in_query_ann(spark):
+    """Persisting the assignment must not change a single neighbor: the
+    persisted-index probe answers exactly what llm_ivf_ann answers."""
+    qs = all_queries()
+    a = qs["llm_ivf_ann"](spark, SF_ORACLE).toPandas()
+    b = qs["llm_ivf_index_persist"](spark, SF_ORACLE).toPandas()
+    pa = sorted(map(tuple, a[["vec_id", "cent_id", "sim"]].itertuples(index=False)))
+    pb = sorted(map(tuple, b[["vec_id", "cent_id", "sim"]].itertuples(index=False)))
+    assert pa == pb
+
+
+def test_ivf_persist_is_write_once(spark):
+    """Second call with an unchanged corpus must SERVE, not rebuild: the
+    index meta file's mtime is untouched by a repeat query."""
+    qs = all_queries()
+    qs["llm_ivf_index_persist"](spark, SF_SMOKE).count()
+    meta = _persist_meta_path(SF_SMOKE)
+    m0 = os.stat(meta).st_mtime_ns
+    qs["llm_ivf_index_persist"](spark, SF_SMOKE).count()
+    assert os.stat(meta).st_mtime_ns == m0, "repeat query rebuilt the index"
+
+
+def test_ivf_persist_rebuilds_on_stale_fingerprint(spark):
+    """A corpus-fingerprint mismatch must force a rebuild — a stale index
+    can never serve a regenerated corpus."""
+    import json
+
+    qs = all_queries()
+    qs["llm_ivf_index_persist"](spark, SF_SMOKE).count()
+    meta = _persist_meta_path(SF_SMOKE)
+    rec = json.load(open(meta))
+    rec["fingerprint"] = "stale"
+    json.dump(rec, open(meta, "w"))
+    qs["llm_ivf_index_persist"](spark, SF_SMOKE).count()
+    assert json.load(open(meta))["fingerprint"] != "stale", "stale index served"

@@ -180,6 +180,10 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
         "topk", "bounded probe set (fixed probe ids)"),
     (f"{_P}/functions/llm.py", "llm_ivf_ann", 2): (
         "cutpoint", "nprobe posting-list cell ids per probe"),
+    (f"{_P}/functions/llm.py", "llm_ivf_index_persist", 0): (
+        "cutpoint", "IVF centroids (vec_id < 16, K fixed)"),
+    (f"{_P}/functions/llm.py", "llm_ivf_index_persist", 1): (
+        "domain", "single probe vector (1 row)"),
     (f"{_P}/functions/llm.py", "llm_source_mixture", 0): (
         "domain", "corpus-total scalar (1 row)"),
     (f"{_P}/functions/llm.py", "llm_curriculum_buckets", 0): (
