@@ -52,7 +52,14 @@ _OPERATOR_MODULES = (
     "highspeedrailwaybigdatasystem_spark.sources.formats",
     "highspeedrailwaybigdatasystem_spark.sources.custom_source",
     "highspeedrailwaybigdatasystem_spark.functions.udfs",
-    "highspeedrailwaybigdatasystem_spark.functions.llm",
+    # the LLM-pipeline family (one functions/llm.py until round 16; split
+    # per r15 verdict task #7 — registry names unchanged, shared helpers
+    # in functions/_llm_shared.py):
+    "highspeedrailwaybigdatasystem_spark.functions.llm_ann",
+    "highspeedrailwaybigdatasystem_spark.functions.llm_dedup",
+    "highspeedrailwaybigdatasystem_spark.functions.llm_text",
+    "highspeedrailwaybigdatasystem_spark.functions.llm_mix",
+    "highspeedrailwaybigdatasystem_spark.functions.llm_mm",
     "highspeedrailwaybigdatasystem_spark.streaming.streams",
 )
 

@@ -149,6 +149,9 @@ def test_full_surface_plan_hygiene(spark):
 
     BNLJ_OK = {
         "join_cross", "join_theta_range", "llm_ivf_ann", "llm_sim_topk",
+        "llm_ivf_index_persist",  # 1-row probe-vector broadcast over the
+                                  # nprobe-pruned stored lists (same shape
+                                  # as llm_ivf_ann's probe cross)
         # 1-row aggregate crossJoins:
         "ts_funnel", "etl_dq_audit", "llm_source_mixture", "llm_perplexity_proxy",
         "llm_perplexity_buckets",  # same 1-row unigram-total broadcast as proxy
@@ -551,14 +554,15 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg = os.path.join(repo, "highspeedrailwaybigdatasystem_spark")
     allowed_sql_hints = {
-        # llm.py: 1-row probe vectors (sim_topk family), 16 IVF centroids,
-        # 1-row min / lang-grain / centroid / total aliases
-        ("llm.py", "probe"),
-        ("llm.py", "knn_cents"),
-        ("llm.py", "m"),
-        ("llm.py", "w"),
-        ("llm.py", "cents"),
-        ("llm.py", "c"),
+        # llm family (split r16): 1-row probe vectors (sim_topk family),
+        # 16 IVF centroids, 1-row min / lang-grain / centroid / total aliases
+        ("llm_ann.py", "probe"),
+        ("llm_ann.py", "knn_cents"),
+        ("llm_ann.py", "cents"),
+        ("llm_ann.py", "c"),
+        ("llm_mix.py", "probe"),
+        ("llm_mix.py", "m"),
+        ("llm_mix.py", "w"),
         ("ml.py", "c"),  # 16 deterministic centroids (kmeans/fuzzy)
         # fixed dims (dim: sql_hints exhibit docstring)
         ("aggregates.py", "dim"),
@@ -574,11 +578,12 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         ("tpch.py", "n1"), ("tpch.py", "n2"),
         ("streams.py", "nation"),
         # tiny derived aggregates / bounded-grain builds
-        ("llm.py", "tot"), ("llm.py", "cuts"), ("llm.py", "mx"),
-        ("llm.py", "factors"), ("llm.py", "marks"), ("llm.py", "freq"),
-        ("llm.py", "words"), ("llm.py", "df_"),
+        ("llm_mix.py", "tot"), ("llm_mix.py", "cuts"), ("llm_mix.py", "mx"),
+        ("llm_mix.py", "factors"), ("llm_text.py", "marks"),
+        ("llm_text.py", "freq"), ("llm_text.py", "tot"),
+        ("llm_dedup.py", "words"), ("llm_text.py", "df_"),
         # llm_ann_lsh recall audit: 1-row probe embedding (vec_id = 0)
-        ("llm.py", "probe_arr"),
+        ("llm_ann.py", "probe_arr"),
         ("timeseries.py", "cuts"), ("windows.py", "cuts"),
         ("windows.py", "off"), ("aggregates.py", "sketch"),
         ("tpch.py", "top"), ("tpch.py", "best"),
@@ -603,38 +608,38 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         # 16 fixed IVF centroids / 1-row probes / <=64 capped probe set
         # (llm_ivf_ann, llm_ann_recall_eval, mm_embed_sim_stub)
         (
-            "llm.py",
+            "llm_ann.py",
             "t(spark, sf_dir, 'embeddings').where((F.col('vec_id') < 16) & nn)"
             ".select(F.col('vec_id').alias('cent_id'), F.col('embedding').alias('cent'))",
         ),
         (
-            "llm.py",
+            "llm_ann.py",
             "t(spark, sf_dir, 'embeddings').where(F.col('vec_id') < 16)"
             ".select(F.col('vec_id').alias('cent_id'), F.col('embedding').alias('cent'))",
         ),
         (
-            "llm.py",
+            "llm_ann.py",
             "t(spark, sf_dir, 'embeddings').where(F.col('vec_id') == 0)"
             ".select(F.col('embedding').alias('p'))",
         ),
         (
-            "llm.py",
+            "llm_ann.py",
             "t(spark, sf_dir, 'embeddings').where((F.col('vec_id') % 200 == 0)"
             " & (F.col('vec_id') < 12800) & nn)"
             ".select(F.col('vec_id').alias('probe_id'), F.col('embedding').alias('p'))",
         ),
         (
-            "llm.py",
+            "llm_ann.py",
             "cents.crossJoin(probe).orderBy(F.round(_dot(F.col('cent'),"
             " F.col('p')), 6).desc(), 'cent_id').limit(4).select('cent_id')",
         ),
         (
-            "llm.py",
+            "llm_ann.py",
             "cents.crossJoin(probes).withColumn('rn',"
             " F.row_number().over(rn_plist)).where(F.col('rn') <= 4)"
             ".select('probe_id', 'cent_id')",
         ),
-        ("llm.py", "emb.where(F.col('doc_id') == 0).select(F.col('e').alias('p'))"),
+        ("llm_mm.py", "emb.where(F.col('doc_id') == 0).select(F.col('e').alias('p'))"),
     }
     exempt_ops = {"join_broadcast", "join_theta_range"}
     sql_bad, dsl_bad = [], []

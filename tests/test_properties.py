@@ -309,7 +309,7 @@ def test_bloom_dedup_result_independent_of_fp_rate(spark):
     anti-join confirm, so shrinking it 512× (m = 2^8 bits for ~400 corpus
     hashes ⇒ FP rate ≈ 1.0, nearly every batch row takes the join) must
     yield the IDENTICAL result set."""
-    from highspeedrailwaybigdatasystem_spark.functions.llm import _bloom_dedup_impl
+    from highspeedrailwaybigdatasystem_spark.functions.llm_dedup import _bloom_dedup_impl
     from tests.conftest import SF_ORACLE
 
     key = lambda df: sorted(
@@ -380,7 +380,7 @@ def test_importance_resample_bounds_and_floor(spark):
     scale that a 100% zero-kept language would mean a broken decision)."""
     from tests.conftest import SF_ORACLE
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_mix import (
         llm_importance_resample,
     )
 
@@ -400,7 +400,7 @@ def test_semdedup_counts_partition_clusters(spark):
 
     from tests.conftest import SF_ORACLE
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_ann import (
         llm_semdedup_centroid,
     )
 
@@ -480,7 +480,7 @@ def test_learning_curve_train_sets_are_nested(spark):
     disjoint from every train set, and train_docs increases with cut."""
     from tests.conftest import SF_ORACLE
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_mix import (
         llm_data_scaling_curve,
     )
 
@@ -498,7 +498,7 @@ def test_curation_funnel_is_monotone(spark):
     fractions are consistent with the counts."""
     from tests.conftest import SF_ORACLE
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_mix import (
         llm_curation_funnel,
     )
 
@@ -521,7 +521,7 @@ def test_knn_eval_covers_corpus_and_bounds(spark):
 
     from tests.conftest import SF_ORACLE
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_ann import (
         ml_knn_classifier_eval,
     )
 

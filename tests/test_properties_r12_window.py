@@ -320,7 +320,7 @@ def test_dot64_vec_bit_identical_to_fold():
     flipping otherwise (ADVICE r11 medium: the old np.einsum kernel was
     only empirically identical). cumsum(axis=1) accumulates strictly
     sequentially, and 0.0 + x0 == x0 exactly, so identity is structural."""
-    from highspeedrailwaybigdatasystem_spark.functions.llm import _dot64_vec
+    from highspeedrailwaybigdatasystem_spark.functions.llm_ann import _dot64_vec
 
     rng = np.random.default_rng(12)
     n, dim = 5000, 64

@@ -54,7 +54,7 @@ def _run_capped(spark, sf_dir: str, stop_df: int):
 def test_chunk_capped_stop_df_sweep_vs_oracle(spark, duck, stop_df):
     from mirror import compare
 
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_dedup import (
         _CHUNK_CAPPED_ORACLE_TMPL,
     )
 

@@ -274,7 +274,7 @@ def test_hll_sketch_estimates_and_union_consistent(spark):
 
 def test_ann_lsh_neighbors_are_genuine(spark):
     import numpy as np
-    from highspeedrailwaybigdatasystem_spark.functions.llm import (
+    from highspeedrailwaybigdatasystem_spark.functions.llm_ann import (
         _lsh_approx_neighbors,
     )
 

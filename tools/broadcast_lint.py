@@ -159,48 +159,48 @@ _P = "highspeedrailwaybigdatasystem_spark"
 #: by ``sites()`` must appear here; tests/test_plans.py enforces exact
 #: equality of key sets and forbids class "corpus".
 SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
-    (f"{_P}/functions/llm.py", "_bloom_dedup_impl", 0): (
+    (f"{_P}/functions/llm_dedup.py", "_bloom_dedup_impl", 0): (
         "cutpoint", "bloom word table: <= m_bits/64 = 2048 rows, m_bits "
         "fixed by the op regardless of corpus size"),
-    (f"{_P}/functions/llm.py", "llm_ann_lsh", 0): (
+    (f"{_P}/functions/llm_ann.py", "llm_ann_lsh", 0): (
         "topk", "single probe embedding (vec_id == 0, 1 row)"),
-    (f"{_P}/functions/llm.py", "llm_ann_recall_eval", 0): (
+    (f"{_P}/functions/llm_ann.py", "llm_ann_recall_eval", 0): (
         "topk", "probe set bounded by construction: vec_id % 200 == 0 "
         "AND vec_id < 12800 -> <= 64 rows at ANY corpus size"),
-    (f"{_P}/functions/llm.py", "llm_ann_recall_eval", 1): (
+    (f"{_P}/functions/llm_ann.py", "llm_ann_recall_eval", 1): (
         "cutpoint", "16 IVF centroids (vec_id < 16)"),
-    (f"{_P}/functions/llm.py", "llm_ann_recall_eval", 2): (
+    (f"{_P}/functions/llm_ann.py", "llm_ann_recall_eval", 2): (
         "cutpoint", "posting lists: nprobe<=4 cells x <=64 probes"),
-    (f"{_P}/functions/llm.py", "llm_tfidf_keywords", 0): (
+    (f"{_P}/functions/llm_text.py", "llm_tfidf_keywords", 0): (
         "cutpoint", "per-token idf table over the doc-frequency-capped "
         "vocab (bounded by the min_df cut)"),
-    (f"{_P}/functions/llm.py", "llm_ivf_ann", 0): (
+    (f"{_P}/functions/llm_ann.py", "llm_ivf_ann", 0): (
         "cutpoint", "IVF centroids (vec_id < 8, K fixed)"),
-    (f"{_P}/functions/llm.py", "llm_ivf_ann", 1): (
+    (f"{_P}/functions/llm_ann.py", "llm_ivf_ann", 1): (
         "topk", "bounded probe set (fixed probe ids)"),
-    (f"{_P}/functions/llm.py", "llm_ivf_ann", 2): (
+    (f"{_P}/functions/llm_ann.py", "llm_ivf_ann", 2): (
         "cutpoint", "nprobe posting-list cell ids per probe"),
-    (f"{_P}/functions/llm.py", "llm_ivf_index_persist", 0): (
+    (f"{_P}/functions/llm_ann.py", "llm_ivf_index_persist", 0): (
         "cutpoint", "IVF centroids (vec_id < 16, K fixed)"),
-    (f"{_P}/functions/llm.py", "llm_ivf_index_persist", 1): (
+    (f"{_P}/functions/llm_ann.py", "llm_ivf_index_persist", 1): (
         "domain", "single probe vector (1 row)"),
-    (f"{_P}/functions/llm.py", "llm_source_mixture", 0): (
+    (f"{_P}/functions/llm_mix.py", "llm_source_mixture", 0): (
         "domain", "corpus-total scalar (1 row)"),
-    (f"{_P}/functions/llm.py", "llm_curriculum_buckets", 0): (
+    (f"{_P}/functions/llm_mix.py", "llm_curriculum_buckets", 0): (
         "cutpoint", "approx quantile cutpoints (1 row of 3 doubles)"),
-    (f"{_P}/functions/llm.py", "llm_perplexity_proxy", 0): (
+    (f"{_P}/functions/llm_text.py", "llm_perplexity_proxy", 0): (
         "cutpoint", "unigram LM: vocab-bounded token freqs above min count"),
-    (f"{_P}/functions/llm.py", "llm_perplexity_proxy", 1): (
+    (f"{_P}/functions/llm_text.py", "llm_perplexity_proxy", 1): (
         "domain", "corpus token-total scalar (1 row)"),
-    (f"{_P}/functions/llm.py", "llm_kl_divergence_split", 0): (
+    (f"{_P}/functions/llm_mix.py", "llm_kl_divergence_split", 0): (
         "domain", "corpus-total scalar (1 row)"),
-    (f"{_P}/functions/llm.py", "llm_oversample_minority", 0): (
+    (f"{_P}/functions/llm_mix.py", "llm_oversample_minority", 0): (
         "domain", "max class count scalar (1 row)"),
-    (f"{_P}/functions/llm.py", "llm_oversample_minority", 1): (
+    (f"{_P}/functions/llm_mix.py", "llm_oversample_minority", 1): (
         "domain", "per-language oversample factors (|langs| rows)"),
-    (f"{_P}/functions/llm.py", "mm_embed_sim_stub", 0): (
+    (f"{_P}/functions/llm_mm.py", "mm_embed_sim_stub", 0): (
         "topk", "single probe embedding (doc_id == 0, 1 row)"),
-    (f"{_P}/functions/llm.py", "llm_vocab_coverage", 0): (
+    (f"{_P}/functions/llm_text.py", "llm_vocab_coverage", 0): (
         "cutpoint", "vocab-size marks (K rows)"),
     (f"{_P}/operators/aggregates.py", "agg_rollup", 0): (
         "domain", "nation dim (25 rows at any SF)"),
@@ -253,25 +253,25 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
     (f"{_P}/streaming/streams.py", "stream_static_anti_join", 0): (
         "selectivity", "blocklist: bounded sample of users"),
     # --- SQL-string /*+ BROADCAST(x) */ hint sites ---
-    (f"{_P}/functions/llm.py", "sql:llm_hard_negative_mining", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_hard_negative_mining", 0): (
         "topk", "probe rows (fixed probe set)"),
-    (f"{_P}/functions/llm.py", "sql:llm_importance_resample", 0): (
+    (f"{_P}/functions/llm_mix.py", "sql:llm_importance_resample", 0): (
         "domain", "per-language marginals (|langs| rows)"),
-    (f"{_P}/functions/llm.py", "sql:llm_importance_resample", 1): (
+    (f"{_P}/functions/llm_mix.py", "sql:llm_importance_resample", 1): (
         "domain", "per-language keep probabilities (|langs| rows)"),
-    (f"{_P}/functions/llm.py", "sql:llm_knn_all", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_knn_all", 0): (
         "cutpoint", "k-NN centroid table (K fixed)"),
-    (f"{_P}/functions/llm.py", "sql:llm_mmr_diverse_topk", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_mmr_diverse_topk", 0): (
         "topk", "single probe embedding"),
-    (f"{_P}/functions/llm.py", "sql:llm_rag_context_pack", 0): (
+    (f"{_P}/functions/llm_mix.py", "sql:llm_rag_context_pack", 0): (
         "topk", "single probe embedding"),
-    (f"{_P}/functions/llm.py", "sql:llm_semdedup_centroid", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_semdedup_centroid", 0): (
         "cutpoint", "cluster centroids (K fixed)"),
-    (f"{_P}/functions/llm.py", "sql:llm_semdedup_sqrtn", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_semdedup_sqrtn", 0): (
         "cutpoint", "sqrt(n) centroids: sublinear by design (1e5 rows at "
         "n=1e10); growth across a 10x step is sqrt(10)=3.2x but absolute "
         "size stays far under the floor at gate tiers"),
-    (f"{_P}/functions/llm.py", "sql:llm_sim_topk", 0): (
+    (f"{_P}/functions/llm_ann.py", "sql:llm_sim_topk", 0): (
         "topk", "single probe embedding"),
     (f"{_P}/operators/aggregates.py", "sql:sql_hints", 0): (
         "domain", "nation dim (25 rows) — the op's surface IS the hint"),

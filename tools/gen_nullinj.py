@@ -33,6 +33,20 @@ Deterministic injections (modulus-keyed, so reruns are identical):
 
 Usage: python tools/gen_nullinj.py  -> _scratch/nullinj/
 Then:  python tools/mirror.py --sf _scratch/nullinj [ops...]
+
+WAVE 3 (r15 verdict task #9, the STREAMING axis): ``--stream`` writes a
+second corpus to _scratch/nullinj_stream/ that additionally injects
+* events.ts NULL @ event_id%83==0 — a NULL EVENT TIME entering
+  withWatermark / window() / session_window /
+  dropDuplicatesWithinWatermark state;
+* events.event_type NULL @ event_id%79==0 — a NULL routing/filter key
+  through the click/purchase splits and groupBy keys.
+The base nullinj corpus deliberately keeps ts NON-NULL (its wave-1/2
+oracles derive replay watermarks from max event time); the streaming
+axis therefore rides its own corpus so the batch tier's claims stay
+pinned to the corpus they were proven on. Mirror the 17 stream_* ops:
+    python tools/gen_nullinj.py --stream
+    python tools/mirror.py --sf _scratch/nullinj_stream stream_...
 """
 
 from __future__ import annotations
@@ -103,12 +117,32 @@ RULES = {
 }
 
 
+#: wave-3 events override: NULL event time + NULL routing key, on top of
+#: the wave-1 NULL user_id / value injections. The WHERE filters on the
+#: BASE event_type (signup drop) before the NULL override, so the drop
+#: set is identical to the base corpus's.
+STREAM_EVENTS_RULE = """
+    SELECT event_id,
+           CASE WHEN event_id % 83 = 0 THEN NULL ELSE ts END AS ts,
+           CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN event_id % 79 = 0 THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN event_id % 59 = 0 THEN NULL ELSE value END AS value,
+           props
+    FROM t WHERE event_type <> 'signup'
+"""
+
+
 def main() -> None:
-    os.makedirs(OUT, exist_ok=True)
+    stream = "--stream" in sys.argv
+    out = OUT + "_stream" if stream else OUT
+    rules = dict(RULES)
+    if stream:
+        rules["events"] = STREAM_EVENTS_RULE
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for table, sel in RULES.items():
+    for table, sel in rules.items():
         src = f"{BASE}/{table}.parquet"
-        dst = f"{OUT}/{table}.parquet"
+        dst = f"{out}/{table}.parquet"
         con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{src}')")
         con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
