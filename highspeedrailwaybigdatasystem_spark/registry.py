@@ -184,7 +184,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ROUND 16 window — generated by tools/rotate_window.py:
     # 1 never-gated (pool was 1) + 49 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    # pin: r16 seq 2 sha f94155335f29
+    # pin: r16 seq 3 sha dee8661ae9c8
     "llm_ivf_index_persist", "etl_bin_packing_plan", "etl_cascade_delete_plan",
     "etl_freshness_sla_audit", "etl_incremental_state_merge_audit", "etl_k_anonymity_audit",
     "etl_null_rate_drift", "etl_partition_skew_audit", "etl_pii_tokenization_vault",
@@ -200,8 +200,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_tokenizer_fertility", "llm_truncation_loss_curve", "llm_vocab_coverage",
     "llm_watermark_greenlist_detect", "llm_zipf_fit", "ml_beta_binomial_shrinkage",
     "ml_chi2_feature_ranking", "ml_cohens_kappa", "ml_elbow_k_sweep",
-    "mm_patch_embed_stub", "scalar_try_funcs", "sql_order_by_all",
-    "src_binary_files", "src_csv_permissive_corrupt",
+    "stream_foreachbatch", "stream_session", "stream_sliding",
+    "stream_topk_per_window", "stream_tumbling",
 )
 # --- WINDOW END ---
 

@@ -173,14 +173,23 @@ def _run_heavy_complete(spark: SparkSession, df, tag: str):
     oracle=f"""
     SELECT date_trunc('hour', {EVENTS_TS_US}) AS win_start, event_type,
            count(*) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per 1-hour tumbling window × type; complete-mode end state
-    equals the batch hourly rollup exactly."""
+    equals the batch hourly rollup exactly.
+
+    NULL EVENT TIME (§5.3, wave-3 null-injection find): a row with no
+    event time cannot be assigned to any window — Spark's window()
+    silently drops it, while a batch date_trunc keeps it as a NULL-window
+    group. The ingest filter makes the drop EXPLICIT and is shared
+    verbatim by the oracle; production counts such rows at ingest
+    (llm_null_profile) rather than windowing them. NULL event_type stays
+    a legitimate group key on both engines."""
     agg = (
         _stream_events(spark, sf_dir, tag="tumb")
+        .where(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("win_start"), "event_type", "cnt")
@@ -198,15 +207,18 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value), 2) AS value_sum
     FROM events
     CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 15 min, sum(value): each event lands in 4
     overlapping windows. Oracle reconstructs the same window set via a
-    generate_series cross join."""
+    generate_series cross join. NULL event time dropped explicitly at
+    ingest on BOTH engines (see stream_tumbling — wave-3 class)."""
     agg = (
         _stream_events(spark, sf_dir, tag="slide")
+        .where(F.col("ts").isNotNull())
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum"))
         .select(
@@ -230,7 +242,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag({EVENTS_TS_US})
                        OVER (PARTITION BY user_id ORDER BY {EVENTS_TS_US}, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     numbered AS (
       -- ORDER BY must be the IDENTICAL total order as the lag() window above:
       -- duplicate timestamps within a user would otherwise let the running
@@ -253,8 +265,13 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     all into driver heap — a Java-heap OOM at the 100x corpus (survival
     sweep find); RocksDB state + foreachBatch parquet overwrite keeps
     both state and output off-heap."""
+    # NULL event time cannot join any session — dropped explicitly at
+    # ingest on both engines (wave-3 class; the oracle's lag() null
+    # ordering would otherwise split sessions differently than
+    # session_window's implicit drop).
     agg = (
         _stream_events(spark, sf_dir, tag="sess")
+        .where(F.col("ts").isNotNull())
         .withWatermark("ts", "40 days")  # ≥ data span: keep all state
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -481,8 +498,14 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch upsert: each micro-batch's per-type counts are merged
     into an accumulator table (the idempotent-merge sink pattern — in
     production this is a MERGE INTO against a transactional table). Source
-    is staged twice → totals are exactly 2× the base table."""
-    totals: dict[str, int] = {}
+    is staged twice → totals are exactly 2× the base table.
+
+    NULL routing key (wave-3 null-injection find): a NULL event_type is a
+    legitimate MERGE key — both engines keep it as its own group. The
+    accumulator therefore sorts with a None-first key instead of bare
+    ``sorted()`` (which raises TypeError on a None/str mix — the exact
+    crash the wave-3 corpus exposed)."""
+    totals: dict[str | None, int] = {}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         for row in batch_df.groupBy("event_type").count().collect():
@@ -492,7 +515,11 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.createDataFrame(
-        [(k, v) for k, v in sorted(totals.items())], "event_type string, total_cnt long"
+        [
+            (k, v)
+            for k, v in sorted(totals.items(), key=lambda kv: (kv[0] is not None, kv[0] or ""))
+        ],
+        "event_type string, total_cnt long",
     )
 
 
@@ -544,7 +571,7 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY date_trunc('hour', {EVENTS_TS_US}), event_type
                ORDER BY value DESC, event_id) AS rnk
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT win_start, event_type, CAST(rnk AS INT) AS rnk, value
     FROM ranked WHERE rnk <= 3
     """,
@@ -559,10 +586,14 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate state is |windows × types × 3| per batch — bounded by the
     watermark horizon in production, never event-volume. Source staged
     twice (identical copies) to prove the merge dedups re-delivery:
-    the result equals the single-pass batch answer."""
+    the result equals the single-pass batch answer. NULL event time has
+    no window to rank in — dropped explicitly at ingest on both engines
+    (wave-3 class); NULL value ranks last under DESC on both engines and
+    NULL event_type remains a legitimate partition key."""
     from pyspark.sql.window import Window
 
     stream = _stream_events(spark, sf_dir, copies=2, tag="topkwin")
+    stream = stream.where(F.col("ts").isNotNull())
     windowed = stream.select(
         F.date_trunc("hour", "ts").alias("win_start"),
         "event_type",

@@ -237,6 +237,22 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     ("win_ignore_nulls", 15),
     ("tpch_q09", 15),
     ("geo_grid_join", 15),
+    # round-16 null-injection WAVE 3 (streaming axis — _scratch/
+    # nullinj_stream: NULL event time + NULL routing key). Five
+    # divergences, two classes:
+    # - NULL event time through window()/session_window/date_trunc
+    #   ranking: Spark's window operators drop it, batch SQL keeps it as
+    #   a NULL-window group; now dropped EXPLICITLY at ingest with the
+    #   filter shared verbatim by the oracle (tumbling, sliding, session,
+    #   topk_per_window);
+    # - NULL routing key through a driver-side accumulator: bare
+    #   sorted() raised TypeError on the None/str key mix
+    #   (foreachbatch) — NULL stays a legitimate merge-key group.
+    ("stream_tumbling", 16),
+    ("stream_sliding", 16),
+    ("stream_session", 16),
+    ("stream_topk_per_window", 16),
+    ("stream_foreachbatch", 16),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
