@@ -159,3 +159,71 @@ def test_ivf_persist_rebuilds_on_stale_fingerprint(spark):
     json.dump(rec, open(meta, "w"))
     qs["llm_ivf_index_persist"](spark, SF_SMOKE).count()
     assert json.load(open(meta))["fingerprint"] != "stale", "stale index served"
+
+
+# --- wave-3 streaming NULL contract (SURVEY.md §5.3 classes f/g) ---
+
+def _stream_nullinj_dir() -> str:
+    """Regenerate the wave-3 corpus if absent (deterministic: a DuckDB
+    rewrite of sf0.01 with NULL ts / NULL event_type injections)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "_scratch", "nullinj_stream")
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "gen_nullinj.py"), "--stream"],
+            check=True, cwd=repo,
+        )
+    return out
+
+
+def test_stream_null_event_time_contract(spark):
+    """Class (f): NULL event time has no window. stream_tumbling on the
+    wave-3 corpus must emit zero NULL win_start rows AND match its own
+    oracle (the explicit ingest filter is shared verbatim), which the
+    wave-3 mirror first proved; this pins it in-suite."""
+    import duckdb
+
+    from mirror import compare
+
+    from highspeedrailwaybigdatasystem_spark.registry import all_oracles
+
+    sf = _stream_nullinj_dir()
+    out = all_queries()["stream_tumbling"](spark, sf).toPandas()
+    assert out["win_start"].notna().all(), "NULL-window group leaked through"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = con.execute(all_oracles()["stream_tumbling"]).fetchdf()
+    con.close()
+    assert not compare("stream_tumbling", out, oracle)
+    # non-vacuity: the corpus really has NULL event times and NULL types
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "event_type"])
+    assert ev["ts"].isna().any() and ev["event_type"].isna().any()
+
+
+def test_stream_null_routing_key_contract(spark):
+    """Class (g): NULL routing key is a legitimate merge-key group.
+    stream_foreachbatch's accumulator must keep the NULL event_type group
+    (bare sorted() raised TypeError on the None/str mix before the fix)
+    and still match its oracle on the wave-3 corpus."""
+    import duckdb
+
+    from mirror import compare
+
+    from highspeedrailwaybigdatasystem_spark.registry import all_oracles
+
+    sf = _stream_nullinj_dir()
+    out = all_queries()["stream_foreachbatch"](spark, sf).toPandas()
+    assert out["event_type"].isna().any(), "NULL merge-key group missing"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = con.execute(all_oracles()["stream_foreachbatch"]).fetchdf()
+    con.close()
+    assert not compare("stream_foreachbatch", out, oracle)
