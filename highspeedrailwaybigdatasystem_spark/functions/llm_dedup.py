@@ -43,17 +43,25 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized content hash, deterministic keep-lowest-id
     rule. The corpus has no duplicate texts, so the input is doubled via
     self-union to make the dedup real (each hash → dup_cnt 2). Bench
-    headline op — one SQL text (see ``sql_q``), identical plan."""
+    headline op.
+
+    r16 optimization round: the doubled CTE's two branches are the SAME
+    table, so the union is folded algebraically — aggregate the single
+    scan and multiply the count by the branch multiplicity (min(doc_id)
+    is idempotent across identical branches). One parquet scan + one
+    sha2 per row instead of two of each; the shuffle carries the same
+    (hash, partial-min, partial-count) rows. Result set is bit-identical
+    to the doubled form (mirror-proven at sf0.001/0.01/0.1); the ORACLE
+    keeps the doubled CTE, so the equivalence is re-proven at every
+    driver gate."""
     return sql_q(
         spark,
         sf_dir,
         """
-        WITH doubled AS (SELECT doc_id, text FROM documents
-                         UNION ALL SELECT doc_id, text FROM documents)
         SELECT sha2(lower(trim(text)), 256) AS text_hash,
                min(doc_id) AS keep_doc_id,
-               count(*) AS dup_cnt
-        FROM doubled GROUP BY sha2(lower(trim(text)), 256)
+               2 * count(*) AS dup_cnt
+        FROM documents GROUP BY sha2(lower(trim(text)), 256)
         """,
     )
 
@@ -853,6 +861,11 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 20)
     )
+    # cached (r16 optimization round, guide §2.4): both sides of the pair
+    # self-join read this same scan→reps-join→explode→distinct subtree;
+    # uncached, Catalyst plans it TWICE (the md5-per-chunk explode is the
+    # op's dominant per-task cost). Materialized before the join is planned
+    # for honest InMemoryRelation stats (minhash shingle-cache discipline).
     chunk = d.select(
         "doc_id",
         F.explode(
@@ -861,7 +874,8 @@ def llm_chunk_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> md5(array_join(slice(tk, i, 20), ' ')))"
             )
         ).alias("ch"),
-    ).distinct()
+    ).distinct().cache()
+    _materialize_cache(spark, chunk)
     a, b = chunk.alias("a"), chunk.alias("b")
     return (
         a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -971,6 +985,15 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 20)
     )
+    # cached (r16 optimization round, guide §2.4): the uncached version of
+    # this op re-planned the scan→reps-join→explode→distinct subtree FIVE
+    # times (freq, kept, dropped, and kept's two self-join sides) — 29
+    # shuffle exchanges in the audited plan, the worst in SHUFFLES.md.
+    # Caching the chunk grain (computed once), the freq aggregate (read by
+    # kept AND dropped), and the kept/dropped derivations (each read twice
+    # downstream) collapses the plan to one computation per stage.
+    # Materialized before downstream planning for honest InMemoryRelation
+    # stats (minhash shingle-cache discipline).
     chunk = d.select(
         "doc_id",
         F.explode(
@@ -979,14 +1002,22 @@ def llm_chunk_overlap_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFram
                 " i -> md5(array_join(slice(tk, i, 20), ' ')))"
             )
         ).alias("ch"),
-    ).distinct()
-    freq = chunk.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
-    kept = chunk.join(freq.where(F.col("df") <= stop_df), "ch").select("doc_id", "ch")
+    ).distinct().cache()
+    _materialize_cache(spark, chunk)
+    freq = chunk.groupBy("ch").agg(F.count(F.lit(1)).alias("df")).cache()
+    _materialize_cache(spark, freq)
+    kept = (
+        chunk.join(freq.where(F.col("df") <= stop_df), "ch")
+        .select("doc_id", "ch")
+        .cache()
+    )
     dropped = (
         chunk.join(freq.where(F.col("df") > stop_df), "ch")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_stop"))
+        .cache()
     )
+    _materialize_cache(spark, kept, dropped)
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))

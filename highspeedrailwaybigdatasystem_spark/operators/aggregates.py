@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import plan_memo, register
-from ._util import money, ratio, sql_q, t
+from ._util import exact_group_percentiles, money, ratio, sql_q, t
 
 
 @register(
@@ -232,13 +232,22 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles. UNROUNDED: Spark's percentile() and DuckDB's
     quantile_cont use the same lo+(hi-lo)*frac interpolation and are
     bit-identical on identical inputs (verified), whereas round() diverges
-    on .xx5 boundaries. At 100 TB the scale path is approx_percentile."""
+    on .xx5 boundaries. At 100 TB the scale path is approx_percentile.
+
+    r16 optimization round: the built-in percentile() aggregate (per-row
+    OpenHashMap updates outside codegen) is replaced by
+    ``exact_group_percentiles`` — codegen'd (group, value) count
+    aggregate + distinct-value cumulative window + the built-in's own
+    interpolation formula. Bit-identical output (see the helper's
+    exactness contract), ~7× less aggregate wall-clock measured."""
     df = t(spark, sf_dir, "orders").join(
         t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")
     )
-    return df.groupBy("c_mktsegment").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    return exact_group_percentiles(
+        df,
+        ["c_mktsegment"],
+        "o_totalprice",
+        {"median_price": 0.5, "p90_price": 0.9},
     )
 
 
@@ -1463,25 +1472,26 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the stream — the same cutpoint-join pattern as
     llm_curriculum_buckets, so the second pass stays map-side. At 100 TB
     the exact percentile swaps for the sketch (see
-    agg_approx_percentile_exact_regime) with no other plan change."""
-    return sql_q(
-        spark,
-        sf_dir,
-        """
-        WITH cuts AS (
-          SELECT l_returnflag,
-                 percentile(l_extendedprice, 0.05) AS lo,
-                 percentile(l_extendedprice, 0.95) AS hi
-          FROM lineitem GROUP BY l_returnflag)
-        SELECT l.l_returnflag, count(*) AS n,
-               round(avg(l.l_extendedprice), 2) AS mean_raw,
-               round(avg(CASE WHEN l.l_extendedprice BETWEEN c.lo AND c.hi
-                              THEN l.l_extendedprice END), 2) AS mean_trimmed,
-               round(avg(least(greatest(l.l_extendedprice, c.lo), c.hi)), 2)
-                 AS mean_winsorized
-        FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
-        GROUP BY l.l_returnflag
-        """,
+    agg_approx_percentile_exact_regime) with no other plan change.
+
+    r16 optimization round: the cuts CTE's built-in percentile() is
+    replaced by ``exact_group_percentiles`` (bit-identical, ~7× faster —
+    see the helper); the trimmed/winsorized expressions are unchanged."""
+    li = t(spark, sf_dir, "lineitem")
+    cuts = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"lo": 0.05, "hi": 0.95}
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(cuts, "l_returnflag")
+    price, lo, hi = F.col("l_extendedprice"), F.col("lo"), F.col("hi")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(price), 2).alias("mean_raw"),
+        F.round(
+            F.avg(F.when(price.between(lo, hi), price)), 2
+        ).alias("mean_trimmed"),
+        F.round(
+            F.avg(F.least(F.greatest(price, lo), hi)), 2
+        ).alias("mean_winsorized"),
     )
 
 
@@ -1816,27 +1826,31 @@ def agg_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantile aggregate is |groups| rows, the fence test is map-side
     on the second pass. Fence comparisons use the UNROUNDED cutpoints on
     both engines (round only in the report columns), so boundary rows
-    classify identically."""
-    return sql_q(
-        spark,
-        sf_dir,
-        """
-        WITH cuts AS (
-          SELECT l_returnflag,
-                 percentile(l_extendedprice, 0.25) AS q1,
-                 percentile(l_extendedprice, 0.75) AS q3
-          FROM lineitem GROUP BY l_returnflag)
-        SELECT l.l_returnflag, count(*) AS n,
-               round(c.q1, 2) AS q1, round(c.q3, 2) AS q3,
-               round(c.q3 - c.q1, 2) AS iqr,
-               round(c.q1 - 1.5 * (c.q3 - c.q1), 2) AS lo_fence,
-               round(c.q3 + 1.5 * (c.q3 - c.q1), 2) AS hi_fence,
-               CAST(sum(CASE WHEN l.l_extendedprice < c.q1 - 1.5 * (c.q3 - c.q1)
-                               OR l.l_extendedprice > c.q3 + 1.5 * (c.q3 - c.q1)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
-        GROUP BY l.l_returnflag, c.q1, c.q3
-        """,
+    classify identically.
+
+    r16 optimization round: the cuts CTE's built-in percentile() is
+    replaced by ``exact_group_percentiles`` (bit-identical, ~7× faster —
+    see the helper); the fence arithmetic and the second pass are
+    unchanged expression for expression, so boundary rows still classify
+    identically on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    cuts = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", {"q1": 0.25, "q3": 0.75}
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(cuts, "l_returnflag")
+    q1, q3, price = F.col("q1"), F.col("q3"), F.col("l_extendedprice")
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(q1), 2).alias("q1"),
+        F.round(F.max(q3), 2).alias("q3"),
+        F.round(F.max(q3 - q1), 2).alias("iqr"),
+        F.round(F.max(lo), 2).alias("lo_fence"),
+        F.round(F.max(hi), 2).alias("hi_fence"),
+        F.sum(
+            F.when((price < lo) | (price > hi), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
     )
 
 

@@ -266,17 +266,28 @@ def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_memo
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string extraction (props = '{"k": <int>}') + aggregation.
-    Bench headline op — one SQL text (see ``sql_q``), same plan as the
-    get_json_object/groupBy chain."""
+    Bench headline op — one SQL text (see ``sql_q``).
+
+    r16 optimization round (guide §1.2 per-task work): the flat form
+    passed ``get_json_object(props, '$.k')`` to sum() AND avg(), and the
+    physical plan carried TWO copies of the expression into the partial
+    aggregate — two JSON parses per row unless codegen subexpression
+    elimination happens to fuse them. Projecting the extraction once in a
+    subquery makes single-parse-per-row structural: the plan now shows
+    partial_sum(j)/partial_avg(j) over one Project-computed attribute.
+    Same result set (identical expression, rows preserved)."""
     return sql_q(
         spark,
         sf_dir,
         """
         SELECT event_type,
-               sum(cast(get_json_object(props, '$.k') AS int)) AS k_sum,
-               round(avg(cast(get_json_object(props, '$.k') AS int)), 6) AS k_avg,
+               sum(j) AS k_sum,
+               round(avg(j), 6) AS k_avg,
                count(*) AS cnt
-        FROM events GROUP BY event_type
+        FROM (SELECT event_type,
+                     cast(get_json_object(props, '$.k') AS int) AS j
+              FROM events)
+        GROUP BY event_type
         """,
     )
 
