@@ -401,30 +401,50 @@ def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    # cached: the within-cell join reads the assignment twice (both sides).
-    # The 16-row centroid side carries a BROADCAST hint — fixed cardinality
-    # by construction (vec_id < 16), per the round-10 broadcast policy.
-    assigned = spark.sql(
-        f"""
-        SELECT /*+ BROADCAST(knn_cents) */ vec_id, cent_id, embedding FROM (
-          SELECT e.vec_id, e.embedding, knn_cents.cent_id,
-                 row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY round({_DOT_SPARK_SQL.format(a='e.embedding', b='knn_cents.cent')}, 6) DESC,
-                              knn_cents.cent_id) AS rn
-          FROM (SELECT x.vec_id, x.embedding
-                FROM embeddings x
-                JOIN (SELECT min(vec_id) AS vec_id FROM embeddings
-                      GROUP BY embedding) reps USING (vec_id)) e
-          CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
-                      FROM embeddings WHERE vec_id < 16) knn_cents)
-        WHERE rn = 1
+    # NARROW ARGMAX (r16, guide §2.3 'project before the exchange'): the
+    # old cell assignment ran a row_number window over the reps × 16
+    # centroid cross join CARRYING both 64-float arrays — ~1.6M rows ×
+    # ~1 KB through the window exchange+sort at sf0.1. The argmax needs
+    # only (vec_id, cent_id, sim): the dot is computed map-side against
+    # the broadcast centroids, ``max_by(cent_id, struct(sim, -cent_id))``
+    # (identical tiebreak: highest rounded sim, then lowest cent_id)
+    # collapses the 16 candidates per vector in the partial aggregate
+    # BEFORE any shuffle, and the embedding is re-attached from the
+    # cached reps — the exchange shrinks from ~1.6 GB wide rows to |reps|
+    # narrow rows. The 16-row centroid side keeps its BROADCAST hint
+    # (fixed cardinality by construction, round-10 broadcast policy).
+    reps = spark.sql(
+        """
+        SELECT x.vec_id, x.embedding
+        FROM embeddings x
+        JOIN (SELECT min(vec_id) AS vec_id FROM embeddings
+              GROUP BY embedding) reps USING (vec_id)
         """
     ).cache()
-    assigned.createOrReplaceTempView("__knn_assigned")
+    reps.createOrReplaceTempView("__knn_reps")
+    _materialize_cache(spark, reps)
+    argmax = spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(knn_cents) */ vec_id,
+               max_by(cent_id, struct(sim, -cent_id)) AS cent_id
+        FROM (SELECT e.vec_id, knn_cents.cent_id,
+                     round({_DOT_SPARK_SQL.format(a='e.embedding', b='knn_cents.cent')}, 6) AS sim
+              FROM __knn_reps e
+              CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
+                          FROM embeddings WHERE vec_id < 16) knn_cents)
+        GROUP BY vec_id
+        """
+    ).cache()
+    argmax.createOrReplaceTempView("__knn_argmax")
     # Planner-statistics discipline (round 10): materialize before the
     # self-join is planned so both sides see real InMemoryRelation stats.
-    _materialize_cache(spark, assigned)
+    _materialize_cache(spark, argmax)
+    spark.sql(
+        """
+        SELECT r.vec_id, a.cent_id, r.embedding
+        FROM __knn_reps r JOIN __knn_argmax a ON a.vec_id = r.vec_id
+        """
+    ).createOrReplaceTempView("__knn_assigned")
     return spark.sql(
         f"""
         SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim FROM (
@@ -598,7 +618,18 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax). Search: probe scans only its nprobe=4 nearest lists — at
     100 TB with K=sqrt(N) lists this turns a full-corpus scan into a
     ~nprobe/K fraction, and the assignment is a write-once index persisted
-    alongside the table."""
+    alongside the table.
+
+    NARROW ARGMAX (r16, guide §2.3 'project before the exchange'): the
+    assignment used to run a row_number window over the N×16 cross join
+    carrying BOTH 64-float arrays through the exchange+sort; the argmax
+    needs only (vec_id, cent_id, sim), so the dot is computed map-side
+    against the broadcast centroids and ``max_by(cent_id,
+    struct(sim, -cent_id))`` (same tiebreak: highest rounded sim, then
+    lowest cent_id) collapses the 16 candidates in the partial aggregate
+    before any shuffle. The probe path joins the PRUNED narrow
+    assignment (nprobe lists only) back to the vectors, so AQE can
+    broadcast it instead of shuffling the corpus."""
     e = t(spark, sf_dir, "embeddings")
     cents = F.broadcast(
         t(spark, sf_dir, "embeddings")
@@ -611,14 +642,15 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("p"))
     )
 
-    rn = Window.partitionBy("vec_id").orderBy(
-        F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
-    )
     assigned = (
         e.crossJoin(cents)
-        .withColumn("rn", F.row_number().over(rn))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(_dot(F.col("embedding"), F.col("cent")), 6).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cent_id"))
     )
     plists = F.broadcast(
         cents.crossJoin(probe)
@@ -627,8 +659,7 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cent_id")
     )
     return (
-        e.join(assigned, "vec_id")
-        .join(plists, "cent_id")
+        e.join(assigned.join(plists, "cent_id"), "vec_id")
         .crossJoin(probe)
         .where(F.col("vec_id") != 0)
         .select("vec_id", "cent_id", F.round(_dot(F.col("embedding"), F.col("p")), 6).alias("sim"))
@@ -696,13 +727,22 @@ def llm_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not _index_current():
         e = t(spark, sf_dir, "embeddings")
-        rn = Window.partitionBy("vec_id").orderBy(
-            F.round(_dot(F.col("embedding"), F.col("cent")), 6).desc(), "cent_id"
+        # narrow argmax (r16): map-side dots + max_by partial aggregate
+        # instead of a row_number window carrying both arrays — same
+        # (rounded sim desc, cent_id asc) winner; the embedding is
+        # re-attached by vec_id only for the write.
+        assigned = (
+            e.crossJoin(cents)
+            .select(
+                "vec_id",
+                "cent_id",
+                F.round(_dot(F.col("embedding"), F.col("cent")), 6).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cent_id"))
         )
         (
-            e.crossJoin(cents)
-            .withColumn("rn", F.row_number().over(rn))
-            .where(F.col("rn") == 1)
+            e.join(assigned, "vec_id")
             .select("vec_id", "embedding", "cent_id")
             .write.mode("overwrite")
             .partitionBy("cent_id")

@@ -462,7 +462,20 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 11): pairs run over one representative per distinct text
     (min doc_id over md5(text)) — verbatim duplicates otherwise make the
     token self-join output grow ~copies² (the round-10 100x sweep
-    TIMEOUT); oracle applies the same reps CTE. Top-100 pairs."""
+    TIMEOUT); oracle applies the same reps CTE. Top-100 pairs.
+
+    DOC-GRAIN PAIRING (r16, guide §2.3 'shuffle fewer bytes'): the old
+    shape exploded to token grain, self-joined on (token, source) —
+    ~11M intermediate rows at sf0.1 — and hash-aggregated them back to
+    ~0.6M pairs. A pair's shared-token count is just the intersection
+    size of the two docs' token SETS, so each doc now carries its
+    distinct-token array (map-side ``array_distinct(split(..))``, no
+    explode, no distinct shuffle), pairs form once per doc pair on the
+    same blocking key, and ``size(array_intersect(..))`` computes
+    shared_cnt inside whole-stage codegen. Plan: 3 exchanges + a
+    token-grain hash agg collapse into 1 pair join; the oracle's pair
+    set is reproduced exactly because pairs with 0 shared tokens are
+    filtered (the oracle's inner token join never emits them)."""
     reps = (
         t(spark, sf_dir, "documents")
         .groupBy(F.md5("text").alias("_h"))
@@ -470,40 +483,49 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     d = t(spark, sf_dir, "documents").join(reps, "doc_id")
-    # cached: read 3x (sizes + both self-join sides) — uncached, each
-    # reference re-ran the reps collapse + explode (15 shuffles; round 11)
-    tok = (
-        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
-        .distinct()
+    # cached: read by both pair-join sides — one row per rep doc with its
+    # token set; n is the set size (== the old tok-grain count per doc)
+    docsets = (
+        d.select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
         .cache()
     )
-    _materialize_cache(spark, tok)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    shared = (
+    _materialize_cache(spark, docsets)
+    a = docsets.alias("a")
+    b = docsets.alias("b")
+    # the shuffle() wrap is a deliberate non-determinism marker (guide
+    # §4.4 applied to a JVM expression): size(shuffle(x)) == size(x)
+    # always, but it stops Catalyst from (a) pushing the shared_cnt >= 1
+    # filter into the join condition AHEAD of the cheap doc_id conjunct
+    # and (b) re-inlining the intersect into filter + both jaccard
+    # references — measured 3 evaluations per candidate pair (11.0 s)
+    # without it, exactly 1 (3.6 s) with it; the plan pins one
+    # array_intersect occurrence.
+    shared = F.size(F.shuffle(F.array_intersect(F.col("a.toks"), F.col("b.toks"))))
+    return (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.source") == F.col("b.source"))
+            (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            shared.alias("shared_cnt"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_cnt"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(F.col("shared_cnt") >= 1)
         .select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("shared_cnt").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("shared_cnt")),
+                / (F.col("na") + F.col("nb") - F.col("shared_cnt")),
                 6,
             ).alias("jaccard"),
         )
@@ -635,14 +657,19 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
 )
 def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-fingerprint (winnowing-lite): min md5 over all 3-token
-    shingles — a compact rolling-hash signature for container-level dedup."""
+    shingles — a compact rolling-hash signature for container-level dedup.
+    The token array is split ONCE per row into a named column (r16):
+    lambda bodies are opaque to Catalyst's subexpression elimination, so
+    the inline form re-ran ``split(text, ' ')`` for every shingle index —
+    ~3·n_shingles splits per document instead of 1 (guide §1.2 per-task
+    work; measured 4.9 s → split-hoisted, plan shows a single split in
+    the first Project)."""
     d = t(spark, sf_dir, "documents")
-    return d.select(
+    return d.select("doc_id", F.split("text", " ").alias("tk")).select(
         "doc_id",
         F.expr(
-            "array_min(transform(sequence(0, size(split(text,' ')) - 3),"
-            " i -> md5(concat_ws(' ', split(text,' ')[i],"
-            " split(text,' ')[i+1], split(text,' ')[i+2]))))"
+            "array_min(transform(sequence(0, size(tk) - 3),"
+            " i -> md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))"
         ).alias("fingerprint"),
     )
 
@@ -782,6 +809,10 @@ def _bloom_dedup_impl(spark: SparkSession, sf_dir: str, m_bits: int) -> DataFram
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
+    # cached (r16): both output branches (definitely-new rows and the
+    # maybe-dup sliver that pays the exact anti-join) read ``probed``;
+    # uncached, each branch re-ran the position explode + broadcast
+    # membership join — two full probe passes for one batch.
     probed = (
         positions(batch)
         .withColumn("word_idx", (F.col("pos") / W).cast("long"))
@@ -793,6 +824,7 @@ def _bloom_dedup_impl(spark: SparkSession, sf_dir: str, m_bits: int) -> DataFram
         )
         .groupBy("doc_id", "source", "n_chars", "h")
         .agg(F.min("hit").alias("all_hit"))
+        .cache()
     )
     definitely_new = probed.where(~F.col("all_hit")).select(
         "doc_id", "source", "n_chars"
@@ -1499,17 +1531,19 @@ def llm_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT md5(text) AS h, min(doc_id) AS min_doc"
         " FROM documents GROUP BY md5(text)"
     ).createOrReplaceTempView("__rld_grp")
+    # split ONCE per representative (r16): the lambda body is opaque to
+    # Catalyst CSE, so the inline form re-split the text for every
+    # 3-gram index — ~3·n_grams splits per doc (guide §1.2).
     spark.sql(
         """
         SELECT h, g, count(*) AS c FROM (
-          SELECT r.h, g
-          FROM __rld_grp r JOIN documents d ON d.doc_id = r.min_doc
+          SELECT h, g FROM (
+            SELECT r.h, split(d.text, ' ') AS tk
+            FROM __rld_grp r JOIN documents d ON d.doc_id = r.min_doc)
           LATERAL VIEW explode(transform(
-              sequence(0, size(split(d.text, ' ')) - 3),
-              i -> concat_ws(' ', split(d.text, ' ')[i],
-                             split(d.text, ' ')[i+1],
-                             split(d.text, ' ')[i+2]))) AS g
-          WHERE size(split(d.text, ' ')) >= 3)
+              sequence(0, size(tk) - 3),
+              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
+          WHERE size(tk) >= 3)
         GROUP BY h, g
         """
     ).createOrReplaceTempView("__rld_pergram")
@@ -2378,12 +2412,18 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).replace("FROM tokrows)", "FROM tokrows_v)")
     ).cache()
     sim.createOrReplaceTempView("__simfp_sim")
+    # DOC-GRAIN shingle sets (r16, guide §2.3): the exact-Jaccard verify
+    # used to run at shingle grain — candidates joined to an exploded
+    # (doc_id, g) view twice, then re-aggregated per pair; the shared
+    # count is just the intersection size of the two docs' shingle-set
+    # arrays, so the explode, the per-(doc_b, g) join and the pair-grain
+    # hash agg all collapse into ``size(array_intersect(..))`` in codegen.
     sh = spark.sql(
-        "SELECT doc_id, g FROM (SELECT doc_id, split(text, ' ') AS tk"
-        " FROM __simfp_reps) LATERAL VIEW explode(array_distinct(transform("
+        "SELECT doc_id, array_distinct(transform("
         "sequence(0, size(tk) - 3),"
-        " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g"
-        " WHERE size(tk) >= 3"
+        " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS gs"
+        " FROM (SELECT doc_id, split(text, ' ') AS tk"
+        " FROM __simfp_reps) WHERE size(tk) >= 3"
     ).cache()
     sh.createOrReplaceTempView("__simfp_sh")
     ham = " + ".join(
@@ -2400,11 +2440,12 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS false_positive_rate
         FROM (
           SELECT i.hamming,
-                 CASE WHEN i.shared * 1e0 / (za.n + zb.n - i.shared) >= 0.5
+                 CASE WHEN i.shared * 1e0 / (i.nn - i.shared) >= 0.5
                       THEN 1 ELSE 0 END AS is_true
           FROM (
-            SELECT cl.hamming, cl.doc_a, cl.doc_b,
-                   CAST(count(sb.g) AS BIGINT) AS shared
+            SELECT cl.hamming,
+                   size(array_intersect(sa.gs, sb.gs)) AS shared,
+                   size(sa.gs) + size(sb.gs) AS nn
             FROM (
               SELECT c.doc_a, c.doc_b, CAST(({ham}) AS BIGINT) AS hamming
               FROM (
@@ -2431,12 +2472,7 @@ def llm_simhash_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN __simfp_sim b ON b.doc_id = c.doc_b
               WHERE ({ham}) <= 3) cl
             JOIN __simfp_sh sa ON sa.doc_id = cl.doc_a
-            LEFT JOIN __simfp_sh sb ON sb.doc_id = cl.doc_b AND sb.g = sa.g
-            GROUP BY cl.hamming, cl.doc_a, cl.doc_b) i
-          JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                FROM __simfp_sh GROUP BY doc_id) za ON za.doc_id = i.doc_a
-          JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                FROM __simfp_sh GROUP BY doc_id) zb ON zb.doc_id = i.doc_b
+            JOIN __simfp_sh sb ON sb.doc_id = cl.doc_b) i
         ) v
         GROUP BY hamming ORDER BY hamming
         """

@@ -1106,30 +1106,41 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n_tok BETWEEN 10 AND 400 AND n_uniq * 10 >= 3 * n_tok
         """
     ).createOrReplaceTempView("__cf_s2")
-    tok = spark.sql(
+    # DOC-GRAIN near-dedup (r16, guide §2.3): the old token-grain
+    # self-join on (token, source) shuffled ~11M intermediate rows into
+    # a pair-grain hash agg plus two size joins; a pair's shared count
+    # is the intersection size of the two survivors' token SETS, so each
+    # survivor carries its distinct-token array (map-side, no explode
+    # shuffle) and ``size(array_intersect(..))`` scores the pair in
+    # codegen. Pairs with 0 shared tokens score jaccard 0 < 0.5 — the
+    # dup set is unchanged vs the oracle's inner token join.
+    sets = spark.sql(
         """
-        SELECT DISTINCT d.doc_id, s2.source, token
+        SELECT s2.doc_id, s2.source,
+               array_distinct(split(d.text, ' ')) AS toks
         FROM documents d JOIN __cf_s2 s2 ON d.doc_id = s2.doc_id
-        LATERAL VIEW explode(split(d.text, ' ')) AS token
         """
     ).cache()
-    tok.createOrReplaceTempView("__cf_tok")
-    # per-doc token-set sizes once; both Jaccard sides broadcast it
-    spark.sql(
-        "SELECT doc_id, count(*) AS n FROM __cf_tok GROUP BY doc_id"
-    ).createOrReplaceTempView("__cf_cnt")
+    sets.createOrReplaceTempView("__cf_sets")
+    # shuffle() wrap = non-determinism marker (guide §4.4 on a JVM
+    # expression): keeps Catalyst from pushing the jaccard filter into
+    # the join condition and from re-inlining the intersect per
+    # reference — exactly one evaluation per pair. The size conjunct is
+    # an EXACT prune: jaccard >= 0.5 ⟺ 3c >= na+nb, and c <= least(na,
+    # nb), so pairs with 3·least(na,nb) < na+nb can never qualify and
+    # skip the intersect entirely (cheap int compare in the join).
     spark.sql(
         """
         SELECT * FROM __cf_s2 WHERE doc_id NOT IN (
-          SELECT DISTINCT s.db FROM (
-            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-            FROM __cf_tok a JOIN __cf_tok b
-              ON a.token = b.token AND a.source = b.source
-             AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id) s
-          JOIN __cf_cnt za ON za.doc_id = s.da
-          JOIN __cf_cnt zb ON zb.doc_id = s.db
-          WHERE CAST(s.c AS DOUBLE) / (za.n + zb.n - s.c) >= 0.5)
+          SELECT DISTINCT db FROM (
+            SELECT b.doc_id AS db,
+                   size(shuffle(array_intersect(a.toks, b.toks))) AS c,
+                   size(a.toks) + size(b.toks) AS nn
+            FROM __cf_sets a JOIN __cf_sets b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND least(size(a.toks), size(b.toks)) * 3
+                 >= size(a.toks) + size(b.toks)) p
+          WHERE CAST(c AS DOUBLE) / (nn - c) >= 0.5)
         """
     ).createOrReplaceTempView("__cf_s3")
     return spark.sql(

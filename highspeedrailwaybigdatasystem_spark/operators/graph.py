@@ -1006,7 +1006,16 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distinct edge set is built ONCE as a cached DataFrame (the
     pagerank discipline) and every count reads the cache; the
     reciprocal count is one self-join on the reversed key. The SQL
-    text is the DuckDB oracle only."""
+    text is the DuckDB oracle only.
+
+    Job accounting (r16, guide §1.2): the five sequential driver
+    actions (raw count, loop count, distinct count, reciprocal count)
+    are folded into two — one conditional aggregate over the raw edge
+    stream (count + loop count in a single pass, so raw no longer
+    needs its own cache), and one left join of the cached distinct
+    edges against their reversal counting rows and matches together
+    (reversals are unique because ed is distinct, so count(match) is
+    exactly the old inner-join count)."""
     users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct().cache()
     n = users.count()
     raw = users.select(
@@ -1017,13 +1026,20 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("user_id") * 11 + 5) % n,
             )
         ).alias("dst"),
-    ).cache()
+    )
+    n_raw, n_loops = raw.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("src") == F.col("dst"), 1)),
+    ).head()
     ed = raw.where(F.col("src") != F.col("dst")).distinct().cache()
-    n_raw = raw.count()
-    n_ed = ed.count()
-    n_loops = raw.where(F.col("src") == F.col("dst")).count()
-    rev = ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_rec = ed.join(rev, ["src", "dst"]).count()
+    rev = ed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m")
+    )
+    n_ed, n_rec = (
+        ed.join(rev, ["src", "dst"], "left")
+        .agg(F.count(F.lit(1)), F.count("m"))
+        .head()
+    )
     return spark.createDataFrame(
         [(n_raw, n_ed, n_loops, n_rec, round(n_rec / n_ed, 6))],
         "n_edges_raw long, n_edges_distinct long, n_self_loops long,"

@@ -1067,7 +1067,13 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the multiplicities still carry the linkage cardinality. Block
     sizes bound per-task work; the block prefix is the shuffle key.
     Both engines compute byte-identical Levenshtein, so the pair set is
-    exactly oracle-checkable."""
+    exactly oracle-checkable. The candidate filter uses the THRESHOLD
+    form ``levenshtein(a, b, 1)`` (r16, guide §1.2 per-task work): it
+    early-exits the DP the moment the banded distance exceeds 1 and
+    returns -1, so every within-block pair pays O(threshold·len) instead
+    of O(len²) — ``BETWEEN 0 AND 1`` is exactly the old ``<= 1`` set
+    because -1 encodes "above threshold". Only the ≤100 surviving pairs
+    pay the full-distance call in the projection."""
     return sql_q(
         spark,
         sf_dir,
@@ -1080,7 +1086,7 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
         FROM blocked a JOIN blocked b
           ON a.blk = b.blk AND a.c_name < b.c_name
-        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        WHERE levenshtein(a.c_name, b.c_name, 1) BETWEEN 0 AND 1
         ORDER BY name_a, name_b LIMIT 100
         """,
     )
@@ -1188,13 +1194,56 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     was referenced 4× through the shared CTE (12 exchanges, 5 lineitem
     scans); it is now a cached temp view — one lineitem⋈part pass, and
     the n/s/pr stages read the cache. `_basket_sql(_BASKET_B)` stays the
-    DuckDB oracle text."""
+    DuckDB oracle text.
+
+    ORDER-GRAIN BASKETS (r16, guide §2.4 'remove shuffles outright'):
+    the DISTINCT(ok, brand) shuffle + the ok-keyed pair self-join are
+    both replaced by ONE groupBy(ok) building each order's sorted
+    distinct brand-set array; the ≤C(7,2) within-order pairs are then
+    enumerated in whole-stage codegen from the sorted array (strictly
+    ascending, so pair_a < pair_b exactly reproduces the self-join's
+    a.brand < c.brand pair set), and the singles/order counts read the
+    same cached baskets. collect_set drops NULL brands, which is
+    result-identical: NULL never survives the a.brand < c.brand pair
+    condition nor the brand-equality joins, and order rows themselves
+    are kept by the groupBy even when every brand is NULL."""
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    b = spark.sql(_BASKET_B).cache()
-    b.createOrReplaceTempView("__basket_b")
-    return spark.sql(_basket_sql("SELECT ok, brand FROM __basket_b"))
+    baskets = spark.sql(
+        f"SELECT ok, sort_array(collect_set(brand)) AS brands"
+        f" FROM ({_BASKET_B.replace('DISTINCT ', '')}) raw GROUP BY ok"
+    ).cache()
+    baskets.createOrReplaceTempView("__basket_sets")
+    return spark.sql(
+        """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders
+                   FROM __basket_sets),
+        s AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb
+              FROM (SELECT explode(brands) AS brand FROM __basket_sets)
+              GROUP BY brand),
+        pr AS (
+          SELECT pair.brand_a, pair.brand_b,
+                 CAST(count(*) AS BIGINT) AS n_co
+          FROM __basket_sets
+          LATERAL VIEW explode(flatten(transform(
+              brands,
+              (x, i) -> transform(slice(brands, i + 2, size(brands)),
+                                  y -> struct(x AS brand_a, y AS brand_b))
+          ))) AS pair
+          GROUP BY pair.brand_a, pair.brand_b)
+        SELECT brand_a, brand_b, n_co,
+               round(n_co * 1e0 / n.n_orders, 6) AS support,
+               round(n_co * 1e0 / sa.nb, 6) AS confidence_a_to_b,
+               round(n_co * 1e0 * n.n_orders / (sa.nb * sb.nb), 6) AS lift
+        FROM pr
+        JOIN s sa ON pr.brand_a = sa.brand
+        JOIN s sb ON pr.brand_b = sb.brand
+        CROSS JOIN n
+        ORDER BY lift DESC, brand_a, brand_b
+        LIMIT 15
+        """
+    )
 
 
 _CARD_AUDIT_SQL = """

@@ -1134,19 +1134,29 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-propagating forms (nullif-guarded division, TRY_CAST,
     out-of-bounds list_extract).
 
-    Cost note (measured round 10): ``try_cast(string AS int)`` pays
-    Spark's exception-driven failure path on every row that FAILS the
-    parse (~13 µs/row here, where all 600k l_returnflag values are
-    non-numeric — this op's worst case is deliberate); succeeding rows
-    are plain codegen. At 100 TB, budget try_cast by the expected
-    failure rate, not the row count — a mostly-clean column is cheap."""
+    Cost note (measured round 10, fixed round 16): ``try_cast(string AS
+    int)`` pays Spark's exception-driven failure path on every row that
+    FAILS the parse (~13 µs/row here, where all 600k l_returnflag values
+    are non-numeric — this op's worst case is deliberate); succeeding
+    rows are plain codegen. The r16 guard keeps the result bit-identical
+    while skipping the exception path: a string with NO digit can never
+    cast to INT (Spark trims whitespace then requires digits), so
+    ``RLIKE '[0-9]'`` routes digit-free rows straight to NULL in codegen
+    and only plausible rows ever reach try_cast — the guide §4 rule of
+    paying the expensive path only on rows that might take it. At
+    100 TB, budget try_cast by the expected failure rate, not the row
+    count — a mostly-clean column is cheap."""
     li = t(spark, sf_dir, "lineitem")
     div = F.expr("try_divide(l_extendedprice, l_quantity % 2)")
+    guarded_cast = F.expr(
+        "CASE WHEN l_returnflag RLIKE '[0-9]'"
+        " THEN try_cast(l_returnflag AS INT) END"
+    )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(div).alias("n_div_ok"),
         money(F.sum(div)).alias("odd_qty_price_sum"),
-        F.count(F.expr("try_cast(l_returnflag AS INT)")).alias("n_cast_ok"),
+        F.count(guarded_cast).alias("n_cast_ok"),
         F.count(F.expr("try_element_at(array(l_linenumber), 3)")).alias("n_elem_ok"),
     )
 
