@@ -910,15 +910,19 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the Arrow-vectorized _dot64_vec — the interpreted HOF fold
     # took 114 s at the 100x corpus vs the sweep's 100 s watchdog; the
     # 1024-dot probe-list arm keeps the exact fold.
-    rn_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), "cent_id"
-    )
+    # narrow argmax (r16, guide §2.3): map-side dots + max_by partial
+    # aggregate — same (csim desc, cent_id asc) winner as the old
+    # row_number window, without shipping both 64-float arrays through
+    # the window exchange+sort.
     assigned = (
         e.crossJoin(cents)
-        .withColumn("csim", F.round(_dot64_vec(F.col("embedding"), F.col("cent")), 6))
-        .withColumn("rn", F.row_number().over(rn_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(_dot64_vec(F.col("embedding"), F.col("cent")), 6).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(csim, -cent_id))").alias("cent_id"))
     )
     rn_plist = Window.partitionBy("probe_id").orderBy(
         F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id"
@@ -932,12 +936,20 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn_probe = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), "vec_id"
     )
+    # both top-10 arms project (probe_id, vec_id, sim) BEFORE the window
+    # (r16, guide §2.3): the exact arm alone is N × 64 probes — with the
+    # arrays still attached that was ~1 KB/row through the top-10
+    # window's exchange+sort; narrowed it is 24 bytes/row.
     ivf = (
         e.join(assigned, "vec_id")
         .join(plists, "cent_id")  # already broadcast at its definition
         .join(probes, "probe_id")
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -945,7 +957,11 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         e.crossJoin(probes)
         .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6).alias("sim"),
+        )
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")

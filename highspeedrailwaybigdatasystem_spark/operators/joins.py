@@ -1067,26 +1067,35 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the multiplicities still carry the linkage cardinality. Block
     sizes bound per-task work; the block prefix is the shuffle key.
     Both engines compute byte-identical Levenshtein, so the pair set is
-    exactly oracle-checkable. The candidate filter uses the THRESHOLD
-    form ``levenshtein(a, b, 1)`` (r16, guide §1.2 per-task work): it
+    exactly oracle-checkable. The distance uses the THRESHOLD form
+    ``levenshtein(a, b, 1)`` (r16, guide §1.2 per-task work): it
     early-exits the DP the moment the banded distance exceeds 1 and
     returns -1, so every within-block pair pays O(threshold·len) instead
     of O(len²) — ``BETWEEN 0 AND 1`` is exactly the old ``<= 1`` set
-    because -1 encodes "above threshold". Only the ≤100 surviving pairs
-    pay the full-distance call in the projection."""
+    because -1 encodes "above threshold", and for every SURVIVING pair
+    the threshold value IS the distance, so ``edit_dist`` reuses it
+    instead of re-running the full DP. The shuffle(array(..)) wrap is
+    the §4.4 non-determinism pin (value-identical: the array has one
+    element): without it Catalyst pushed the filter into the join
+    condition ahead of the cheap name ``<`` conjunct and re-inlined the
+    DP per reference — 4.0 s; pinned to one evaluation — 2.0 s, plan
+    shows a single levenshtein."""
     return sql_q(
         spark,
         sf_dir,
         """
         WITH blocked AS (
           SELECT c_name, substr(c_name, 10, 7) AS blk, count(*) AS n
-          FROM customer GROUP BY c_name, substr(c_name, 10, 7))
-        SELECT a.c_name AS name_a, b.c_name AS name_b,
-               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
-               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
-        FROM blocked a JOIN blocked b
-          ON a.blk = b.blk AND a.c_name < b.c_name
-        WHERE levenshtein(a.c_name, b.c_name, 1) BETWEEN 0 AND 1
+          FROM customer GROUP BY c_name, substr(c_name, 10, 7)),
+        cand AS (
+          SELECT a.c_name AS name_a, b.c_name AS name_b,
+                 CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                 element_at(shuffle(array(
+                     levenshtein(a.c_name, b.c_name, 1))), 1) AS d
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.c_name < b.c_name)
+        SELECT name_a, name_b, n_a, n_b, CAST(d AS INT) AS edit_dist
+        FROM cand WHERE d BETWEEN 0 AND 1
         ORDER BY name_a, name_b LIMIT 100
         """,
     )
