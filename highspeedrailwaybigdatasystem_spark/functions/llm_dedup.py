@@ -165,13 +165,25 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.doc_id").alias("doc_b"),
         F.col("datasetB.shingles").alias("sh_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # shuffle() wrap = §4.4 non-determinism pin (r16): size(shuffle(x)) ==
+    # size(x), but it stops Catalyst from re-inlining the shingle-set
+    # intersect into the >= 0.2 filter and both jaccard references — the
+    # plan showed 2 evaluations per candidate pair, now 1. The intersect
+    # is projected as its OWN column first (non-deterministic exprs are
+    # excluded from codegen CSE, so inlining it into numerator AND union
+    # would still evaluate twice).
+    inter = F.size(F.shuffle(F.array_intersect("sh_a", "sh_b")))
     return (
         cand.select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / union).alias("_j"),
+            inter.alias("_i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("_s"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i").cast("double") / (F.col("_s") - F.col("_i"))).alias("_j"),
         )
         .where(F.col("_j") >= 0.2)
         .select("doc_a", "doc_b", ratio(F.col("_j")).alias("jaccard"))
