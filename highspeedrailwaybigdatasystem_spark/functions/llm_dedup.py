@@ -608,8 +608,15 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
     localCheckpoint truncates lineage each superstep — without it the
     logical plan nests exponentially across iterations (OOM at plan
     explain time long before data is a problem)."""
+    # checkpoint the DIRECTED edge list FIRST (r16): ``edges`` is the
+    # uncached blocked-GEMM near-dup pipeline, and union(edges, reversed)
+    # evaluated that whole pipeline once per union branch inside the one
+    # checkpoint job — the full GEMM ran twice. Materializing it once and
+    # unioning the checkpointed result with its cheap projection halves
+    # the edge-build work; the undirected edge set is unchanged.
+    ed = edges.localCheckpoint(eager=True)
     und = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -618,7 +625,7 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
         .withColumn("lbl", F.col("v"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # with pointer jumping, converges in O(log diameter)
+    for _ in range(30):  # with pointer jumping, converges in O(log diameter)
         neighbor_min = (
             und.join(labels, und.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
@@ -626,29 +633,36 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
         )
         propagated = labels.join(neighbor_min, labels.v == F.col("v2"), "left").select(
             "v",
+            F.col("lbl").alias("_old"),
             F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
         )
-        # pointer jumping (path halving): replace each label by ITS label,
-        # so chains collapse exponentially instead of one hop per superstep
-        hop = propagated.select(
-            F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
-        )
+        # pointer jumping (path halving): replace each label by ITS label so
+        # chains collapse exponentially instead of one hop per superstep. The
+        # jump table is the PREVIOUS iteration's CHECKPOINTED labels, not
+        # ``propagated`` itself (r16): a self-join on the unmaterialized
+        # propagated frame evaluated its whole join+agg subtree twice per
+        # superstep (Catalyst does not CSE across self-join branches). Both
+        # jump tables drive the same monotone descent to the same unique
+        # fixpoint — every label ends at its component's min id, and the loop
+        # only returns AT the fixpoint (changed == 0) — so the result is
+        # identical; only the superstep count can differ by O(1).
+        hop = labels.select(F.col("v").alias("jv"), F.col("lbl").alias("jlbl"))
+        jumped = F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl")))
         new_labels = (
             propagated.join(hop, propagated.lbl == hop.jv, "left")
             .select(
                 "v",
-                F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias("lbl"),
+                jumped.alias("lbl"),
+                # changed-flag computed inline (r16): the convergence check
+                # used to be a separate shuffle join of new vs old labels;
+                # _old rides along from the propagate join, so the check is
+                # now a limit-1 scan of the checkpointed superstep output.
+                (jumped != F.col("_old")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("v", "lbl")
         if changed == 0:
             break
     return labels

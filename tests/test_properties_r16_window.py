@@ -227,3 +227,30 @@ def test_stream_null_routing_key_contract(spark):
     oracle = con.execute(all_oracles()["stream_foreachbatch"]).fetchdf()
     con.close()
     assert not compare("stream_foreachbatch", out, oracle)
+
+
+def test_label_propagation_fixpoint_component_min(spark):
+    """r16 optimization guard: the dedup-components fixpoint was
+    restructured (edge list checkpointed before the undirected union;
+    pointer jump through the previous checkpointed label table instead of
+    a self-join; inline changed-flag). The unique fixpoint must be
+    unchanged: every vertex's label is the MIN vertex id of its connected
+    component, and the returned frame carries exactly (v, lbl). The graph
+    below needs several supersteps (a 7-vertex chain rooted at 10), so
+    the jump path and the convergence check are both exercised."""
+    from highspeedrailwaybigdatasystem_spark.functions.llm_dedup import (
+        _label_propagation_fixpoint,
+    )
+
+    # chain 10-11-12-13-14-15-16, triangle 30-31-32, isolated pair 50-51
+    chain = [(i, i + 1) for i in range(10, 16)]
+    edges = spark.createDataFrame(
+        chain + [(30, 31), (31, 32), (30, 32), (50, 51)],
+        "src long, dst long",
+    )
+    out = _label_propagation_fixpoint(edges)
+    assert out.columns == ["v", "lbl"]
+    got = {r["v"]: r["lbl"] for r in out.collect()}
+    want = {v: 10 for v in range(10, 17)}
+    want.update({30: 30, 31: 30, 32: 30, 50: 50, 51: 50})
+    assert got == want
