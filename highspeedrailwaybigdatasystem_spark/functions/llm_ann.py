@@ -425,9 +425,9 @@ def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_cache(spark, reps)
     argmax = spark.sql(
         f"""
-        SELECT /*+ BROADCAST(knn_cents) */ vec_id,
+        SELECT vec_id,
                max_by(cent_id, struct(sim, -cent_id)) AS cent_id
-        FROM (SELECT e.vec_id, knn_cents.cent_id,
+        FROM (SELECT /*+ BROADCAST(knn_cents) */ e.vec_id, knn_cents.cent_id,
                      round({_DOT_SPARK_SQL.format(a='e.embedding', b='knn_cents.cent')}, 6) AS sim
               FROM __knn_reps e
               CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
@@ -1095,37 +1095,51 @@ def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly oracle-checkable); keep-lowest-vec_id dedup rule. Spark
     plan: 16-centroid broadcast + map-side argmax (bounded BNLJ,
     allowlisted), then a cent_id-keyed equi self-join — the quadratic
-    work is sharded per cluster, never global."""
-    return sql_q(
-        spark,
-        sf_dir,
+    work is sharded per cluster, never global.
+
+    NARROW ARGMAX (r16, guide §2.3 — the llm_knn_all pattern): the cell
+    assignment used a row_number window over the N×16 cross join, paying
+    a vec_id exchange + sort for 16 narrow rows per vector;
+    ``max_by(cent_id, struct(sim, -cent_id))`` collapses the candidates
+    in the partial aggregate BEFORE the shuffle. Tiebreak identical
+    (highest rounded sim, then lowest cent_id), NULL sims identical
+    (max_by's struct ordering puts NULL sim below every non-NULL, and an
+    all-NULL vector falls to the lowest cent_id — probed against the
+    window form on NULL/tie fixtures). ``assigned`` is cached: the pair
+    self-join reads it twice and the totals once, and the old CTE form
+    recomputed the assignment per reference (Spark CTEs are not
+    materialization points)."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    assigned = spark.sql(
         f"""
-        WITH cents AS (
-          SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-          WHERE vec_id < 16),
-        assigned AS (
-          SELECT vec_id, cent_id FROM (
-            SELECT /*+ BROADCAST(cents) */ e.vec_id, c.cent_id,
-                   row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY round(aggregate(
-                                zip_with(e.embedding, c.cent,
-                                         (x, y) -> cast(x AS double) * cast(y AS double)),
-                                cast(0.0 AS double), (acc, v) -> acc + v), 6)
-                              DESC, c.cent_id) AS rn
-            FROM embeddings e CROSS JOIN cents c)
-          WHERE rn = 1),
-        pairs AS (
+        SELECT vec_id,
+               max_by(cent_id, struct(sim, -cent_id)) AS cent_id
+        FROM (SELECT /*+ BROADCAST(semc_cents) */ e.vec_id, semc_cents.cent_id,
+                     round({_DOT_SPARK_SQL.format(a='e.embedding', b='semc_cents.cent')}, 6) AS sim
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
+                          FROM embeddings WHERE vec_id < 16) semc_cents)
+        GROUP BY vec_id
+        """
+    ).cache()
+    assigned.createOrReplaceTempView("__semc_assigned")
+    _materialize_cache(spark, assigned)
+    return spark.sql(
+        f"""
+        WITH pairs AS (
           SELECT a.cent_id, b.vec_id AS dup_id
-          FROM assigned a
-          JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+          FROM __semc_assigned a
+          JOIN __semc_assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
           JOIN embeddings ea ON ea.vec_id = a.vec_id
           JOIN embeddings eb ON eb.vec_id = b.vec_id
           WHERE round(aggregate(
                   zip_with(ea.embedding, eb.embedding,
                            (x, y) -> cast(x AS double) * cast(y AS double)),
                   cast(0.0 AS double), (acc, v) -> acc + v), 6) >= {_SEMDEDUP_TAU}),
-        tot AS (SELECT cent_id, count(*) AS n_total FROM assigned GROUP BY cent_id),
+        tot AS (SELECT cent_id, count(*) AS n_total
+                FROM __semc_assigned GROUP BY cent_id),
         rem AS (
           SELECT cent_id, count(DISTINCT dup_id) AS n_removed FROM pairs
           GROUP BY cent_id)
@@ -1133,7 +1147,7 @@ def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
                CAST(t.n_total - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
         FROM tot t LEFT JOIN rem r ON r.cent_id = t.cent_id
-        """,
+        """
     )
 
 
@@ -1461,24 +1475,28 @@ def llm_semdedup_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     re_df.createOrReplaceTempView("__sq_reps")
+    # narrow argmax (r16, guide §2.3 — the llm_knn_all pattern):
+    # max_by(cent_id, struct(sim, -cent_id)) collapses the per-vector
+    # candidates in the partial aggregate before any shuffle, replacing
+    # the row_number window's vec_id exchange + sort; tiebreak and NULL
+    # ordering are identical (probed — see llm_semdedup_centroid).
     assigned = spark.sql(
         """
-        SELECT vec_id, cent_id FROM (
+        SELECT vec_id,
+               max_by(cent_id, struct(sim, -cent_id)) AS cent_id
+        FROM (
           SELECT /*+ BROADCAST(c) */ e.vec_id, c.cent_id,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY round(aggregate(
-                              zip_with(e.embedding, c.cent,
-                                       (x, y) -> cast(x AS double) * cast(y AS double)),
-                              cast(0.0 AS double), (acc, v) -> acc + v), 6)
-                            DESC, c.cent_id) AS rn
+                 round(aggregate(
+                          zip_with(e.embedding, c.cent,
+                                   (x, y) -> cast(x AS double) * cast(y AS double)),
+                          cast(0.0 AS double), (acc, v) -> acc + v), 6) AS sim
           FROM __sq_reps e
           CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
                       FROM __sq_reps
                       WHERE vec_id % (SELECT greatest(1, cast(floor(count(*) /
                                 floor(sqrt(count(*)))) AS bigint))
                                       FROM __sq_reps) = 0) c)
-        WHERE rn = 1
+        GROUP BY vec_id
         """
     ).cache()
     assigned.createOrReplaceTempView("__sq_assigned")
