@@ -1335,11 +1335,104 @@ def ml_boosted_stumps_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSE (exact-int inputs, two correctly-rounded divisions) and the
     (sse, thr) argmin ORDER BY, identical in both engines.
 
-    Scale shape (100 TB): per round ONE map-side-combinable 9×6-stat
-    conditional aggregate over the broadcast grid (no shuffle of the
-    fact), a 1-row argmin, and a broadcast residual projection — no
-    row-grain state anywhere."""
-    return sql_q(spark, sf_dir, _BOOST_SQL)
+    Scale shape (100 TB, r16 histogram rewrite — guide §1.2 'the
+    distributed algorithm' + §2.3): the corpus is scanned ONCE into a
+    cached per-x histogram (x = quantity, domain-bounded like
+    ml_dbscan_1d's level grain: n = count(*), cy = count(y), s = Σy,
+    q = Σy² — all exact int64), and BOTH rounds evaluate their 9-point
+    grid against that ≤|domain|-row table. The old form cross-joined the
+    grid against the raw corpus (9× row inflation into the aggregate)
+    and, because Spark inlines CTEs, re-scanned lineitem for the round-2
+    residual pass and again per final-union branch — 6 scans in the
+    plan, now 1. Round-2 residual stats are derived algebraically per x
+    from pred1 (δ = pl if x < thr else pr): counts unchanged,
+    s₂ = s − cy·δ, q₂ = q − 2δs + cy·δ² — integer-exact, and cy (not n)
+    multiplies δ exactly as the original sum over non-NULL y residuals.
+    SSE/leaf-mean floats are computed from identical integers, so every
+    output is bit-identical."""
+    from ..schemas import ensure_views
+
+    ensure_views(spark, sf_dir)
+    hx = spark.sql(
+        """
+        SELECT x, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(y) AS BIGINT) AS cy,
+               sum(y) AS s, sum(y * y) AS q
+        FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CAST(floor(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                                     AS DOUBLE) / 10000e0) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY x
+        """
+    ).cache()
+    hx.createOrReplaceTempView("__boost_hx")
+    _materialize_cache(spark, hx)
+    return spark.sql(
+        """
+    WITH grid AS (SELECT * FROM (VALUES (5), (10), (15), (20), (25), (30),
+                                   (35), (40), (45)) AS g(thr)),
+    eval1 AS (
+      SELECT g.thr,
+             sum(h.n) FILTER (WHERE h.x < g.thr) AS nl,
+             sum(h.s) FILTER (WHERE h.x < g.thr) AS sl,
+             sum(h.q) FILTER (WHERE h.x < g.thr) AS ql,
+             sum(h.n) FILTER (WHERE h.x >= g.thr) AS nr,
+             sum(h.s) FILTER (WHERE h.x >= g.thr) AS sr,
+             sum(h.q) FILTER (WHERE h.x >= g.thr) AS qr
+      FROM grid g CROSS JOIN __boost_hx h
+      GROUP BY g.thr),
+    best1 AS (
+      SELECT thr, nl, sl, nr, sr,
+             (ql - CAST(sl AS DOUBLE) * sl / nl)
+               + (qr - CAST(sr AS DOUBLE) * sr / nr) AS sse
+      FROM eval1 ORDER BY sse, thr LIMIT 1),
+    pred1 AS (
+      SELECT thr,
+             CAST(floor(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pl,
+             CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS pr,
+             nl, sse
+      FROM best1),
+    hx2 AS (
+      SELECT h.x, h.n,
+             h.s - h.cy * CASE WHEN h.x < p.thr THEN p.pl ELSE p.pr END AS s,
+             h.q - 2 * CASE WHEN h.x < p.thr THEN p.pl ELSE p.pr END * h.s
+                 + h.cy * CASE WHEN h.x < p.thr THEN p.pl ELSE p.pr END
+                        * CASE WHEN h.x < p.thr THEN p.pl ELSE p.pr END AS q
+      FROM __boost_hx h CROSS JOIN pred1 p),
+    eval2 AS (
+      SELECT g.thr,
+             sum(h.n) FILTER (WHERE h.x < g.thr) AS nl,
+             sum(h.s) FILTER (WHERE h.x < g.thr) AS sl,
+             sum(h.q) FILTER (WHERE h.x < g.thr) AS ql,
+             sum(h.n) FILTER (WHERE h.x >= g.thr) AS nr,
+             sum(h.s) FILTER (WHERE h.x >= g.thr) AS sr,
+             sum(h.q) FILTER (WHERE h.x >= g.thr) AS qr
+      FROM grid g CROSS JOIN hx2 h
+      GROUP BY g.thr),
+    best2 AS (
+      SELECT thr, nl, sl, nr, sr,
+             (ql - CAST(sl AS DOUBLE) * sl / nl)
+               + (qr - CAST(sr AS DOUBLE) * sr / nr) AS sse
+      FROM eval2 ORDER BY sse, thr LIMIT 1),
+    pred2 AS (
+      SELECT thr,
+             CAST(floor(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS pl,
+             CAST(floor(CAST(sr AS DOUBLE) / nr) AS BIGINT) AS pr,
+             nl, sse
+      FROM best2)
+    SELECT * FROM (
+      SELECT 1 AS round, CAST(thr AS INT) AS threshold,
+             CAST(nl AS BIGINT) AS n_left,
+             pl * 100 AS pred_left_dollars, pr * 100 AS pred_right_dollars,
+             round(sse, 2) AS sse
+      FROM pred1
+      UNION ALL
+      SELECT 2, CAST(thr AS INT), CAST(nl AS BIGINT), pl * 100, pr * 100,
+             round(sse, 2)
+      FROM pred2)
+    ORDER BY round
+        """
+    )
 
 
 _DBSCAN_EPS = 300   # dollars of c_acctbal gap that breaks a cluster
