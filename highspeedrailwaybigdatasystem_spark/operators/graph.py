@@ -69,7 +69,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned once and reused; lineage is truncated with
     localCheckpoint so the iteration-10 plan is one superstep deep, not
     ten."""
-    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    # vertex set materialized ONCE (r16, guide §1.2): ``users`` was an
+    # uncached scan+distinct referenced by the count, the edge build, the
+    # rank init AND the dangling-vertex join of every superstep — the
+    # events scan + distinct shuffle re-ran ~13× across the 10 iterations.
+    users = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = users.count()
     edges = users.select(
         F.col("user_id").alias("src"),
@@ -135,7 +145,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     one and benefits from the usual high-degree-vertex mitigation:
     degree-ordered edge direction, which the (min,max) canonical form
     already approximates)."""
-    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    users = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = users.count()
     dedges = users.select(
         F.col("user_id").alias("src"),
@@ -146,9 +162,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    und = dedges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    # materialized once (r16): e1/e2/e3 are three references to this frame
+    # inside one job — uncheckpointed, the scan + canonicalize + distinct
+    # pipeline evaluated three times.
+    und = (
+        dedges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e1 = und.alias("e1")
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
@@ -259,7 +282,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vertex min aggregate; ``localCheckpoint`` truncates the growing
     lineage exactly as in pagerank. Output: reachable-user count per hop
     ring (≤ 5 hops)."""
-    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    # vertex set materialized ONCE (r16): the count, both union branches
+    # of the edge build and the dist init each re-ran the scan+distinct.
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = ev.count()
     edges = ev.select(
         F.col("user_id").alias("src"),
@@ -906,7 +937,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     always produced dense ids; asserted mechanically below (one bounded
     vertex-grain aggregate) so a corpus regen that violates it fails
     loudly here instead of as a silent hash mismatch."""
-    users = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    # vertex set materialized ONCE (r16): the density assertion, the edge
+    # build and the label init each re-ran the scan+distinct.
+    users = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     lo, hi, n_users = users.agg(
         F.min("user_id"), F.max("user_id"), F.count(F.lit(1))
     ).first()
@@ -922,14 +961,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ((F.col("user_id") == 0) | (hash_u == 0)).alias("is_brk"),
     )
-    edges = (
+    # directed edge list checkpointed BEFORE the undirected union (r16):
+    # union(edges, reversed) evaluated the brk filter pipeline once per
+    # branch inside the one checkpoint job.
+    ed0 = (
         brk.where((~F.col("is_brk")) & (F.col("user_id") > 0))
         .select(
             (F.col("user_id") - 1).alias("src"), F.col("user_id").alias("dst")
         )
+        .localCheckpoint(eager=True)
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = ed0.union(
+        ed0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     lbl = users.select("user_id", F.col("user_id").alias("lbl")).localCheckpoint()
     for _ in range(50):
@@ -941,23 +984,35 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stepped = (
             lbl.join(nmin, "user_id", "left")
-            .select("user_id", F.least("lbl", "nlbl").alias("lbl"))
+            .select(
+                "user_id",
+                F.col("lbl").alias("_old"),
+                F.least("lbl", "nlbl").alias("lbl"),
+            )
         )
-        ptr = stepped.select(
-            F.col("user_id").alias("pu"), F.col("lbl").alias("plbl")
-        )
+        # pointer jump through the PREVIOUS checkpointed label table, not
+        # a self-join on the unmaterialized stepped frame (r16 — the
+        # llm_dedup_components finding: Catalyst does not CSE across
+        # self-join branches, so the nmin join+agg subtree ran twice per
+        # superstep). Both jump tables drive the same monotone descent to
+        # the same unique fixpoint (component-min labels) and the loop
+        # only returns AT the fixpoint, so the result is identical; only
+        # the superstep count can differ by O(1). The changed-flag rides
+        # along inline, so the convergence check is a limit-1 scan of the
+        # checkpointed superstep output instead of a shuffle join.
+        ptr = lbl.select(F.col("user_id").alias("pu"), F.col("lbl").alias("plbl"))
+        jlbl = F.least(F.col("lbl"), F.col("plbl"))
         jumped = (
             stepped.join(ptr, stepped.lbl == ptr.pu)
-            .select("user_id", F.least("lbl", "plbl").alias("lbl"))
+            .select(
+                "user_id",
+                jlbl.alias("lbl"),
+                (jlbl != F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(lbl.alias("o"), "user_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        lbl = jumped
+        changed = jumped.where(F.col("_chg")).limit(1).count()
+        lbl = jumped.select("user_id", "lbl")
         if changed == 0:
             break
     sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))

@@ -559,6 +559,7 @@ def test_forced_broadcasts_are_fixed_cardinality_only():
         ("llm_ann.py", "probe"),
         ("llm_ann.py", "knn_cents"),
         ("llm_ann.py", "cents"),
+        ("llm_ann.py", "semc_cents"),  # 16 centroids (semdedup argmax, r16)
         ("llm_ann.py", "c"),
         ("llm_mix.py", "probe"),
         ("llm_mix.py", "m"),
