@@ -341,32 +341,39 @@ def llm_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("tk")
     ).where(F.size("tk") >= 2)
-    tok_stats = base.select(
+    # FULLY MAP-SIDE (r16, guide §2.4 'remove shuffles outright'): the old
+    # shape exploded every doc to bigram grain, hash-aggregated
+    # (doc_id, gram) counts across a shuffle, re-aggregated to doc grain
+    # and joined back to the token stats — a corpus-token-grain exchange
+    # whose only consumer was ONE scalar per doc. The most-frequent-bigram
+    # count is the longest equal run in the doc's SORTED bigram array, so
+    # a sort_array + codegen fold computes top_c inside the row, the total
+    # bigram count is size(tk) - 1 exactly (= the old sum of per-gram
+    # counts), and the whole op becomes one projection with zero
+    # exchanges — per-doc O(L log L) local sort instead of a cluster-wide
+    # shuffle of every bigram at 100 TB. Same integers in, same floats out.
+    top_c = F.expr(
+        """
+        aggregate(
+          sort_array(transform(sequence(0, size(tk) - 2),
+                               i -> concat_ws(' ', tk[i], tk[i+1]))),
+          named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+            'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+          acc -> acc.best)
+        """
+    )
+    n_bigrams = (F.size("tk") - 1).cast("long")
+    tbf = top_c / n_bigrams
+    dup = ratio(1.0 - F.size(F.array_distinct("tk")) / F.size("tk"))
+    return base.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tok"),
-        ratio(1.0 - F.size(F.array_distinct("tk")) / F.size("tk")).alias("dup_token_frac"),
-    )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i+1]))"
-            )
-        ).alias("gram"),
-    )
-    top = (
-        bigrams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
-    )
-    tbf = F.col("top_c") / F.col("n_bigrams")
-    return tok_stats.join(top, "doc_id").select(
-        "doc_id",
-        "n_tok",
-        "dup_token_frac",
+        dup.alias("dup_token_frac"),
         ratio(tbf).alias("top_bigram_frac"),
-        ((F.col("dup_token_frac") > 0.8) | (tbf > 0.1)).alias("flagged"),
+        ((dup > 0.8) | (tbf > 0.1)).alias("flagged"),
     )
 
 

@@ -254,3 +254,34 @@ def test_label_propagation_fixpoint_component_min(spark):
     want = {v: 10 for v in range(10, 17)}
     want.update({30: 30, 31: 30, 32: 30, 50: 50, 51: 50})
     assert got == want
+
+
+def test_gopher_repetition_mapside_fold(spark):
+    """r16 optimization guard: the top-bigram share is now a map-side
+    sort_array + fold (longest equal run) instead of an explode + shuffle
+    count. Pin the fold against hand-computed values, including the
+    repeated-bigram and all-distinct edges."""
+    import pandas as pd
+
+    from highspeedrailwaybigdatasystem_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        all_queries()["llm_gopher_repetition"](spark, sf)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    checked = 0
+    for _, row in docs.head(200).iterrows():
+        tk = str(row["text"]).split(" ") if row["text"] is not None else []
+        if len(tk) < 2:
+            assert row["doc_id"] not in out.index
+            continue
+        grams = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        top_c = max(grams.count(g) for g in set(grams))
+        got = out.loc[row["doc_id"]]
+        assert got["n_tok"] == len(tk)
+        assert abs(got["top_bigram_frac"] - round(top_c / len(grams), 6)) < 1e-12
+        checked += 1
+    assert checked > 50
