@@ -845,16 +845,23 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    spark.sql(
+    # grp/hmin cached (r16): temp-view references are re-inlined per
+    # consumer — hmin feeds the rep explode, BOTH sides of the
+    # first-occurrence join and the final rollup, so the md5 group-by
+    # corpus pass re-ran ~4× per call.
+    grp = spark.sql(
         """
         SELECT md5(text) AS h, source, min(doc_id) AS min_doc,
                count(*) AS mult
         FROM documents GROUP BY md5(text), source
         """
-    ).createOrReplaceTempView("__nov_grp")
-    spark.sql(
+    ).cache()
+    grp.createOrReplaceTempView("__nov_grp")
+    hmin = spark.sql(
         "SELECT h, min(min_doc) AS gdoc FROM __nov_grp GROUP BY h"
-    ).createOrReplaceTempView("__nov_hmin")
+    ).cache()
+    hmin.createOrReplaceTempView("__nov_hmin")
+    _materialize_cache(spark, grp, hmin)
     shr = spark.sql(
         """
         SELECT DISTINCT r.h, sh
