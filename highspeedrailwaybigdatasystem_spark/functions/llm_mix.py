@@ -1092,20 +1092,28 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_cache(spark, grp, meta)
     # keep-lowest per normalized hash: the winning group is the one whose
     # min doc_id is globally minimal (copies share their group's rep)
-    spark.sql(
+    # s1/s2 cached (r16): view references are re-inlined per consumer —
+    # __cf_s2 feeds the token-set build, the near-dup NOT IN filter and
+    # the funnel union, and each of those re-ran the keep-lowest window
+    # (exchange + sort over the survivor grain) — ~4 window passes per
+    # call collapse to 1.
+    s1 = spark.sql(
         """
         SELECT doc_id, source, h, n_tok, n_uniq FROM (
           SELECT m.*, min(doc_id) OVER (PARTITION BY h) AS keep
           FROM __cf_meta m)
         WHERE doc_id = keep AND h IS NOT NULL
         """
-    ).createOrReplaceTempView("__cf_s1")
-    spark.sql(
+    ).cache()
+    s1.createOrReplaceTempView("__cf_s1")
+    s2 = spark.sql(
         """
         SELECT * FROM __cf_s1
         WHERE n_tok BETWEEN 10 AND 400 AND n_uniq * 10 >= 3 * n_tok
         """
-    ).createOrReplaceTempView("__cf_s2")
+    ).cache()
+    s2.createOrReplaceTempView("__cf_s2")
+    _materialize_cache(spark, s1, s2)
     # DOC-GRAIN near-dedup (r16, guide §2.3): the old token-grain
     # self-join on (token, source) shuffled ~11M intermediate rows into
     # a pair-grain hash agg plus two size joins; a pair's shared count
