@@ -1560,25 +1560,32 @@ def llm_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split ONCE per representative (r16): the lambda body is opaque to
     # Catalyst CSE, so the inline form re-split the text for every
     # 3-gram index — ~3·n_grams splits per doc (guide §1.2).
+    # MAP-SIDE max-repeat (r16 session 3 — the llm_gopher_repetition
+    # fold): the per-(h, gram) explode + shuffle count + re-aggregate
+    # existed only to produce TWO per-doc scalars, and the old shape also
+    # re-evaluated __rld_grp's corpus group-by once per view reference.
+    # max_rep = max gram multiplicity = the longest equal run in the
+    # SORTED 3-gram array (sort_array + codegen fold), and n_grams =
+    # sum of per-gram counts = size(tk) - 2 exactly, so the top-20 rank
+    # runs as one projection + TakeOrdered over the rep join — the
+    # (h, g)-grain exchange disappears and grp is referenced once.
     spark.sql(
         """
-        SELECT h, g, count(*) AS c FROM (
-          SELECT h, g FROM (
-            SELECT r.h, split(d.text, ' ') AS tk
-            FROM __rld_grp r JOIN documents d ON d.doc_id = r.min_doc)
-          LATERAL VIEW explode(transform(
-              sequence(0, size(tk) - 3),
-              i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS g
-          WHERE size(tk) >= 3)
-        GROUP BY h, g
-        """
-    ).createOrReplaceTempView("__rld_pergram")
-    spark.sql(
-        """
-        SELECT r.h, r.n_grams, r.max_rep, g.min_doc
-        FROM (SELECT h, sum(c) AS n_grams, max(c) AS max_rep
-              FROM __rld_pergram GROUP BY h) r
-        JOIN __rld_grp g ON g.h = r.h
+        SELECT h, min_doc, CAST(size(tk) - 2 AS BIGINT) AS n_grams,
+               aggregate(
+                 sort_array(transform(sequence(0, size(tk) - 3),
+                             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))),
+                 named_struct('prev', CAST(NULL AS STRING),
+                              'run', 0L, 'best', 0L),
+                 (acc, x) -> named_struct(
+                   'prev', x,
+                   'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+                   'best', greatest(acc.best,
+                                    IF(x <=> acc.prev, acc.run + 1L, 1L))),
+                 acc -> acc.best) AS max_rep
+        FROM (SELECT r.h, r.min_doc, split(d.text, ' ') AS tk
+              FROM __rld_grp r JOIN documents d ON d.doc_id = r.min_doc)
+        WHERE size(tk) >= 3
         ORDER BY round(CAST(max_rep AS DOUBLE) / n_grams, 6) DESC, min_doc
         LIMIT 20
         """
