@@ -13,6 +13,12 @@ execution). `value` is the sum of per-query times — total wall-clock for
 the headline set, excluding session startup (amortized across the set,
 per SURVEY.md §4.3) — and is directly comparable to every r1–r11 artifact.
 
+Cache-honest timing (round 17, r16 verdict task #1): the timed fresh runs
+now run after an untimed ``spark.catalog.clearCache()`` so cache-bearing
+ops pay their internal cache build inside the fresh figure; the pre-r17
+regime (caches left warm between timed runs) ships alongside as
+``warm_cache`` so every r1–r16 artifact stays comparable.
+
 ``steady_state`` is reported SEPARATELY: repeat-collect of the memoized
 DataFrame, the regime a dashboard tick / service endpoint runs in. Honesty
 note (round 12): re-collecting the same DataFrame lets AQE REUSE its
@@ -150,21 +156,41 @@ def host_probe() -> dict:
     }
 
 
-def time_query(fn, spark, runs: int = 2) -> float:
+def time_query(fn, spark, runs: int = 2) -> tuple[float, float]:
     """Best-of-N FRESH-call timing: plan + execute + collect per run.
+    Returns ``(fresh_sec, warm_cache_sec)``.
 
     plan_memo-wrapped ops are unwrapped so every timed run constructs a new
     DataFrame — a memoized DF would let AQE serve re-collects from its
     already-materialized shuffle stages (~30× fast on big corpora), which
-    is steady-state serving, not engine speed (see module docstring)."""
+    is steady-state serving, not engine speed (see module docstring).
+
+    Cache honesty (r16 verdict task #1): Spark's CacheManager matches
+    structurally identical plans, so without intervention the timed fresh
+    runs of a cache-bearing op are served from InMemoryRelations the warmup
+    populated — the op never pays its own cache build in the measured
+    figure. ``spark.catalog.clearCache()`` now runs (untimed) before each
+    timed fresh run, so ``fresh_sec`` includes the one cache build a truly
+    fresh job pays. The PREVIOUS regime (warmup-populated caches left in
+    place, the r1–r16 methodology) is still measured and reported
+    separately as ``warm_cache_sec`` so the artifact stays comparable with
+    every earlier round."""
     fresh = getattr(fn, "__wrapped__", fn)
     fresh(spark, SF_DIR).collect()  # warmup: plan + codegen + file listing
     best = float("inf")
     for _ in range(runs):
+        spark.catalog.clearCache()  # untimed: next run pays its own caches
         t0 = time.perf_counter()
         fresh(spark, SF_DIR).collect()
         best = min(best, time.perf_counter() - t0)
-    return best
+    # old-methodology figure: op-internal caches were built by the last
+    # timed run above and are deliberately left in place here
+    warm = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fresh(spark, SF_DIR).collect()
+        warm = min(warm, time.perf_counter() - t0)
+    return best, warm
 
 
 def time_steady_state(fn, spark, runs: int = 2) -> float:
@@ -181,8 +207,9 @@ def time_steady_state(fn, spark, runs: int = 2) -> float:
     return best
 
 
-def measure_once() -> tuple[dict, dict, dict]:
-    """One full measurement pass: (timings, steady, host_probe)."""
+def measure_once() -> tuple[dict, dict, dict, dict, dict]:
+    """One full measurement pass:
+    (timings, warm_cache, steady, parallelism, host_probe)."""
     # Shuffle partitions sized to the DATA, not the core count: at sf0.1
     # every shuffle is <20 MB, so 16 partitions (measured best of 8/16/64)
     # keeps scan/window parallelism without per-task scheduling overhead.
@@ -190,15 +217,29 @@ def measure_once() -> tuple[dict, dict, dict]:
     spark = build_session(
         "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
     )
+    # Self-describing parallelism (r16 verdict task #2): the driver's
+    # scaling probe concluded suspect_cpus_ignored from flat 8-vs-32-core
+    # ratios because the artifact did not record the EFFECTIVE master /
+    # defaultParallelism — $SPARK_GRAFT_CPUS is honored (session.py wires
+    # it into local[N]) but that was unobservable from the JSON alone.
+    parallelism = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
     qs = all_queries()
     # global JVM/Python warmup so the first measured query isn't charged
     # for executor/codegen bring-up
     qs["scan_full"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    warm_cache: dict[str, float] = {}
     steady: dict[str, float] = {}
     for bench_name, qname in HEADLINE.items():
-        timings[bench_name] = round(time_query(qs[qname], spark), 4)
+        fresh_sec, warm_sec = time_query(qs[qname], spark)
+        timings[bench_name] = round(fresh_sec, 4)
+        warm_cache[bench_name] = round(warm_sec, 4)
         steady[bench_name] = round(time_steady_state(qs[qname], spark), 4)
 
     # probe AFTER spark.stop(): with the post-workload JVM still alive the
@@ -206,7 +247,7 @@ def measure_once() -> tuple[dict, dict, dict]:
     # with it even from a subprocess); after stop it reads ~3.1-3.3 s,
     # within noise of the 3.05 s idle signature.
     spark.stop()
-    return timings, steady, host_probe()
+    return timings, warm_cache, steady, parallelism, host_probe()
 
 
 def main() -> None:
@@ -217,8 +258,8 @@ def main() -> None:
     attempts = []
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", MAX_ATTEMPTS))
     for i in range(max_attempts):
-        timings, steady, probe = measure_once()
-        attempts.append((timings, steady, probe))
+        timings, warm_cache, steady, parallelism, probe = measure_once()
+        attempts.append((timings, warm_cache, steady, parallelism, probe))
         if not contended(probe):
             break
         if i < max_attempts - 1:
@@ -235,8 +276,8 @@ def main() -> None:
     # a min over ALL attempts could ship a flagged-but-fast run over a clean
     # retry — the anti-honest direction. is_contended is True iff no clean
     # attempt landed, which makes the artifact comment literally true.
-    clean = [a for a in attempts if not contended(a[2])]
-    timings, steady, probe = min(
+    clean = [a for a in attempts if not contended(a[4])]
+    timings, warm_cache, steady, parallelism, probe = min(
         clean or attempts, key=lambda a: sum(a[0].values())
     )
     is_contended = not clean
@@ -259,6 +300,24 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # r17 measurement-honesty fix (r16 verdict task #1, stated
+                # in OPTIMIZATION_r17.md): `queries`/`value` are now
+                # cache-honest — spark.catalog.clearCache() runs untimed
+                # before every timed fresh run, so ops that build internal
+                # caches pay that build in the fresh figure instead of
+                # being served from warmup-populated InMemoryRelations.
+                # `warm_cache` keeps the OLD r1–r16 regime (caches left in
+                # place between timed runs) for cross-round comparability.
+                "warm_cache": {
+                    "total": round(sum(warm_cache.values()), 4),
+                    "queries": warm_cache,
+                    "note": "pre-r17 methodology: op-internal caches stay "
+                    "warm between timed fresh calls (CacheManager serves "
+                    "structurally identical plans)",
+                },
+                # effective parallelism (r16 verdict task #2): makes the
+                # $SPARK_GRAFT_CPUS contract observable from the artifact
+                "parallelism": parallelism,
                 "steady_state": {
                     "total": round(sum(steady.values()), 4),
                     "queries": steady,
@@ -287,6 +346,12 @@ def main() -> None:
                 # even when the total stays inside the gate
                 "per_query_vs_baseline": (
                     per_query_ratios(timings) if sf_val == 0.1 else None
+                ),
+                # same ratios under the pre-r17 warm-cache regime — the
+                # regime the pinned baselines were RECORDED in, so this is
+                # the apples-to-apples continuity series
+                "per_query_vs_baseline_warm_cache": (
+                    per_query_ratios(warm_cache) if sf_val == 0.1 else None
                 ),
                 # vs_* only meaningful at the default sf0.1 headline set
                 "vs_recorded_baseline": (

@@ -180,11 +180,23 @@ def _blocked_gemm(
     float64 GEMM tile per task. Data inflation is P× per side, the standard
     block-matrix trade; the only driver-side value is the single block-count
     scalar."""
+    # Single-scalar plan parameter (O(1) driver memory). r17 (r16 verdict
+    # task #4): this used to be max(x_blk)+1 over the COLLAPSED side, which
+    # re-evaluated the whole reps groupBy+join (two corpus shuffles) once
+    # per GEMM call just to size the grid. The grid only needs P >= the
+    # true block count — a (bi, bj) grid row whose block holds no rows
+    # joins nothing and cogroup never sees the key — so the UPPER BOUND
+    # from the RAW max vec_id (collapse/cap only ever remove rows, never
+    # raise the max id) is result-identical and costs one column-pruned
+    # scan-max (no shuffle, partial agg; parquet column stats serve it at
+    # scale) instead of the collapse subtree. Empty trailing blocks only
+    # pad the spark.range(P²) enumeration, which is metadata-sized.
+    raw = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    if cap is not None:
+        raw = raw.where(F.col("vec_id") < cap)
     n_blocks = int(
-        _sim_block_side(spark, sf_dir, "x", with_label, collapse, cap)
-        .agg(F.max("x_blk") + 1)
-        .head()[0]
-    )  # single-scalar plan parameter (O(1) driver memory)
+        raw.agg(F.expr(f"max(vec_id) div {_SIM_BLOCK} + 1")).head()[0]
+    )
     # fresh grid per side — shared lineage across cogroup sides is ambiguous
     left = (
         _sim_block_side(spark, sf_dir, "l", with_label, collapse, cap)
@@ -954,14 +966,75 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
     )
-    exact = (
-        e.crossJoin(probes)
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6).alias("sim"),
+    # Exact arm via mapInArrow (r17, r16 verdict task #3 / guide §4.2):
+    # the old shape crossJoined the corpus against the ≤64 broadcast probes
+    # — N×64 rows, each carrying BOTH 64-float arrays through ArrowEvalPython
+    # (~1 KB/pair across the boundary) and then N×64 narrow rows through the
+    # top-10 window's exchange+sort (58.3 s at the 100× tier, the worst
+    # scale number in the repo). Now each corpus row crosses the boundary
+    # ONCE: the kernel holds the probe matrix (≤64 rows, bounded by
+    # construction — collected like any dimension broadcast) and computes
+    # every probe's dot per batch. Bit-exactness: the per-probe dot is
+    # (emb * p).cumsum(axis=1)[:, -1] — the identical strictly-sequential
+    # float64 left fold as _dot64_vec, so every sim is bit-for-bit the old
+    # value. The per-batch cut keeps, per probe, the top-10 raw dots PLUS
+    # every row within 1e-6 of the 10th: if a row is dropped, 10 rows in
+    # its own batch have raw dot > dropped + 1e-6, hence strictly greater
+    # round-6 sim, so the dropped row can never enter the global rounded
+    # top-10 regardless of vec_id tiebreaks. The final window then ranks
+    # ≤ (n_batches × 64 × ~10) surviving rows instead of N×64.
+    probe_mat = sorted(
+        (int(r["probe_id"]), list(r["p"]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800) & nn)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
+        .collect()
+    )
+
+    def _exact_topk_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pids = np.array([p for p, _ in probe_mat], dtype=np.int64)
+        pvecs = [np.array(v, dtype=np.float64) for _, v in probe_mat]
+        out_schema = pa.schema(
+            [("probe_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
         )
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = np.array(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )
+            if emb.size == 0:
+                continue
+            chunks_p, chunks_v, chunks_s = [], [], []
+            for k in range(len(pids)):
+                # strictly-sequential left fold — bit-identical to
+                # _dot64_vec / aggregate(zip_with(...)) / the oracle
+                dots = (emb * pvecs[k]).cumsum(axis=1)[:, -1]
+                mask = vid != pids[k]
+                d, v = dots[mask], vid[mask]
+                if d.size > 10:
+                    keep = d >= (np.partition(d, -10)[-10] - 1e-6)
+                    d, v = d[keep], v[keep]
+                if d.size:
+                    chunks_p.append(np.full(d.size, pids[k], dtype=np.int64))
+                    chunks_v.append(v.astype(np.int64, copy=False))
+                    chunks_s.append(d)
+            if chunks_p:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(chunks_p), type=pa.int64()),
+                        pa.array(np.concatenate(chunks_v), type=pa.int64()),
+                        pa.array(np.concatenate(chunks_s), type=pa.float64()),
+                    ],
+                    schema=out_schema,
+                )
+
+    exact = (
+        e.select("vec_id", "embedding")  # §4.1: ship only what the kernel reads
+        .mapInArrow(_exact_topk_kernel, "probe_id long, vec_id long, sim double")
+        .select("probe_id", "vec_id", F.round(F.col("sim"), 6).alias("sim"))
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -1739,6 +1812,19 @@ def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     w.createOrReplaceTempView("__tfc_w")
+    # r17 prune attempt (r16 verdict task #5), MEASURED VACUOUS and not
+    # shipped: both exact §3-style pruning levers were quantified on the
+    # corpus before restructuring the join — (a) document-frequency
+    # pruning (a (source, token) key with one row can never pair) removes
+    # 0 of 116,231 pair-side rows at sf0.1 (all 620 keys have >= 2 docs;
+    # min df ≈ 187), and (b) zero-idf token removal (wt = 0 contributes
+    # +0.0 to every dot, bit-exact to drop) removes 0 of 31 tokens
+    # (max df 3,923 of 5,000 docs). The vocabulary is 31 dense tokens, so
+    # every prune's candidate set is empty while its key-set aggregate +
+    # two semi-joins would cost real passes. Weight-bound prefix filtering
+    # was rejected as before: it reorders the surviving pairs' float
+    # summation at the round-6 boundary. The token-grain pair join IS the
+    # standard sparse dot at this density.
     return spark.sql(
         """
         SELECT d.doc_a, d.doc_b,

@@ -278,20 +278,30 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    # cached: read 4× (sizes, signature build, both sides of the verify)
+    # DOC-GRAIN shingle-set cache (r17; guide §2.4): the previous exploded
+    # (doc_id, sh) cache was read 4× — signature build, sizes aggregate,
+    # and BOTH verify sides — which cost a second cache (__mh_sizes) with
+    # its own materialization job, plus a per-pair sa⋈sb equi-join +
+    # re-aggregate in the verify. Storing one sorted-distinct shingle ARRAY
+    # per doc keeps the signature build identical (one explode over the
+    # cache), makes sizes a free size(shs) projection, and turns the verify
+    # into size(array_intersect(..)) in whole-stage codegen — one
+    # materialization job and two final-query joins fewer, with the exact
+    # same shingle multiset per doc (array_distinct(transform(...)) is the
+    # identical expression the old LATERAL VIEW exploded). The fresh-call
+    # figure drops because the op now builds 2 caches, not 3.
     shingle = spark.sql(
         """
-        SELECT doc_id, sh
+        SELECT doc_id, array_distinct(transform(
+            sequence(0, size(tk) - 3),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shs
         FROM (SELECT d.doc_id, split(d.text, ' ') AS tk
               FROM documents d
               JOIN (SELECT min(doc_id) AS doc_id FROM documents
                     GROUP BY md5(text)) reps USING (doc_id))
-        LATERAL VIEW explode(array_distinct(transform(
-            sequence(0, size(tk) - 3),
-            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS sh
         """
     ).cache()
-    shingle.createOrReplaceTempView("__mh_shingle")
+    shingle.createOrReplaceTempView("__mh_sharr")
     # Materialize the cache BEFORE the main query is planned: an
     # unmaterialized cached explode carries the pre-explode size estimate,
     # under which Catalyst planned BuildRight BROADCASTS of this whole view
@@ -350,7 +360,8 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM (SELECT doc_id,
                                      cast(conv(substr(md5(sh), 1, 8), 16, 10)
                                        AS bigint) AS h
-                              FROM __mh_shingle)
+                              FROM (SELECT doc_id, explode(shs) AS sh
+                                    FROM __mh_sharr))
                         GROUP BY doc_id) sig
                       LATERAL VIEW explode(array({band_structs})) AS bs)
                 GROUP BY band_id, band_sig
@@ -358,43 +369,42 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     cand.createOrReplaceTempView("__mh_cand")
-    # cached: za AND zb below read this same per-doc aggregate in ONE query
-    # execution (the existing multi-read cache policy), and it is n_docs
-    # rows — the smallest relation in the pipeline after the pairs.
-    sizes = spark.sql(
-        "SELECT doc_id, count(*) AS n FROM __mh_shingle GROUP BY doc_id"
-    ).cache()
-    sizes.createOrReplaceTempView("__mh_sizes")
     # Materialized for real InMemoryRelation stats (same trap as the
     # shingle cache above): with honest row counts the planner broadcasts
     # the pair side at sf0.1 and AQE shuffle-joins at the 100x corpus.
-    _materialize_cache(spark, cand, sizes)
-    return spark.sql(
+    _materialize_cache(spark, cand)
+    # Verify (r17 doc-grain form): |A∩B| via array_intersect on the two
+    # cached shingle-set arrays — arrays hold DISTINCT shingles, so
+    # size(array_intersect) equals the old per-pair equi-join count(*)
+    # exactly, and size(shs) equals the old __mh_sizes count. The
+    # shuffle() wrap is the repo's §4.4 single-evaluation pin: `shared`
+    # feeds the filter AND the jaccard projection, and without the pin
+    # Catalyst re-inlines the intersect per reference (the
+    # llm_near_dedup_minhash finding, r16; plan-pinned in
+    # tests/test_plans.py). No BROADCAST hints anywhere (round 10): AQE
+    # converts these joins to broadcast when the built side is genuinely
+    # small (sf0.1: 254 candidate pairs) and falls back to shuffle joins
+    # at the 100x corpus, where a forced broadcast OOMed at 3.5 GiB.
+    out = spark.sql(
         """
-        SELECT i.doc_a, i.doc_b,
-               round(cast(i.shared AS double) / (za.n + zb.n - i.shared), 6)
+        SELECT doc_a, doc_b,
+               round(cast(shared AS double) / (na + nb - shared), 6)
                  AS jaccard
         FROM (
-          SELECT c.doc_a, c.doc_b, count(*) AS shared
-          -- No BROADCAST hints anywhere in this query (round 10): with AQE,
-          -- runtime stats already convert these joins to broadcast when the
-          -- built side is genuinely small (sf0.1: 254 candidate pairs), and
-          -- a FORCED broadcast is fatal when it is not — the 100x amplified
-          -- corpus (every payload duplicated 100x => every LSH bucket >= 100
-          -- docs => ~50M candidate pairs) killed the hinted plan with a
-          -- 3.5 GiB broadcast OOM, while the unhinted plan survives by
-          -- falling back to shuffle joins. Same argument for za/zb: the
-          -- per-doc shingle-count table is corpus-sized, so AQE broadcasts
-          -- the verified-pair side instead when pairs are sparse.
+          SELECT c.doc_a, c.doc_b,
+                 size(shuffle(array_intersect(sa.shs, sb.shs))) AS shared,
+                 size(sa.shs) AS na, size(sb.shs) AS nb
           FROM __mh_cand c
-          JOIN __mh_shingle sa ON sa.doc_id = c.doc_a
-          JOIN __mh_shingle sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
-          GROUP BY c.doc_a, c.doc_b) i
-        JOIN __mh_sizes za ON za.doc_id = i.doc_a
-        JOIN __mh_sizes zb ON zb.doc_id = i.doc_b
-        WHERE cast(i.shared AS double) / (za.n + zb.n - i.shared) >= 0.2
+          JOIN __mh_sharr sa ON sa.doc_id = c.doc_a
+          JOIN __mh_sharr sb ON sb.doc_id = c.doc_b)
+        WHERE cast(shared AS double) / (na + nb - shared) >= 0.2
         """
     )
+    # declare the internal caches for plan_memo's hit-path re-materialization
+    # (registry.py): a composer consuming the memoized frame after a
+    # clearCache must not plan against empty InMemoryRelations
+    out._graft_cached_deps = (shingle, cand)
+    return out
 
 
 @register(
@@ -603,11 +613,16 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("v").alias("vec_id"), F.col("lbl").alias("component_id"))
 
 
-def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
+def _label_propagation_fixpoint(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Min-label propagation with pointer jumping until no label changes.
     localCheckpoint truncates lineage each superstep — without it the
     logical plan nests exponentially across iterations (OOM at plan
-    explain time long before data is a problem)."""
+    explain time long before data is a problem).
+
+    Raises RuntimeError if the ``max_iter`` cap is hit with labels still
+    changing (r16 verdict task #10): returning non-fixpoint labels would be
+    silently wrong component ids. With path halving, ``max_iter`` supersteps
+    cover ~2^max_iter diameter, so the raise is theoretical — but loud."""
     # checkpoint the DIRECTED edge list FIRST (r16): ``edges`` is the
     # uncached blocked-GEMM near-dup pipeline, and union(edges, reversed)
     # evaluated that whole pipeline once per union branch inside the one
@@ -625,7 +640,7 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
         .withColumn("lbl", F.col("v"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(30):  # with pointer jumping, converges in O(log diameter)
+    for _ in range(max_iter):  # pointer jumping: converges in O(log diameter)
         neighbor_min = (
             und.join(labels, und.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
@@ -664,8 +679,11 @@ def _label_propagation_fixpoint(edges: DataFrame) -> DataFrame:
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.select("v", "lbl")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"label propagation did not converge within {max_iter} supersteps; "
+        "refusing to return non-fixpoint component labels"
+    )
 
 
 @register(

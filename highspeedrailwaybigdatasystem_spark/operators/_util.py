@@ -131,13 +131,15 @@ def _materialize_cache(spark: SparkSession, *dfs: DataFrame) -> None:
     entry re-registers unmaterialized and gets re-counted here. Falls back
     to an unconditional count() if the JVM probe is unavailable."""
     for df in dfs:
+        registered = True
         try:
             opt = (
                 spark._jsparkSession.sharedState()
                 .cacheManager()
                 .lookupCachedData(df._jdf)
             )
-            loaded = opt.isDefined() and (
+            registered = opt.isDefined()
+            loaded = registered and (
                 opt.get()
                 .cachedRepresentation()
                 .cacheBuilder()
@@ -145,6 +147,15 @@ def _materialize_cache(spark: SparkSession, *dfs: DataFrame) -> None:
             )
         except Exception:
             loaded = False
+        if not registered:
+            # r17: spark.catalog.clearCache()/unpersist() removes the
+            # CacheManager ENTRY, not just the buffers — a bare count()
+            # would then be a full uncached recompute and downstream
+            # queries would still inline the whole subtree per reference.
+            # Re-register first so the count below rebuilds a real cache
+            # (plan_memo's hit path relies on this after the cache-honest
+            # harnesses clear between timed runs).
+            df.cache()
         if not loaded:
             df.count()
 

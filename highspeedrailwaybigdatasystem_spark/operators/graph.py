@@ -907,6 +907,11 @@ _CC_ORACLE = """
 """
 
 
+#: superstep cap for the connected-components fixpoint; module-level so the
+#: non-convergence raise is unit-testable with a forced tiny cap
+_CC_MAX_ITER = 50
+
+
 @register("graph_connected_components", oracle=_CC_ORACLE)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by iterated hash-min label propagation WITH
@@ -975,7 +980,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ed0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     lbl = users.select("user_id", F.col("user_id").alias("lbl")).localCheckpoint()
-    for _ in range(50):
+    converged = False
+    for _ in range(_CC_MAX_ITER):
         nmin = (
             lbl.join(edges, lbl.user_id == edges.src)
             .groupBy("dst")
@@ -1014,7 +1020,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = jumped.where(F.col("_chg")).limit(1).count()
         lbl = jumped.select("user_id", "lbl")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # fail loudly (r16 verdict task #10): non-fixpoint labels are
+        # silently wrong component ids, never a degraded-but-usable answer
+        raise RuntimeError(
+            f"connected components did not converge within {_CC_MAX_ITER} "
+            "supersteps; refusing to return non-fixpoint labels"
+        )
     sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.groupBy(F.col("sz").alias("component_size"))

@@ -1372,11 +1372,17 @@ def ml_boosted_stumps_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grid AS (SELECT * FROM (VALUES (5), (10), (15), (20), (25), (30),
                                    (35), (40), (45)) AS g(thr)),
     eval1 AS (
+      -- COALESCE(..., 0) on the counts (r16 ADVICE): the histogram form's
+      -- sum(n) FILTER yields NULL (not the old count(*) FILTER's 0) when a
+      -- threshold leaves one side empty. Unreachable for l_quantity in
+      -- [1,50] vs the [5,45] grid, but the edge semantics should match the
+      -- original exactly. Sums (sl/ql/...) keep NULL — count(*) never
+      -- guarded them and sse is NULL either way on an empty side.
       SELECT g.thr,
-             sum(h.n) FILTER (WHERE h.x < g.thr) AS nl,
+             COALESCE(sum(h.n) FILTER (WHERE h.x < g.thr), 0) AS nl,
              sum(h.s) FILTER (WHERE h.x < g.thr) AS sl,
              sum(h.q) FILTER (WHERE h.x < g.thr) AS ql,
-             sum(h.n) FILTER (WHERE h.x >= g.thr) AS nr,
+             COALESCE(sum(h.n) FILTER (WHERE h.x >= g.thr), 0) AS nr,
              sum(h.s) FILTER (WHERE h.x >= g.thr) AS sr,
              sum(h.q) FILTER (WHERE h.x >= g.thr) AS qr
       FROM grid g CROSS JOIN __boost_hx h
@@ -1401,10 +1407,10 @@ def ml_boosted_stumps_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM __boost_hx h CROSS JOIN pred1 p),
     eval2 AS (
       SELECT g.thr,
-             sum(h.n) FILTER (WHERE h.x < g.thr) AS nl,
+             COALESCE(sum(h.n) FILTER (WHERE h.x < g.thr), 0) AS nl,
              sum(h.s) FILTER (WHERE h.x < g.thr) AS sl,
              sum(h.q) FILTER (WHERE h.x < g.thr) AS ql,
-             sum(h.n) FILTER (WHERE h.x >= g.thr) AS nr,
+             COALESCE(sum(h.n) FILTER (WHERE h.x >= g.thr), 0) AS nr,
              sum(h.s) FILTER (WHERE h.x >= g.thr) AS sr,
              sum(h.q) FILTER (WHERE h.x >= g.thr) AS qr
       FROM grid g CROSS JOIN hx2 h

@@ -134,6 +134,25 @@ def plan_memo(fn: QueryFn) -> QueryFn:
             if len(_PLAN_MEMO) > 64:
                 _PLAN_MEMO.clear()
             hit = _PLAN_MEMO[key] = fn(spark, sf_dir)
+        else:
+            # r17: a memo hit skips the op body, so the body's
+            # materialize-before-plan cache discipline is skipped too. If
+            # spark.catalog.clearCache()/unpersist ran since the miss (the
+            # r17 cache-honest bench does exactly that between timed runs),
+            # a COMPOSER consuming this memoized frame would otherwise plan
+            # and execute against empty InMemoryRelations with their
+            # pre-materialization size estimates — the round-10 planner
+            # trap (measured: llm_dup_partner_degree_dist 1.9 s → 5.8 s
+            # when the banding caches were cleared behind the memo). Ops
+            # that cache declare their cached frames on the returned
+            # DataFrame; a hit re-materializes any that were dropped
+            # (no-op when the buffers are still loaded — the probe in
+            # _materialize_cache gates on live CacheManager state).
+            deps = getattr(hit, "_graft_cached_deps", ())
+            if deps:
+                from .operators._util import _materialize_cache
+
+                _materialize_cache(spark, *deps)
         return hit
 
     # Structural marker (r13 ADVICE): tests detect memoization by THIS

@@ -61,7 +61,8 @@ def test_time_query_unwraps_plan_memo(spark):
         "time_query called the memo wrapper — headline value would "
         "include serving-mode reuse"
     )
-    assert calls["fresh"] == 3  # warmup + 2 timed runs
+    # warmup + 2 cache-honest timed runs + 2 warm-cache-regime runs (r17)
+    assert calls["fresh"] == 5
 
 
 def test_registered_memo_ops_expose_wrapped():

@@ -24,7 +24,9 @@ from highspeedrailwaybigdatasystem_spark.registry import all_queries
 from highspeedrailwaybigdatasystem_spark.session import build_session
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
 )
 
 

@@ -1,6 +1,7 @@
 """Time EVERY registered batch op once at $SPARK_GRAFT_SF_DIR (default
-sf0.1): warmup call + best-of-2 timed fresh calls, one warm shared
-local[32] session. Execution is driven by the NOOP SINK (guide §1.4):
+sf0.1): warmup call + best-of-2 timed fresh calls (each preceded by an
+untimed spark.catalog.clearCache() — r17 cache honesty, see bench.py),
+one warm shared local[32] session. Execution is driven by the NOOP SINK (guide §1.4):
 ``df.write.format("noop")`` computes every column of every row and
 discards it, so the sweep times the distributed computation — NOT the
 driver-side row collection that collect() adds (a full-table scalar op at
@@ -51,15 +52,32 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
 
             try:
+                # cache hygiene (r16 verdict tasks #1/#6): clear BEFORE the
+                # warmup so one op's residue can't skew the next op, and
+                # before each timed run so cache-bearing ops pay their own
+                # cache build in `sec` (CacheManager otherwise serves the
+                # timed runs from warmup-populated InMemoryRelations).
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _drive(fresh(spark, SF_DIR))  # warmup (plan+codegen+listing)
                 warm = time.perf_counter() - t0
                 best = float("inf")
                 for _ in range(2):
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     _drive(fresh(spark, SF_DIR))
                     best = min(best, time.perf_counter() - t0)
-                rec = {"op": name, "sec": round(best, 4), "cold": round(warm, 4)}
+                # old-regime figure (caches warm from the last timed run)
+                # kept for cross-round comparability with pre-r17 sweeps
+                t0 = time.perf_counter()
+                _drive(fresh(spark, SF_DIR))
+                wc = time.perf_counter() - t0
+                rec = {
+                    "op": name,
+                    "sec": round(best, 4),
+                    "cold": round(warm, 4),
+                    "sec_warm_cache": round(wc, 4),
+                }
             except Exception as e:  # noqa: BLE001 — record and continue
                 rec = {"op": name, "error": str(e)[:200]}
             fh.write(json.dumps(rec) + "\n")
