@@ -63,6 +63,129 @@ def _dot64_vec(a: pd.Series, b: pd.Series) -> pd.Series:  # active session at im
     return pd.Series((la * lb).cumsum(axis=1)[:, -1])
 
 
+#: round-6 tie window plus 10^3× the ~3e-14 GEMM-vs-left-fold error bound
+#: (dim·eps·Σ|x_i·y_i| ≤ 64·2.3e-16 for unit-norm embeddings) — any dot
+#: whose exact fold could matter after round(·, 6) survives a cut with
+#: this margin on the BLAS-GEMM approximation.
+_IVF_MARGIN = 1e-6 + 1e-9
+
+
+def _ivf_assign_arrow(e: DataFrame, cent_rows) -> DataFrame:
+    """Narrow ``(vec_id, cent_id)`` argmax-cosine cell assignment in ONE
+    mapInArrow pass (r17, guide §4.1/§4.2) — replaces the corpus × K
+    centroid crossJoin whose per-pair dot (HOF fold or ArrowEvalPython)
+    shipped both 64-float arrays per pair. ``cent_rows`` is the collected
+    coarse-quantizer list (bounded by the vec_id<16 convention): sorted
+    ``(cent_id, embedding-list-or-None)``.
+
+    Result-identical to
+    ``max_by(cent_id, struct(round(dot, 6), -cent_id))`` over the cross
+    join, including the NULL cases probed against Spark (r17):
+    * NULL corpus embedding (or zero non-NULL centroids): every sim is
+      NULL and max_by's struct ordering falls to the LOWEST cent_id — the
+      kernel emits exactly that row with a NULL dot;
+    * NULL centroid embedding: its sim is NULL and loses to any non-NULL
+      sim, so only non-NULL centroids enter the GEMM.
+    The kernel prunes with one float64 BLAS GEMM per batch (margin
+    ``_IVF_MARGIN`` — see bound above) and emits the strictly-sequential
+    cumsum left fold (bit-identical to ``_dot``/``_dot64_vec``/the
+    oracles' fold) only for candidate centroids; the JVM-side
+    round + max_by partial aggregate is unchanged."""
+    if not cent_rows:
+        # legacy crossJoin against zero centroids produced zero rows
+        return (
+            e.select("vec_id")
+            .limit(0)
+            .select("vec_id", F.lit(None).cast("long").alias("cent_id"))
+        )
+    valid_cents = [(c, v) for c, v in cent_rows if v is not None]
+    min_cid = min(c for c, _ in cent_rows)
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [("vec_id", pa.int64()), ("cent_id", pa.int64()), ("craw", pa.float64())]
+        )
+        if valid_cents:
+            cids = np.array([c for c, _ in valid_cents], dtype=np.int64)
+            cmat = np.array([v for _, v in valid_cents], dtype=np.float64)
+        for batch in batches:
+            col = batch.column("embedding")
+            vid_all = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            if valid_cents and valid.any():
+                emb = _emb_f64(col.drop_null(), int(valid.sum()))
+                ga = emb @ cmat.T
+                cand = ga >= (ga.max(axis=1, keepdims=True) - _IVF_MARGIN)
+                rows, ks = np.nonzero(cand)
+                craw = (emb[rows] * cmat[ks]).cumsum(axis=1)[:, -1]
+                vvid = vid_all[valid]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            vvid[rows].astype(np.int64, copy=False), type=pa.int64()
+                        ),
+                        pa.array(cids[ks], type=pa.int64()),
+                        pa.array(craw, type=pa.float64()),
+                    ],
+                    schema=schema,
+                )
+            nulls = ~valid if valid_cents else np.ones(len(vid_all), dtype=bool)
+            n_null = int(nulls.sum())
+            if n_null:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            vid_all[nulls].astype(np.int64, copy=False),
+                            type=pa.int64(),
+                        ),
+                        pa.array(np.full(n_null, min_cid, dtype=np.int64)),
+                        pa.nulls(n_null, pa.float64()),
+                    ],
+                    schema=schema,
+                )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInArrow(_kernel, "vec_id long, cent_id long, craw double")
+        .select("vec_id", "cent_id", F.round(F.col("craw"), 6).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cent_id"))
+    )
+
+
+def _collect_cents(spark: SparkSession, sf_dir: str):
+    """Collected coarse-quantizer rows (≤16 by the vec_id<16 convention —
+    bounded by construction, never corpus-scaled)."""
+    return sorted(
+        (int(r["cent_id"]), None if r["cent"] is None else list(r["cent"]))
+        for r in t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .collect()
+    )
+
+
+def _emb_f64(col, n_rows: int):
+    """Decode an Arrow ``list<float>`` column to an (n_rows, dim) float64
+    matrix WITHOUT materializing Python objects: ``to_pylist()`` built
+    ~13M PyFloat objects per kernel pass at the 100× corpus and dominated
+    the mapInArrow kernels' wall-clock. ``flatten()`` returns the child
+    values for this array's logical extent (offset-safe on sliced
+    batches), and the float32→float64 cast is value-exact, so downstream
+    cumsum left folds see bit-identical inputs to the old
+    ``np.array(col.to_pylist(), dtype=float64)`` path. Raises (reshape)
+    if rows are ragged — the embedding corpus is fixed-width by contract."""
+    import numpy as np
+
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n_rows == 0 or flat.size == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return flat.astype(np.float64).reshape(n_rows, flat.size // n_rows)
+
+
 @register(
     "llm_sim_topk",
     oracle=f"""
@@ -435,18 +558,11 @@ def llm_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     reps.createOrReplaceTempView("__knn_reps")
     _materialize_cache(spark, reps)
-    argmax = spark.sql(
-        f"""
-        SELECT vec_id,
-               max_by(cent_id, struct(sim, -cent_id)) AS cent_id
-        FROM (SELECT /*+ BROADCAST(knn_cents) */ e.vec_id, knn_cents.cent_id,
-                     round({_DOT_SPARK_SQL.format(a='e.embedding', b='knn_cents.cent')}, 6) AS sim
-              FROM __knn_reps e
-              CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
-                          FROM embeddings WHERE vec_id < 16) knn_cents)
-        GROUP BY vec_id
-        """
-    ).cache()
+    # r17: assignment via one Arrow pass (_ivf_assign_arrow — GEMM
+    # prefilter + exact-fold survivors), superseding the r16 narrow
+    # argmax's reps×16 crossJoin of interpreted HOF-fold dots; same
+    # (rounded sim desc, cent_id asc) winner, cache policy unchanged.
+    argmax = _ivf_assign_arrow(reps, _collect_cents(spark, sf_dir)).cache()
     argmax.createOrReplaceTempView("__knn_argmax")
     # Planner-statistics discipline (round 10): materialize before the
     # self-join is planned so both sides see real InMemoryRelation stats.
@@ -632,16 +748,16 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/K fraction, and the assignment is a write-once index persisted
     alongside the table.
 
-    NARROW ARGMAX (r16, guide §2.3 'project before the exchange'): the
-    assignment used to run a row_number window over the N×16 cross join
-    carrying BOTH 64-float arrays through the exchange+sort; the argmax
-    needs only (vec_id, cent_id, sim), so the dot is computed map-side
-    against the broadcast centroids and ``max_by(cent_id,
-    struct(sim, -cent_id))`` (same tiebreak: highest rounded sim, then
-    lowest cent_id) collapses the 16 candidates in the partial aggregate
-    before any shuffle. The probe path joins the PRUNED narrow
-    assignment (nprobe lists only) back to the vectors, so AQE can
-    broadcast it instead of shuffling the corpus."""
+    ASSIGNMENT VIA ONE ARROW PASS (r17, guide §4.2 — supersedes the r16
+    narrow argmax): the r16 form still crossJoined the corpus against the
+    16 centroids and evaluated an interpreted HOF fold per pair (N×16
+    dots, ~6 µs each). ``_ivf_assign_arrow`` ships each corpus row across
+    the Python boundary once, prunes candidates with one float64 BLAS
+    GEMM per batch, and emits the identical cumsum left fold for the few
+    survivors — same round-6 value, same (sim desc, cent_id asc) max_by
+    winner, NULL semantics replicated (see the helper). The probe path
+    joins the PRUNED narrow assignment (nprobe lists only) back to the
+    vectors, so AQE can broadcast it instead of shuffling the corpus."""
     e = t(spark, sf_dir, "embeddings")
     cents = F.broadcast(
         t(spark, sf_dir, "embeddings")
@@ -654,16 +770,7 @@ def llm_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("p"))
     )
 
-    assigned = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(_dot(F.col("embedding"), F.col("cent")), 6).alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cent_id"))
-    )
+    assigned = _ivf_assign_arrow(e, _collect_cents(spark, sf_dir))
     plists = F.broadcast(
         cents.crossJoin(probe)
         .orderBy(F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id")
@@ -739,20 +846,11 @@ def llm_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not _index_current():
         e = t(spark, sf_dir, "embeddings")
-        # narrow argmax (r16): map-side dots + max_by partial aggregate
-        # instead of a row_number window carrying both arrays — same
-        # (rounded sim desc, cent_id asc) winner; the embedding is
-        # re-attached by vec_id only for the write.
-        assigned = (
-            e.crossJoin(cents)
-            .select(
-                "vec_id",
-                "cent_id",
-                F.round(_dot(F.col("embedding"), F.col("cent")), 6).alias("sim"),
-            )
-            .groupBy("vec_id")
-            .agg(F.expr("max_by(cent_id, struct(sim, -cent_id))").alias("cent_id"))
-        )
+        # r17: assignment via one Arrow pass (_ivf_assign_arrow — GEMM
+        # prefilter + exact-fold survivors), superseding the r16 narrow
+        # argmax's N×16 crossJoin of interpreted HOF-fold dots; same
+        # (rounded sim desc, cent_id asc) winner, written index identical.
+        assigned = _ivf_assign_arrow(e, _collect_cents(spark, sf_dir))
         (
             e.join(assigned, "vec_id")
             .select("vec_id", "embedding", "cent_id")
@@ -918,28 +1016,44 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("vec_id") < 16) & nn)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
     )
-    # Corpus-scaled dot counts (assignment N×16, exact arm N×64 probes) run
-    # through the Arrow-vectorized _dot64_vec — the interpreted HOF fold
-    # took 114 s at the 100x corpus vs the sweep's 100 s watchdog; the
-    # 1024-dot probe-list arm keeps the exact fold.
-    # narrow argmax (r16, guide §2.3): map-side dots + max_by partial
-    # aggregate — same (csim desc, cent_id asc) winner as the old
-    # row_number window, without shipping both 64-float arrays through
-    # the window exchange+sort.
-    assigned = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(_dot64_vec(F.col("embedding"), F.col("cent")), 6).alias("csim"),
+    # Assignment via mapInArrow (r17, guide §4.1/§4.2): the r16 narrow
+    # argmax removed the window exchange but still crossJoined the corpus
+    # against the 16 broadcast centroids and shipped BOTH 64-float arrays
+    # into ArrowEvalPython per pair — N×16 × ~1 KB across the Python
+    # boundary. The kernel now holds the 16-row centroid matrix (bounded
+    # by construction) and each corpus row crosses ONCE; it emits the 16
+    # narrow (vec_id, cent_id, raw dot) rows, and the round + max_by
+    # partial aggregate in the JVM is unchanged — same winner, same
+    # (csim desc, cent_id asc) tiebreak, and the raw dot is the identical
+    # strictly-sequential cumsum left fold as _dot64_vec (bit-for-bit).
+    # centroid + probe matrices for the kernels below (≤16 and ≤64 rows,
+    # bounded by construction — collected like any dimension broadcast;
+    # ONE collect job serves both)
+    _cp_rows = (
+        t(spark, sf_dir, "embeddings")
+        .where(
+            ((F.col("vec_id") < 16) | ((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800)))
+            & nn
         )
-        .groupBy("vec_id")
-        .agg(F.expr("max_by(cent_id, struct(csim, -cent_id))").alias("cent_id"))
+        .select("vec_id", "embedding")
+        .collect()
     )
+    cent_mat = sorted(
+        (int(r["vec_id"]), list(r["embedding"])) for r in _cp_rows if r["vec_id"] < 16
+    )
+    probe_mat = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in _cp_rows
+        if r["vec_id"] % 200 == 0 and r["vec_id"] < 12800
+    )
+
+    assigned = _ivf_assign_arrow(e, cent_mat)
     rn_plist = Window.partitionBy("probe_id").orderBy(
         F.round(_dot(F.col("cent"), F.col("p")), 6).desc(), "cent_id"
     )
-    plists = F.broadcast(
+    # ≤64×4 rows by construction; consumed via collect() into the ivf
+    # kernel's closure, so no broadcast hint (nothing joins it anymore)
+    plists = (
         cents.crossJoin(probes)
         .withColumn("rn", F.row_number().over(rn_plist))
         .where(F.col("rn") <= 4)
@@ -948,20 +1062,68 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn_probe = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), "vec_id"
     )
-    # both top-10 arms project (probe_id, vec_id, sim) BEFORE the window
-    # (r16, guide §2.3): the exact arm alone is N × 64 probes — with the
-    # arrays still attached that was ~1 KB/row through the top-10
-    # window's exchange+sort; narrowed it is 24 bytes/row.
+    # IVF arm via the same mapInArrow shape (r17): each corpus row —
+    # already carrying its assigned cent_id from the narrow argmax above —
+    # crosses the boundary once; the kernel dots it against exactly the
+    # probes whose nprobe list contains that cell (plists is ≤64×4 rows,
+    # bounded by construction, collected like the probe matrix), excludes
+    # vec_id == probe_id, and applies the same conservative per-batch
+    # top-10 + 1e-6-margin cut as the exact arm below. Replaces the
+    # plists/probes joins + per-pair ArrowEvalPython dot (N×~16 1 KB pairs
+    # at the 100× tier) with narrow 24 B rows into the final window.
+    plist_rows = sorted(
+        (int(r["probe_id"]), int(r["cent_id"])) for r in plists.collect()
+    )
+
+    def _ivf_topk_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pids = np.array([p for p, _ in probe_mat], dtype=np.int64)
+        pmat = np.array([v for _, v in probe_mat], dtype=np.float64)
+        cells: dict[int, list[int]] = {}
+        for pid, cid in plist_rows:
+            cells.setdefault(pid, []).append(cid)
+        pcells = [np.array(cells.get(int(p), []), dtype=np.int64) for p in pids]
+        schema = pa.schema(
+            [("probe_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
+        )
+        for batch in batches:
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            cid = batch.column("cent_id").to_numpy(zero_copy_only=False)
+            emb = _emb_f64(batch.column("embedding"), len(vid))
+            if emb.size == 0:
+                continue
+            ga = emb @ pmat.T  # (n, n_probes) approx dots, one BLAS call
+            chunks_p, chunks_v, chunks_s = [], [], []
+            for k in range(len(pids)):
+                mask = np.isin(cid, pcells[k]) & (vid != pids[k])
+                if not mask.any():
+                    continue
+                da = ga[mask, k]
+                idx = np.nonzero(mask)[0]
+                if da.size > 10:
+                    keep = da >= (np.partition(da, -10)[-10] - _IVF_MARGIN)
+                    idx = idx[keep]
+                d = (emb[idx] * pmat[k]).cumsum(axis=1)[:, -1]  # exact folds
+                chunks_p.append(np.full(d.size, pids[k], dtype=np.int64))
+                chunks_v.append(vid[idx].astype(np.int64, copy=False))
+                chunks_s.append(d)
+            if chunks_p:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(chunks_p), type=pa.int64()),
+                        pa.array(np.concatenate(chunks_v), type=pa.int64()),
+                        pa.array(np.concatenate(chunks_s), type=pa.float64()),
+                    ],
+                    schema=schema,
+                )
+
     ivf = (
         e.join(assigned, "vec_id")
-        .join(plists, "cent_id")  # already broadcast at its definition
-        .join(probes, "probe_id")
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.round(_dot64_vec(F.col("embedding"), F.col("p")), 6).alias("sim"),
-        )
+        .select("vec_id", "cent_id", "embedding")
+        .mapInArrow(_ivf_topk_kernel, "probe_id long, vec_id long, sim double")
+        .select("probe_id", "vec_id", F.round(F.col("sim"), 6).alias("sim"))
         .withColumn("rn", F.row_number().over(rn_probe))
         .where(F.col("rn") <= 10)
         .select("probe_id", "vec_id")
@@ -974,52 +1136,43 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale number in the repo). Now each corpus row crosses the boundary
     # ONCE: the kernel holds the probe matrix (≤64 rows, bounded by
     # construction — collected like any dimension broadcast) and computes
-    # every probe's dot per batch. Bit-exactness: the per-probe dot is
-    # (emb * p).cumsum(axis=1)[:, -1] — the identical strictly-sequential
-    # float64 left fold as _dot64_vec, so every sim is bit-for-bit the old
-    # value. The per-batch cut keeps, per probe, the top-10 raw dots PLUS
-    # every row within 1e-6 of the 10th: if a row is dropped, 10 rows in
-    # its own batch have raw dot > dropped + 1e-6, hence strictly greater
-    # round-6 sim, so the dropped row can never enter the global rounded
-    # top-10 regardless of vec_id tiebreaks. The final window then ranks
-    # ≤ (n_batches × 64 × ~10) surviving rows instead of N×64.
-    probe_mat = sorted(
-        (int(r["probe_id"]), list(r["p"]))
-        for r in t(spark, sf_dir, "embeddings")
-        .where((F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 12800) & nn)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p"))
-        .collect()
-    )
-
+    # every probe's dot per batch. The per-batch cut keeps, per probe, the
+    # GEMM top-10 plus everything within _IVF_MARGIN of the 10th: a dropped
+    # row has 10 same-batch rows whose exact folds beat it by > 1e-6
+    # (GEMM-vs-fold error is ≤ ~3e-14, five orders under the margin), so
+    # its round-6 sim is strictly lower and it can never enter the global
+    # rounded top-10 regardless of vec_id tiebreaks. EMITTED sims are the
+    # exact cumsum left fold — bit-for-bit the old _dot64_vec value. The
+    # final window ranks ≤ (n_batches × 64 × ~10) survivors, not N×64.
     def _exact_topk_kernel(batches):
         import numpy as np
         import pyarrow as pa
 
         pids = np.array([p for p, _ in probe_mat], dtype=np.int64)
-        pvecs = [np.array(v, dtype=np.float64) for _, v in probe_mat]
+        pmat = np.array([v for _, v in probe_mat], dtype=np.float64)
         out_schema = pa.schema(
             [("probe_id", pa.int64()), ("vec_id", pa.int64()), ("sim", pa.float64())]
         )
         for batch in batches:
             vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            emb = np.array(
-                batch.column("embedding").to_pylist(), dtype=np.float64
-            )
+            emb = _emb_f64(batch.column("embedding"), len(vid))
             if emb.size == 0:
                 continue
+            ga = emb @ pmat.T  # (n, n_probes) approx dots, one BLAS call
             chunks_p, chunks_v, chunks_s = [], [], []
             for k in range(len(pids)):
-                # strictly-sequential left fold — bit-identical to
-                # _dot64_vec / aggregate(zip_with(...)) / the oracle
-                dots = (emb * pvecs[k]).cumsum(axis=1)[:, -1]
                 mask = vid != pids[k]
-                d, v = dots[mask], vid[mask]
-                if d.size > 10:
-                    keep = d >= (np.partition(d, -10)[-10] - 1e-6)
-                    d, v = d[keep], v[keep]
-                if d.size:
+                da = ga[mask, k]
+                idx = np.nonzero(mask)[0]
+                if da.size > 10:
+                    keep = da >= (np.partition(da, -10)[-10] - _IVF_MARGIN)
+                    idx = idx[keep]
+                if idx.size:
+                    # strictly-sequential left fold on the survivors —
+                    # bit-identical to _dot64_vec / the oracle's fold
+                    d = (emb[idx] * pmat[k]).cumsum(axis=1)[:, -1]
                     chunks_p.append(np.full(d.size, pids[k], dtype=np.int64))
-                    chunks_v.append(v.astype(np.int64, copy=False))
+                    chunks_v.append(vid[idx].astype(np.int64, copy=False))
                     chunks_s.append(d)
             if chunks_p:
                 yield pa.RecordBatch.from_arrays(
@@ -1185,17 +1338,12 @@ def llm_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import ensure_views
 
     ensure_views(spark, sf_dir)
-    assigned = spark.sql(
-        f"""
-        SELECT vec_id,
-               max_by(cent_id, struct(sim, -cent_id)) AS cent_id
-        FROM (SELECT /*+ BROADCAST(semc_cents) */ e.vec_id, semc_cents.cent_id,
-                     round({_DOT_SPARK_SQL.format(a='e.embedding', b='semc_cents.cent')}, 6) AS sim
-              FROM embeddings e
-              CROSS JOIN (SELECT vec_id AS cent_id, embedding AS cent
-                          FROM embeddings WHERE vec_id < 16) semc_cents)
-        GROUP BY vec_id
-        """
+    # r17: assignment via one Arrow pass (_ivf_assign_arrow — GEMM
+    # prefilter + exact-fold survivors), superseding the r16 narrow
+    # argmax's N×16 crossJoin of interpreted HOF-fold dots; same winner,
+    # same NULL semantics (see the helper), cache policy unchanged.
+    assigned = _ivf_assign_arrow(
+        t(spark, sf_dir, "embeddings"), _collect_cents(spark, sf_dir)
     ).cache()
     assigned.createOrReplaceTempView("__semc_assigned")
     _materialize_cache(spark, assigned)

@@ -169,8 +169,6 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
         "AND vec_id < 12800 -> <= 64 rows at ANY corpus size"),
     (f"{_P}/functions/llm_ann.py", "llm_ann_recall_eval", 1): (
         "cutpoint", "16 IVF centroids (vec_id < 16)"),
-    (f"{_P}/functions/llm_ann.py", "llm_ann_recall_eval", 2): (
-        "cutpoint", "posting lists: nprobe<=4 cells x <=64 probes"),
     (f"{_P}/functions/llm_text.py", "llm_tfidf_keywords", 0): (
         "cutpoint", "per-token idf table over the doc-frequency-capped "
         "vocab (bounded by the min_df cut)"),
@@ -259,14 +257,10 @@ SITE_TAGS: dict[tuple[str, str, int], tuple[str, str]] = {
         "domain", "per-language marginals (|langs| rows)"),
     (f"{_P}/functions/llm_mix.py", "sql:llm_importance_resample", 1): (
         "domain", "per-language keep probabilities (|langs| rows)"),
-    (f"{_P}/functions/llm_ann.py", "sql:llm_knn_all", 0): (
-        "cutpoint", "k-NN centroid table (K fixed)"),
     (f"{_P}/functions/llm_ann.py", "sql:llm_mmr_diverse_topk", 0): (
         "topk", "single probe embedding"),
     (f"{_P}/functions/llm_mix.py", "sql:llm_rag_context_pack", 0): (
         "topk", "single probe embedding"),
-    (f"{_P}/functions/llm_ann.py", "sql:llm_semdedup_centroid", 0): (
-        "cutpoint", "cluster centroids (K fixed)"),
     (f"{_P}/functions/llm_ann.py", "sql:llm_semdedup_sqrtn", 0): (
         "cutpoint", "sqrt(n) centroids: sublinear by design (1e5 rows at "
         "n=1e10); growth across a 10x step is sqrt(10)=3.2x but absolute "
