@@ -145,12 +145,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     one and benefits from the usual high-degree-vertex mitigation:
     degree-ordered edge direction, which the (min,max) canonical form
     already approximates)."""
+    # r17: the r16 eager checkpoints of `users` and `und` are REVERTED on
+    # measurement — the verdict-ordered 100× A/B (old 1.31 s vs
+    # checkpointed 1.56 s back-to-back, same harness) shows the two
+    # materialization jobs cost MORE than the three re-evaluations of the
+    # cheap scan+canonicalize+distinct pipeline they saved, at both sf0.1
+    # (wash) and the 100× tier (+19%). The iterative fixpoint ops keep
+    # their checkpoints (connected_components measured 9.9→8.7 s at 100×);
+    # this op's frame is referenced only 3× inside ONE job, where Spark's
+    # shuffle-stage reuse already serves the distinct's exchange.
     users = (
         t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
         .select("user_id")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = users.count()
     dedges = users.select(
@@ -162,16 +170,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    # materialized once (r16): e1/e2/e3 are three references to this frame
-    # inside one job — uncheckpointed, the scan + canonicalize + distinct
-    # pipeline evaluated three times.
-    und = (
-        dedges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = dedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
     e1 = und.alias("e1")
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")

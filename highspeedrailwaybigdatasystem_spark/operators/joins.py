@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import plan_memo, register
-from ._util import EVENTS_TS_US, money, sql_q, t
+from ._util import EVENTS_TS_US, _materialize_cache, money, sql_q, t
 
 
 # --------------------------------------------------------------------------
@@ -1224,23 +1224,40 @@ def agg_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" FROM ({_BASKET_B.replace('DISTINCT ', '')}) raw GROUP BY ok"
     ).cache()
     baskets.createOrReplaceTempView("__basket_sets")
+    # ONE-PASS CONSUMERS (r17, guide §2.4/§1.2): the n/s/pr stages each
+    # re-scanned the order-grain basket cache (3 full cache reads + 3
+    # shuffles; at the 100× tier the cache is 15M array rows and the warm
+    # figure was 12.1 s). One LATERAL VIEW now emits, per order, a
+    # marker row ('n'), one 's' row per brand and one 'p' row per ordered
+    # brand pair — the identical multisets the three aggregates counted —
+    # so a SINGLE cache read + partial aggregate + one tiny (≤326-group)
+    # shuffle feeds everything. The combined aggregate is itself cached
+    # (it is read by pr + sa + sb + n, and Spark re-inlines view
+    # references) and materialized for honest planner stats.
+    agg = spark.sql(
+        """
+        SELECT t.kind, t.x, t.y, CAST(count(*) AS BIGINT) AS c
+        FROM __basket_sets
+        LATERAL VIEW explode(concat(
+            array(struct('n' AS kind, '' AS x, '' AS y)),
+            transform(brands, b -> struct('s' AS kind, b AS x, '' AS y)),
+            flatten(transform(
+                brands,
+                (b, i) -> transform(slice(brands, i + 2, size(brands)),
+                                    yb -> struct('p' AS kind, b AS x,
+                                                 yb AS y))))
+        )) AS t
+        GROUP BY t.kind, t.x, t.y
+        """
+    ).cache()
+    agg.createOrReplaceTempView("__basket_agg")
+    _materialize_cache(spark, agg)
     return spark.sql(
         """
-        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders
-                   FROM __basket_sets),
-        s AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb
-              FROM (SELECT explode(brands) AS brand FROM __basket_sets)
-              GROUP BY brand),
-        pr AS (
-          SELECT pair.brand_a, pair.brand_b,
-                 CAST(count(*) AS BIGINT) AS n_co
-          FROM __basket_sets
-          LATERAL VIEW explode(flatten(transform(
-              brands,
-              (x, i) -> transform(slice(brands, i + 2, size(brands)),
-                                  y -> struct(x AS brand_a, y AS brand_b))
-          ))) AS pair
-          GROUP BY pair.brand_a, pair.brand_b)
+        WITH n AS (SELECT c AS n_orders FROM __basket_agg WHERE kind = 'n'),
+        s AS (SELECT x AS brand, c AS nb FROM __basket_agg WHERE kind = 's'),
+        pr AS (SELECT x AS brand_a, y AS brand_b, c AS n_co
+               FROM __basket_agg WHERE kind = 'p')
         SELECT brand_a, brand_b, n_co,
                round(n_co * 1e0 / n.n_orders, 6) AS support,
                round(n_co * 1e0 / sa.nb, 6) AS confidence_a_to_b,
