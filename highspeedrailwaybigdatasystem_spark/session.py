@@ -24,8 +24,19 @@ def build_session(
     # overhead at test scale; AQE coalesces further at runtime. On a real
     # cluster this would be sized to data volume instead (see README).
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    builder = SparkSession.builder
+    # Scale-adaptive input-split knob (r17, r16 verdict task #2): at the
+    # test SFs every parquet table is 1–9 × 128 MB splits, so SCAN
+    # parallelism — not core count — bounds most stages, which is exactly
+    # why the driver's 8-vs-32-core ratios read ≈1 at sf0.1. Amplified-SF
+    # scaling demonstrations set this to split the scans finer (e.g. 16m);
+    # the default (unset → Spark's 128 MB) keeps every driver bench
+    # comparable with prior rounds.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
     return (
-        SparkSession.builder.appName(app_name)
+        builder.appName(app_name)
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
