@@ -200,27 +200,27 @@ def _ensure_loaded() -> None:
 #: DRIVER_COVERAGE.md. Do not edit the tuple between the markers by hand.
 # --- WINDOW START (rewritten by tools/rotate_window.py) ---
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ROUND 16 window — generated by tools/rotate_window.py:
-    # 1 never-gated (pool was 1) + 49 re-proof slots
+    # ROUND 17 window — generated by tools/rotate_window.py:
+    # 0 never-gated (pool was 0) + 50 re-proof slots
     # (plan_window policy; matches DRIVER_COVERAGE.md's planned lists).
-    # pin: r16 seq 3 sha dee8661ae9c8
-    "llm_ivf_index_persist", "etl_bin_packing_plan", "etl_cascade_delete_plan",
-    "etl_freshness_sla_audit", "etl_incremental_state_merge_audit", "etl_k_anonymity_audit",
-    "etl_null_rate_drift", "etl_partition_skew_audit", "etl_pii_tokenization_vault",
-    "etl_psi_drift", "etl_quarantine_routing", "etl_survivorship_golden_record",
-    "geo_grid_density", "join_agg_pushdown_equivalence", "join_asof_tolerance",
-    "join_cardinality_estimate_audit", "join_fuzzy_levenshtein", "join_pk_fanout_audit",
-    "llm_char_class_mix", "llm_embedding_centroid_drift", "llm_format_detect",
-    "llm_packing_efficiency_curve", "llm_pii_scrub", "llm_preference_pairs",
-    "llm_quality_classifier_linear", "llm_quality_filter", "llm_quality_score",
-    "llm_rag_context_pack", "llm_seq_packing", "llm_source_mixture",
-    "llm_span_corruption_stats", "llm_stratified_sample", "llm_text_stats",
-    "llm_tfidf_keywords", "llm_token_bpe", "llm_token_budget_allocator",
-    "llm_tokenizer_fertility", "llm_truncation_loss_curve", "llm_vocab_coverage",
-    "llm_watermark_greenlist_detect", "llm_zipf_fit", "ml_beta_binomial_shrinkage",
-    "ml_chi2_feature_ranking", "ml_cohens_kappa", "ml_elbow_k_sweep",
-    "stream_foreachbatch", "stream_session", "stream_sliding",
-    "stream_topk_per_window", "stream_tumbling",
+    # pin: r17 seq 1 sha 9521a95b636d
+    "agg_market_basket_lift", "graph_connected_components", "graph_triangle_count",
+    "llm_ann_recall_eval", "llm_dedup_components", "llm_dup_partner_degree_dist",
+    "llm_embed_near_dup", "llm_ivf_ann", "llm_ivf_index_persist",
+    "llm_knn_all", "llm_lsh_tuning_curve", "llm_minhash_banding",
+    "llm_semdedup_centroid", "llm_sim_blocked", "llm_sim_pairs_label",
+    "ml_boosted_stumps_2round", "ml_knn_classifier_eval", "mm_patch_embed_stub",
+    "scalar_try_funcs", "sql_order_by_all", "src_binary_files",
+    "src_csv_permissive_corrupt", "src_text_lines", "str_regexp2",
+    "tpch_q09", "tpch_q11", "ts_downsample_m4",
+    "ts_seasonal_ma", "udaf_custom", "udf_cogrouped_apply",
+    "udf_map_in_arrow", "udf_python_scalar", "udtf_analyze_polymorphic",
+    "udtf_python", "win_exponential_decay_score", "win_ignore_nulls",
+    "win_named_window", "win_ntile_pctrank", "win_running_sum",
+    "ts_interpolate_linear", "ts_ohlc", "ts_retention_cohort",
+    "ts_sessionize", "win_first_last", "win_lag_lead",
+    "win_moving_avg", "win_moving_median", "win_rank_dense",
+    "win_rownum_topk", "win_session_window_fn",
 )
 # --- WINDOW END ---
 

@@ -253,6 +253,37 @@ _REPROOF_PAIRS: list[tuple[str, int]] = [
     ("stream_session", 16),
     ("stream_topk_per_window", 16),
     ("stream_foreachbatch", 16),
+    # round-17 optimization rewrites (OPTIMIZATION_r17.md) — results
+    # mirror-proven identical at 3 SFs (+ nullinj where NULL semantics
+    # were touched), registered here so the driver's own gate re-proves
+    # the new code paths:
+    # - IVF-family assignment + recall-eval arms moved to mapInArrow
+    #   GEMM-prefilter/exact-fold kernels;
+    # - minhash banding restructured to doc-grain shingle arrays (its two
+    #   composers inherit the new plan);
+    # - blocked-GEMM block count from a scan-max upper bound (all GEMM
+    #   callers);
+    # - market-basket consumers folded into one pass;
+    # - triangle-count r16 checkpoints reverted on measurement;
+    # - connected-components / label-propagation fail-loud caps;
+    # - boosted-stumps COALESCE edge-semantics restore.
+    ("llm_minhash_banding", 17),
+    ("llm_lsh_tuning_curve", 17),
+    ("llm_dup_partner_degree_dist", 17),
+    ("llm_ann_recall_eval", 17),
+    ("llm_ivf_ann", 17),
+    ("llm_ivf_index_persist", 17),
+    ("llm_semdedup_centroid", 17),
+    ("llm_knn_all", 17),
+    ("ml_knn_classifier_eval", 17),
+    ("llm_embed_near_dup", 17),
+    ("llm_sim_pairs_label", 17),
+    ("llm_sim_blocked", 17),
+    ("llm_dedup_components", 17),
+    ("agg_market_basket_lift", 17),
+    ("graph_triangle_count", 17),
+    ("graph_connected_components", 17),
+    ("ml_boosted_stumps_2round", 17),
 ]
 
 # Built from pairs with an explicit uniqueness check: a duplicate literal
