@@ -302,15 +302,15 @@ def llm_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).cache()
     shingle.createOrReplaceTempView("__mh_sharr")
-    # Materialize the cache BEFORE the main query is planned: an
-    # unmaterialized cached explode carries the pre-explode size estimate,
-    # under which Catalyst planned BuildRight BROADCASTS of this whole view
-    # into the verify joins — fatal at the 100x corpus (3.5 GiB broadcast
-    # on an 8 g driver, found round 10). With real InMemoryRelation stats
-    # the planner broadcasts at sf0.1 (~5 MB) and shuffle-joins at scale.
-    # The cold cost is work the query needs anyway; repeat calls skip the
-    # count while the buffers stay loaded (gated on CacheManager state).
-    _materialize_cache(spark, shingle)
+    # NO separate materialization job for the shingle cache (r17): the
+    # candidate build below is a PURE aggregation pipeline over this view
+    # (sig agg → band explode → bucket collect → pair distinct — no joins,
+    # so no size-estimate-sensitive strategy choice anywhere in its plan),
+    # and its _materialize_cache count populates BOTH InMemoryRelations in
+    # ONE job. The round-10 planner trap (pre-materialization estimates
+    # force-broadcasting the whole view) lives in the VERIFY query's
+    # joins, which is still planned strictly AFTER the cand count has
+    # materialized both caches with real stats.
     P = 4294967291  # largest 32-bit prime; a*h+b < 2^57 so no overflow
     minhashes = ",\n".join(
         f"min(({1000003 * (s + 1)} * h + {7919 * s + 271}) % {P}) AS mh{s}"
