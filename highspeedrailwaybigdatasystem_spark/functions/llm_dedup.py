@@ -2607,7 +2607,12 @@ def llm_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM documents GROUP BY source, text"
     ).cache()
     reps.createOrReplaceTempView("__shs_reps")
-    _materialize_cache(spark, reps)
+    # no separate reps/sh materialization jobs (r17, the minhash finding):
+    # each arm's cnt aggregate is a JOIN-FREE pipeline over its sh cache,
+    # which is itself a join-free explode over the reps cache — counting
+    # cnt{n} alone materializes reps + sh{n} + cnt{n} in ONE job per arm
+    # (3 jobs instead of 7), and the union query's size-sensitive pair
+    # joins still plan strictly after every cache carries real stats.
     parts = []
     staged = []
     for n in (2, 3, 5):
@@ -2628,7 +2633,7 @@ def llm_shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" FROM __shs_sh{n} GROUP BY doc_id"
         ).cache()
         cnt.createOrReplaceTempView(f"__shs_cnt{n}")
-        staged.extend([sh, cnt])
+        staged.append(cnt)  # counting cnt pulls sh (and reps) through
         parts.append(
             f"""
     SELECT {n} AS shingle_n,
